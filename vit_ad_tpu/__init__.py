@@ -1,0 +1,28 @@
+"""vit-ad-tpu: a TPU-native (JAX/XLA/Pallas/pjit) visual anomaly-detection framework.
+
+Re-implements the capabilities of the reference `Miwri/vit-ad` codebase (frozen
+pretrained vision backbones + three anomaly heads — reconstruction, Gaussian
+mixture density, normalizing flow — trained per-category on MVTecAD / BTAD
+"good" images, evaluated with image/pixel AUROC, PRAUC, PRO) as an idiomatic
+TPU-first framework:
+
+  * models/   — flax.linen backbones (DeiT, ViT, EsViT Swin-T, NesT,
+                EfficientFormer, ResNet-50, EfficientNet-style, vanilla CNN)
+                and heads (conv decoders, MDN/GMM, FastFlow-style NF).
+  * ops/      — compute kernels: Pallas TPU kernels for the hot paths
+                (windowed MHSA, GMM log-likelihood) with XLA reference
+                implementations; SSIM, bilinear resize matching torch.
+  * data/     — MVTec/BTAD directory-contract datasets, host decode +
+                on-device preprocessing, double-buffered prefetch.
+  * pipeline/ — jit-compiled train/eval steps, feature caching for frozen
+                encoders, metrics engine (AUROC/PRAUC/PRO), early stopping,
+                sweep runner.
+  * parallel/ — mesh construction, sharding rules, multi-chip train steps.
+  * utils/    — Orbax checkpointing, torch→JAX weight conversion, pluggable
+                metric logging, plotting.
+"""
+
+__version__ = "0.1.0"
+
+from vit_ad_tpu.config import HyperParams, ValidationConfig  # noqa: F401
+from vit_ad_tpu.registry import MODEL_DICT, get_model, get_possible_models  # noqa: F401

@@ -1,0 +1,157 @@
+"""Shared flax.linen building blocks for the transformer backbones.
+
+Semantics match the pre-LN ViT family used by the reference via timm
+(reference src/classes/transformer/TransformerEncoder.py) so that converted
+PyTorch weights reproduce outputs bit-for-bit (up to dtype): fused QKV
+projection, per-head scaled dot-product attention, GELU MLP.
+
+TPU notes: attention over the ViT/DeiT sequence (196-198 tokens) is small
+enough that XLA's fused dot-general path is already MXU-optimal; windowed
+attention for Swin/EsViT has a dedicated Pallas kernel in
+ops/window_attention.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_ad_tpu.config import DtypePolicy
+
+Array = jax.Array
+
+
+class PatchEmbed(nn.Module):
+    """Image → patch tokens via a stride=patch conv.
+
+    XLA lowers a stride=kernel conv to a reshape + matmul that lands on the
+    MXU, so there is no benefit to hand-writing it; NHWC layout keeps the
+    channel dim minor as the TPU prefers.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtypes: DtypePolicy = DtypePolicy()
+    flatten: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: [B, H, W, 3] NHWC
+        x = nn.Conv(
+            features=self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtypes.compute_dtype,
+            param_dtype=self.dtypes.param_dtype,
+            name="proj",
+        )(x)
+        if self.flatten:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h * w, c)
+        return x
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 → GELU → fc2."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dtypes: DtypePolicy = DtypePolicy()
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtypes.compute_dtype,
+            param_dtype=self.dtypes.param_dtype,
+            name="fc1",
+        )(x)
+        x = self.act(x)
+        x = nn.Dense(
+            out_dim,
+            dtype=self.dtypes.compute_dtype,
+            param_dtype=self.dtypes.param_dtype,
+            name="fc2",
+        )(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV (timm layout parity).
+
+    Softmax runs in accum (f32) precision for numerical stability in bf16.
+    """
+
+    num_heads: int
+    dtypes: DtypePolicy = DtypePolicy()
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, n, d = x.shape
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(
+            3 * d,
+            use_bias=self.qkv_bias,
+            dtype=self.dtypes.compute_dtype,
+            param_dtype=self.dtypes.param_dtype,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=self.dtypes.accum_dtype
+        )
+        attn = jax.nn.softmax(attn.astype(self.dtypes.accum_dtype), axis=-1)
+        attn = attn.astype(self.dtypes.compute_dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+        out = nn.Dense(
+            d,
+            dtype=self.dtypes.compute_dtype,
+            param_dtype=self.dtypes.param_dtype,
+            name="proj",
+        )(out)
+        return out
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in f32 (bf16 variance is too coarse), cast back."""
+
+    dtypes: DtypePolicy = DtypePolicy()
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.LayerNorm(
+            epsilon=self.eps,
+            dtype=self.dtypes.accum_dtype,
+            param_dtype=self.dtypes.param_dtype,
+        )(x)
+        return y.astype(self.dtypes.compute_dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer encoder block: x + MHSA(LN(x)); x + MLP(LN(x))."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtypes: DtypePolicy = DtypePolicy()
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d = x.shape[-1]
+        y = LayerNorm(dtypes=self.dtypes, eps=self.ln_eps, name="norm1")(x)
+        x = x + Attention(num_heads=self.num_heads, dtypes=self.dtypes, name="attn")(y)
+        y = LayerNorm(dtypes=self.dtypes, eps=self.ln_eps, name="norm2")(x)
+        x = x + Mlp(
+            hidden_dim=int(d * self.mlp_ratio), dtypes=self.dtypes, name="mlp"
+        )(y)
+        return x
