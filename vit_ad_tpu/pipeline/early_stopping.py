@@ -1,0 +1,43 @@
+"""Early stopping with best-weights retention.
+
+Parity with reference early_stopping (reference
+src/util/TrainingsHelper.py:84-140): on improvement of the validation loss the
+current params are snapshotted (kept in host memory and optionally written to
+disk via the checkpoint module); after `patience` epochs without improvement
+training stops. Unlike the reference (save-only), snapshots here are true
+resume points.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+
+
+class EarlyStopping:
+    def __init__(
+        self,
+        patience: int,
+        save_fn: Optional[Callable[[Any, int, float], None]] = None,
+    ) -> None:
+        self.patience = patience
+        self.best_loss: Optional[float] = None
+        self.best_params: Any = None
+        self.best_epoch: int = -1
+        self.counter: int = 0
+        self.save_fn = save_fn
+
+    def update(self, loss: float, params: Any, epoch: int) -> bool:
+        """Record an epoch result. Returns True when training should stop."""
+        if self.best_loss is None or loss < self.best_loss:
+            self.best_loss = loss
+            # device_get: keep the snapshot in host RAM, off the HBM budget
+            self.best_params = jax.device_get(params)
+            self.best_epoch = epoch
+            self.counter = 0
+            if self.save_fn is not None:
+                self.save_fn(self.best_params, epoch, loss)
+        else:
+            self.counter += 1
+        return self.counter >= self.patience

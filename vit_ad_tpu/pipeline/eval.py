@@ -1,0 +1,97 @@
+"""Validators: model → anomaly scores → metric suite.
+
+Functional redesign of the reference Validator classes (reference
+src/pipeline/ValidatorMDN.py, ValidatorNF.py, ValidatorRecon.py). Scoring
+semantics preserved per head:
+
+  * MDN — probability map per patch; image score = min over patches
+    (ValidatorMDN.py:133); pixel map = (√P,√P) reshape + bilinear upsample
+    with align_corners=True (:137-162); anomaly score = (x * -1) + 1 (:170-172).
+    One deliberate fix: the probability map is normalized by the max
+    log-likelihood over the WHOLE test set, not per batch — the reference's
+    per-batch max (MixtureDensityNetwork.py:89-92, its own TODO) makes scores
+    depend on batch composition. AUROC is rank-based, so with a global shift
+    the ranking — and every reported metric — is unchanged for any fixed set.
+  * NF — anomaly map from the flow; image score = max over map
+    (ValidatorNF.py:137-142).
+  * Recon — anomaly map = channel-mean squared error; image score = max
+    (ValidatorRecon.py:110-117).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vit_ad_tpu.config import HyperParams
+from vit_ad_tpu.data.loader import Batch, DataPipeline, preprocess
+from vit_ad_tpu.models.mdn import GaussianMDN
+from vit_ad_tpu.ops.resize import interpolate_bilinear
+from vit_ad_tpu.pipeline import metrics as M
+
+
+def _collect(batches, score_fn) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run a jit score_fn over test batches; returns (per-image payloads,
+    labels, masks) with padding trimmed."""
+    payloads, labels, masks = [], [], []
+    for batch in batches:
+        out = score_fn(batch.images)
+        n = int(batch.valid.sum())
+        payloads.append(np.asarray(out[:n]))
+        labels.append(np.asarray(batch.labels[:n]))
+        masks.append(np.asarray(batch.masks[:n]))
+    return (
+        np.concatenate(payloads, 0),
+        np.concatenate(labels, 0),
+        np.concatenate(masks, 0),
+    )
+
+
+def evaluate_mdn(
+    encoder: nn.Module,
+    enc_params: Any,
+    mdn: GaussianMDN,
+    mdn_params: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """MDN scoring pipeline (reference ValidatorMdn.valid_loop_transformer,
+    src/pipeline/ValidatorMDN.py:104-185)."""
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def loglik_map(images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        feats = encoder.apply(enc_params, x, block_index=hp.block_index).patch_embedding
+        ll = mdn.apply(mdn_params, feats, method=GaussianMDN.log_likelihood)
+        return jnp.mean(ll, axis=2)  # [B, P] per-patch mean log-likelihood
+
+    ll, labels, gt_masks = _collect(test_data.test_batches(hp.prefetch), loglik_map)
+
+    # Global (whole-test-set) probability normalization — see module docstring.
+    prob = np.exp(ll - ll.max())  # [N, P] in [0, 1]
+    image_scores = (prob.min(axis=1) * -1.0) + 1.0
+
+    side = int(round(np.sqrt(prob.shape[1])))
+    maps = prob.reshape(-1, side, side)
+    pixel_scores = np.asarray(
+        interpolate_bilinear(
+            jnp.asarray(maps), hp.img_size, hp.img_size, align_corners=True
+        )
+    )
+    pixel_scores = (pixel_scores * -1.0) + 1.0
+
+    result = M.EvalResult(
+        image_scores=image_scores,
+        image_labels=labels.astype(np.float64),
+        pixel_scores=pixel_scores,
+        pixel_labels=gt_masks.astype(np.float64),
+    )
+    return M.calc_all_metrics(result, hp.fp_threshold)

@@ -1,0 +1,71 @@
+"""Frozen-encoder feature extraction with caching.
+
+The reference recomputes frozen-encoder features for the full train set every
+epoch (reference src/pipeline/LearnerMDN.py:151, LearnerNF.py:137-139) — pure
+waste since the encoder never changes. Here features are extracted once per
+run (`extract_features`) and the head trains on the cached [N, P, D] array;
+`cache_frozen_features=False` restores reference behavior for benchmarking.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vit_ad_tpu.data.loader import Batch, preprocess
+
+
+def make_feature_extractor(
+    encoder: nn.Module,
+    enc_params,
+    block_index: int = 0,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """jit-compiled uint8-images → patch-embedding function. `block_index`
+    and norm stats are compile-time constants, fused into one graph."""
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def fn(images_u8: jax.Array) -> jax.Array:
+        x = preprocess(images_u8, mean_j, std_j)
+        out = encoder.apply(enc_params, x, block_index=block_index)
+        return out.patch_embedding
+
+    return fn
+
+
+def extract_features(
+    extractor: Callable[[jax.Array], jax.Array],
+    batches: Iterator[Batch],
+) -> np.ndarray:
+    """Run the extractor over a batch stream, dropping padded rows.
+    Returns features [N, P, D] on host."""
+    chunks = []
+    for batch in batches:
+        feats = extractor(batch.images)
+        n_valid = int(batch.valid.sum())
+        chunks.append(np.asarray(feats[:n_valid]))
+    return np.concatenate(chunks, axis=0)
+
+
+def feature_batches(
+    features: np.ndarray, batch_size: int
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Re-batch cached features with padding + validity mask (static shapes
+    → one compiled step executable)."""
+    n = features.shape[0]
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        feats = features[start:end]
+        valid = np.ones(end - start, dtype=np.float32)
+        if end - start < batch_size:
+            short = batch_size - (end - start)
+            feats = np.concatenate([feats, np.repeat(feats[-1:], short, 0)])
+            valid = np.concatenate([valid, np.zeros(short, dtype=np.float32)])
+        yield feats, valid

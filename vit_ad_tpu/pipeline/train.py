@@ -1,0 +1,171 @@
+"""Head training loops.
+
+Functional redesign of the reference Learner classes (reference
+src/pipeline/LearnerMDN.py, LearnerNF.py, LearnerRecon.py): each head gets a
+pure jit-compiled step function over cached frozen-encoder features (or raw
+images for trainable-encoder paths), an optax optimizer with torch-Adam
+semantics, early stopping on validation loss, and a final metric evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vit_ad_tpu.config import HyperParams
+from vit_ad_tpu.data.dataset import default_norm_stats
+from vit_ad_tpu.data.loader import DataPipeline
+from vit_ad_tpu.models.mdn import GaussianMDN
+from vit_ad_tpu.pipeline.early_stopping import EarlyStopping
+from vit_ad_tpu.pipeline.features import (
+    extract_features,
+    feature_batches,
+    make_feature_extractor,
+)
+from vit_ad_tpu.pipeline.optimizers import torch_adam
+from vit_ad_tpu.registry import get_model
+
+
+@dataclasses.dataclass
+class TrainResult:
+    head_params: Any
+    encoder_params: Any
+    history: Dict[str, List[float]]
+    metrics: Dict[str, float]
+    epochs_ran: int
+    best_epoch: int
+    best_valid_loss: float
+    encoder: Optional[nn.Module] = None
+    head: Optional[nn.Module] = None
+
+
+def _norm_stats(hp: HyperParams, data: DataPipeline):
+    """centering=True → dataset statistics (reference
+    GeneralDataLoader.compute_mean_stdev); else ImageNet stats (reference
+    startTraining_recon.py:95-96)."""
+    if hp.centering:
+        return data.compute_mean_std()
+    return default_norm_stats()
+
+
+def train_mdn(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    encoder: Optional[nn.Module] = None,
+    enc_params: Any = None,
+    logger: Any = None,
+) -> TrainResult:
+    """Train the GMM/MDN head on frozen-encoder features.
+
+    Reference flow: LearnerMDN.learn_mdn_transformer (reference
+    src/pipeline/LearnerMDN.py:97-240) — Adam over MDN params only, NLL loss,
+    early stopping, final ValidatorMdn metrics."""
+    from vit_ad_tpu.pipeline.eval import evaluate_mdn
+
+    rng = jax.random.key(hp.seed)
+    if encoder is None:
+        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+    if enc_params is None:
+        rng, k = jax.random.split(rng)
+        enc_params = encoder.init(
+            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
+        )
+
+    mean, std = _norm_stats(hp, data)
+    extractor = make_feature_extractor(
+        encoder, enc_params, hp.block_index, mean, std
+    )
+
+    # Feature cache: encoder is frozen → extract once, not once per epoch
+    # (the reference recomputes every epoch, LearnerMDN.py:151).
+    feats_train = extract_features(extractor, data.train_batches(hp.prefetch))
+    feats_valid = extract_features(extractor, data.valid_batches(hp.prefetch))
+    embed_dim = feats_train.shape[-1]
+
+    mdn = GaussianMDN(features=embed_dim, num_gaussians=hp.num_gaussians)
+    rng, k = jax.random.split(rng)
+    head_params = mdn.init(k, jnp.zeros((1, 1, embed_dim)))
+    tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    opt_state = tx.init(head_params)
+
+    def masked_loss(params, feats, valid, step_rng):
+        ll = mdn.apply(
+            params, feats, rng=step_rng, method=GaussianMDN.log_likelihood
+        )
+        per_example = -jnp.mean(ll, axis=(1, 2))
+        return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    @jax.jit
+    def train_step(params, opt_state, feats, valid, step_rng):
+        loss, grads = jax.value_and_grad(masked_loss)(
+            params, feats, valid, step_rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    eval_loss = jax.jit(lambda p, f, v: masked_loss(p, f, v, None))
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        if not hp.cache_frozen_features and epoch > 0:
+            feats_train = extract_features(
+                extractor, data.train_batches(hp.prefetch)
+            )
+        losses, weights = [], []
+        for feats, valid in feature_batches(feats_train, hp.batch_size):
+            rng, k = jax.random.split(rng)
+            head_params, opt_state, loss = train_step(
+                head_params, opt_state, feats, valid, k
+            )
+            losses.append(float(loss))
+            weights.append(valid.sum())
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for feats, valid in feature_batches(feats_valid, hp.batch_size):
+            vlosses.append(float(eval_loss(head_params, feats, valid)))
+            vweights.append(valid.sum())
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(time.perf_counter() - t0)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+            )
+        if stopper.update(valid_loss, head_params, epoch):
+            break
+
+    best_params = stopper.best_params if stopper.best_params is not None else head_params
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_mdn(
+            encoder, enc_params, mdn, best_params, test_data, hp, mean, std
+        )
+        if logger is not None:
+            logger.log({**metrics, "stage": "eval"})
+
+    return TrainResult(
+        head_params=best_params,
+        encoder_params=enc_params,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=encoder,
+        head=mdn,
+    )
