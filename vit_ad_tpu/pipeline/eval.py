@@ -95,3 +95,44 @@ def evaluate_mdn(
         pixel_labels=gt_masks.astype(np.float64),
     )
     return M.calc_all_metrics(result, hp.fp_threshold)
+
+
+def evaluate_nf(
+    encoder: nn.Module,
+    enc_params: Any,
+    flow,
+    flow_params: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """NF scoring pipeline (reference ValidatorNF.valid_loop_transformer_nf,
+    src/pipeline/ValidatorNF.py:107-150): anomaly map from the flow forward;
+    image score = max over the map (:137-142)."""
+    from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
+
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def anomaly_maps(images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        feats = encoder.apply(
+            enc_params, x, block_index=hp.block_index
+        ).patch_embedding
+        out = flow.apply(flow_params, patch_tokens_to_map(feats))
+        return out.anomaly_score_map  # [B, H, W]
+
+    maps, labels, gt_masks = _collect(
+        test_data.test_batches(hp.prefetch), anomaly_maps
+    )
+    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+
+    result = M.EvalResult(
+        image_scores=image_scores,
+        image_labels=labels.astype(np.float64),
+        pixel_scores=maps,
+        pixel_labels=gt_masks.astype(np.float64),
+    )
+    return M.calc_all_metrics(result, hp.fp_threshold)

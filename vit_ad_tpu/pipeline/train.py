@@ -21,6 +21,7 @@ from flax import linen as nn
 from vit_ad_tpu.config import HyperParams
 from vit_ad_tpu.data.dataset import default_norm_stats
 from vit_ad_tpu.data.loader import DataPipeline
+from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
 from vit_ad_tpu.models.mdn import GaussianMDN
 from vit_ad_tpu.pipeline.early_stopping import EarlyStopping
 from vit_ad_tpu.pipeline.features import (
@@ -168,4 +169,124 @@ def train_mdn(
         best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
         encoder=encoder,
         head=mdn,
+    )
+
+
+def train_nf(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    encoder: Optional[nn.Module] = None,
+    enc_params: Any = None,
+    logger: Any = None,
+) -> TrainResult:
+    """Train the normalizing-flow head on frozen-encoder features.
+
+    Reference flow: LearnerNF.train_with_transformer (reference
+    src/pipeline/LearnerNF.py:91-235) — one NF sized (emb, sqrt(P))^2, Adam on
+    NF params only, NLL loss, early stopping, final ValidatorNF metrics.
+    One deliberate fix: the reference gates early stopping behind
+    enable_wandb (LearnerNF.py:184); here it is always active."""
+    from vit_ad_tpu.pipeline.eval import evaluate_nf
+
+    rng = jax.random.key(hp.seed)
+    if encoder is None:
+        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+    if enc_params is None:
+        rng, k = jax.random.split(rng)
+        enc_params = encoder.init(
+            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
+        )
+
+    mean, std = _norm_stats(hp, data)
+    extractor = make_feature_extractor(
+        encoder, enc_params, hp.block_index, mean, std
+    )
+    feats_train = extract_features(extractor, data.train_batches(hp.prefetch))
+    feats_valid = extract_features(extractor, data.valid_batches(hp.prefetch))
+    n, p, embed_dim = feats_train.shape
+
+    flow = NormalizingFlow(
+        num_channels=embed_dim,
+        img_size=hp.img_size,
+        num_patches=p,
+        hidden_ratio=hp.hidden_ratio,
+        flow_steps=hp.flow_steps,
+        dtypes=hp.dtypes,
+    )
+    rng, k = jax.random.split(rng)
+    side = int(np.sqrt(p))
+    head_params = flow.init(k, jnp.zeros((1, side, side, embed_dim)))
+    tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    opt_state = tx.init(head_params)
+
+    def masked_loss(params, feats, valid):
+        fmap = patch_tokens_to_map(feats)
+        z, logdet = flow.apply(params, fmap, method=NormalizingFlow.transform)
+        per_example = 0.5 * jnp.sum(z * z, axis=(1, 2, 3)) - logdet
+        return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    @jax.jit
+    def train_step(params, opt_state, feats, valid):
+        loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda pp, u: pp + u, params, updates), opt_state, loss
+
+    eval_loss = jax.jit(masked_loss)
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        if not hp.cache_frozen_features and epoch > 0:
+            feats_train = extract_features(
+                extractor, data.train_batches(hp.prefetch)
+            )
+        losses, weights = [], []
+        for feats, valid in feature_batches(feats_train, hp.batch_size):
+            head_params, opt_state, loss = train_step(
+                head_params, opt_state, feats, valid
+            )
+            losses.append(float(loss))
+            weights.append(valid.sum())
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for feats, valid in feature_batches(feats_valid, hp.batch_size):
+            vlosses.append(float(eval_loss(head_params, feats, valid)))
+            vweights.append(valid.sum())
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(time.perf_counter() - t0)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+            )
+        if stopper.update(valid_loss, head_params, epoch):
+            break
+
+    best_params = stopper.best_params if stopper.best_params is not None else head_params
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_nf(
+            encoder, enc_params, flow, best_params, test_data, hp, mean, std
+        )
+        if logger is not None:
+            logger.log({**metrics, "stage": "eval"})
+
+    return TrainResult(
+        head_params=best_params,
+        encoder_params=enc_params,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=encoder,
+        head=flow,
     )
