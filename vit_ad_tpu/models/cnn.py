@@ -1,0 +1,47 @@
+"""Vanilla CNN encoder.
+
+Parity with reference EncoderVanillaCNN (reference
+src/classes/CnnEncoder.py:16-103): five stages of conv3x3(s1) → BN → ReLU →
+maxpool3x3(s2), channels 3→48→96→192→384→768; a 224px image becomes a
+[7, 7, 768] feature map. NHWC throughout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_ad_tpu.config import DtypePolicy
+
+Array = jax.Array
+
+CHANNELS = (48, 96, 192, 384, 768)
+
+
+class VanillaCNNEncoder(nn.Module):
+    img_size: int = 224
+    dtypes: DtypePolicy = DtypePolicy()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = x.astype(self.dtypes.compute_dtype)
+        for i, ch in enumerate(CHANNELS):
+            x = nn.Conv(
+                ch, (3, 3), strides=(1, 1), padding="SAME",
+                dtype=self.dtypes.compute_dtype,
+                param_dtype=self.dtypes.param_dtype,
+                name=f"conv{i + 1}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtypes.accum_dtype,
+                param_dtype=self.dtypes.param_dtype,
+                name=f"bn{i + 1}",
+            )(x).astype(self.dtypes.compute_dtype)
+            x = nn.relu(x)
+            # torch MaxPool2d(kernel 3, stride 2, padding 1): halves H/W.
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+        return x  # [B, img/32, img/32, 768]

@@ -136,3 +136,38 @@ def evaluate_nf(
         pixel_labels=gt_masks.astype(np.float64),
     )
     return M.calc_all_metrics(result, hp.fp_threshold)
+
+
+def evaluate_recon(
+    model: nn.Module,
+    variables: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Reconstruction scoring (reference ValidatorRecon.valid_loop_mse,
+    src/pipeline/ValidatorRecon.py:92-136): anomaly map = channel-mean of the
+    elementwise squared error; image score = max over the map (:115-117)."""
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def error_maps(images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        out = model.apply(variables, x, train=False)
+        err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
+        return jnp.mean(err, axis=-1)  # [B, H, W]
+
+    maps, labels, gt_masks = _collect(
+        test_data.test_batches(hp.prefetch), error_maps
+    )
+    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+
+    result = M.EvalResult(
+        image_scores=image_scores,
+        image_labels=labels.astype(np.float64),
+        pixel_scores=maps,
+        pixel_labels=gt_masks.astype(np.float64),
+    )
+    return M.calc_all_metrics(result, hp.fp_threshold)

@@ -290,3 +290,171 @@ def train_nf(
         encoder=encoder,
         head=flow,
     )
+
+
+def _freeze_mask(params, trainable_top_keys):
+    """optax.multi_transform label tree: 'train' for subtrees under the given
+    top-level keys, 'freeze' elsewhere — the JAX equivalent of the
+    reference's requires_grad=False encoder freezing."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {
+        k: ("train" if k[1] in trainable_top_keys or not trainable_top_keys else "freeze")
+        for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def train_recon(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    model: Optional[nn.Module] = None,
+    use_ssim: bool = False,
+    logger: Any = None,
+) -> TrainResult:
+    """Train a reconstruction auto-encoder.
+
+    Reference flow: LearnerRecon.learn_ae_with_MSE_only (reference
+    src/pipeline/LearnerRecon.py:390-502): Adam over trainable params, MSE
+    loss between reconstruction and (normalized) input, early stopping,
+    final ValidatorRecon metrics. use_ssim=True reproduces learn_ae_with_SSIM
+    (:278-388): loss = mse_weight*MSE + ssim_weight*(1-SSIM)."""
+    import optax
+
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.ops.ssim import ssim
+    from vit_ad_tpu.pipeline.eval import evaluate_recon
+
+    rng = jax.random.key(hp.seed)
+    if model is None:
+        model = get_model(hp.model_name, hp.img_size, hp.dtypes)
+
+    mean, std = _norm_stats(hp, data)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+    rng, k = jax.random.split(rng)
+    variables = model.init(
+        k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32), train=True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # Vanilla CNN AE trains end-to-end; pretrained-encoder AEs train the
+    # decoder only (reference freezes encoder weights via requires_grad).
+    from vit_ad_tpu.models.autoencoder import VanillaAutoEncoder
+
+    trainable = () if isinstance(model, VanillaAutoEncoder) else ("decoder",)
+    base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    if trainable:
+        labels = _freeze_mask({"params": params}, trainable)["params"]
+        tx = optax.multi_transform(
+            {"train": base_tx, "freeze": optax.set_to_zero()}, labels
+        )
+    else:
+        tx = base_tx
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, images_u8, valid):
+        x = preprocess(images_u8, mean_j, std_j)
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        recon = out.reconstruction.astype(jnp.float32)
+        err = jnp.mean(
+            jnp.square(recon - x.astype(jnp.float32)), axis=(1, 2, 3)
+        )
+        loss = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        if use_ssim:
+            loss = hp.mse_weight * loss + hp.ssim_weight * (
+                1.0 - ssim(recon, x.astype(jnp.float32), data_range=1.0)
+            )
+        return loss, updates["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images_u8, valid):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images_u8, valid
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            jax.tree.map(lambda p, u: p + u, params, updates),
+            new_stats,
+            opt_state,
+            loss,
+        )
+
+    @jax.jit
+    def valid_loss_fn(params, batch_stats, images_u8, valid):
+        x = preprocess(images_u8, mean_j, std_j)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        err = jnp.mean(
+            jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )
+        return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        losses, weights = [], []
+        for batch in data.train_batches(hp.prefetch):
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, batch.images, valid
+            )
+            losses.append(float(loss))
+            weights.append(float(np.sum(batch.valid)))
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for batch in data.valid_batches(hp.prefetch):
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            vlosses.append(
+                float(valid_loss_fn(params, batch_stats, batch.images, valid))
+            )
+            vweights.append(float(np.sum(batch.valid)))
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(time.perf_counter() - t0)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+            )
+        if stopper.update(valid_loss, {"params": params, "batch_stats": batch_stats}, epoch):
+            break
+
+    best = (
+        stopper.best_params
+        if stopper.best_params is not None
+        else {"params": params, "batch_stats": batch_stats}
+    )
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_recon(model, best, test_data, hp, mean, std)
+        if logger is not None:
+            logger.log({**metrics, "stage": "eval"})
+
+    return TrainResult(
+        head_params=best,
+        encoder_params=None,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=None,
+        head=model,
+    )
