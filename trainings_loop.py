@@ -1,0 +1,86 @@
+"""Batch sweep driver — successor of the reference trainings_loop.py
+(reference trainings_loop.py:91-190).
+
+Runs per-category training across MVTec/BTAD with the sweep engine
+(idempotent runs, crash isolation, CSV output comparable to the reference's
+csv_results_* exports). Edit the CONFIG block or pass --data/--arch.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+from vit_ad_tpu.config import HyperParams
+from vit_ad_tpu.pipeline.sweep import (
+    BTAD_CATEGORIES,
+    MVTEC_CATEGORIES,
+    SweepRun,
+    run_sweep,
+)
+
+
+def main(argv):
+    arch = "nf"
+    data_root = "data/mvtec_anomaly_detection"
+    out_dir = "sweep_results"
+    model = "enc_deit"
+    categories = None
+
+    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:")
+    for opt, arg in opts:
+        if opt == "-h":
+            print("trainings_loop.py -a <arch: nf|mdn|recon> -d <dataRoot> "
+                  "-o <outDir> -m <model> -c <cat1,cat2,...>")
+            return
+        if opt == "-a":
+            arch = arg
+        elif opt == "-d":
+            data_root = arg
+        elif opt == "-o":
+            out_dir = arg
+        elif opt == "-m":
+            model = arg
+        elif opt == "-c":
+            categories = arg.split(",")
+
+    is_btad = "btad" in data_root
+    if categories is None:
+        categories = list(BTAD_CATEGORIES if is_btad else MVTEC_CATEGORIES)
+    train_pref = "train/ok" if is_btad else "train/good"
+
+    if arch == "nf":
+        from vit_ad_tpu.pipeline.train import train_nf as trainer
+
+        hp = HyperParams(model_name=model, architecture="nf", epochs=500,
+                         patience=60, learning_rate=1e-3, weight_decay=1e-5,
+                         batch_size=32, hidden_ratio=0.16, flow_steps=20)
+    elif arch == "mdn":
+        from vit_ad_tpu.pipeline.train import train_mdn as trainer
+
+        hp = HyperParams(model_name=model, architecture="mdn", epochs=1000,
+                         patience=100, learning_rate=7e-4, weight_decay=7e-4,
+                         batch_size=64, num_gaussians=100)
+    elif arch == "recon":
+        from vit_ad_tpu.pipeline.train import train_recon as trainer
+
+        hp = HyperParams(model_name=model if model.startswith("ae_") else "ae_deit",
+                         architecture="reconstruction", epochs=50, patience=30,
+                         learning_rate=1e-3, weight_decay=1e-4, batch_size=64)
+    else:
+        raise SystemExit(f"unknown arch {arch!r}")
+
+    runs = [
+        SweepRun(category=c, data_root=data_root, train_pref=train_pref)
+        for c in categories
+    ]
+    rows = run_sweep(trainer, hp, runs, out_dir)
+    ok = [r for r in rows if "image_auroc_score" in r]
+    if ok:
+        mean = sum(r["image_auroc_score"] for r in ok) / len(ok)
+        print(f"mean image AUROC over {len(ok)} categories: {mean:.4f}")
+    print(f"results: {out_dir}/results.csv")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

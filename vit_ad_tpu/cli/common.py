@@ -1,0 +1,119 @@
+"""Shared CLI plumbing for the startTraining_* scripts.
+
+Flag surface parity with the reference (reference startTraining_recon.py:40,
+startTraining_mdn.py:40, startTraining_NF.py:41):
+
+  -m model  -p patience  -e epochs  -a amountData  -l learnRate
+  -w weightDecay  -b batchSize  -d dataPath  -t trainPref  -v validPref
+  -i imageSize  --centering
+  MDN adds -n numGaussians; NF adds -r hiddenRatio and -f flowSteps.
+
+Dataset/dataclass names are derived from the data path the same way
+(reference startTraining_recon.py:128-129), with a fallback for paths that
+do not match the expected depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import getopt
+from typing import List, Optional, Tuple
+
+from vit_ad_tpu.config import HyperParams
+from vit_ad_tpu.data.loader import DataPipeline
+from vit_ad_tpu.registry import get_possible_models
+
+BTAD_BASE = "data/btad/BTech_Dataset_transformed/01"
+MVTEC_BASE = "data/mvtec_anomaly_detection/hazelnut"
+
+
+def derive_dataset_names(data_path: str) -> Tuple[str, str]:
+    """(dataset, dataclass) from the path, reference-style with fallback."""
+    parts = [p for p in data_path.split("/") if p]
+    try:
+        if "btad" in parts:
+            i = parts.index("btad")
+            return "btad", parts[i + 2] if len(parts) > i + 2 else parts[-1]
+        if len(parts) >= 3:
+            return parts[1], parts[2]
+    except (IndexError, ValueError):
+        pass
+    return parts[0] if parts else "dataset", parts[-1] if parts else "class"
+
+
+def parse_args(
+    argv: List[str],
+    hp: HyperParams,
+    data_path: str,
+    train_pref: str,
+    test_pref: str,
+    extra_short: str = "",
+    usage_extra: str = "",
+) -> Optional[Tuple[HyperParams, str, str, str]]:
+    """Parse reference-style flags into (hp, data_path, train_pref,
+    test_pref); returns None if -h printed help."""
+    shortopts = "hm:p:e:a:l:w:b:s:d:i:v:t:" + extra_short
+    opts, _ = getopt.getopt(argv, shortopts, ["centering"])
+    for opt, arg in opts:
+        if opt == "-h":
+            print(
+                "usage: -m <modelType> -p <patience> -e <#epochs> -a <amountOfData>"
+                " -l <learnRate> -w <weightDecay> -b <batchSize> -d <dataPath>"
+                " -t <trainPref> -i <imageSize> -v <validPref> --centering"
+                + usage_extra
+            )
+            print(f"Possible model values are: \n {get_possible_models()}")
+            return None
+        if opt == "--centering":
+            hp.centering = True
+        elif opt == "-p":
+            hp.patience = int(arg)
+        elif opt == "-e":
+            hp.epochs = int(arg)
+        elif opt == "-a":
+            hp.amount_data = int(arg)
+        elif opt == "-l":
+            hp.learning_rate = float(arg)
+        elif opt == "-w":
+            hp.weight_decay = float(arg)
+        elif opt == "-b":
+            hp.batch_size = int(arg)
+        elif opt == "-d":
+            data_path = arg
+        elif opt == "-t":
+            train_pref = arg
+        elif opt == "-i":
+            hp.img_size = int(arg)
+        elif opt == "-m":
+            hp.model_name = arg.lower()
+        elif opt == "-v":
+            test_pref = arg
+        elif opt == "-n":
+            hp.num_gaussians = int(arg)
+        elif opt == "-r":
+            hp.hidden_ratio = float(arg)
+        elif opt == "-f":
+            hp.flow_steps = int(arg)
+    hp.base_path = data_path
+    hp.dataset, hp.data_class = derive_dataset_names(data_path)
+    return hp, data_path, train_pref, test_pref
+
+
+def build_pipelines(
+    hp: HyperParams, data_path: str, train_pref: str, test_pref: str
+) -> Tuple[DataPipeline, DataPipeline]:
+    data = DataPipeline(
+        batch_size=hp.batch_size,
+        base_path=data_path,
+        data_path=train_pref,
+        img_size=hp.img_size,
+        amount_data=hp.amount_data if isinstance(hp.amount_data, int) else 0,
+    )
+    test = DataPipeline(
+        batch_size=hp.batch_size,
+        base_path=data_path,
+        data_path=test_pref,
+        img_size=hp.img_size,
+        validation_mode=True,
+    )
+    return data, test

@@ -64,7 +64,7 @@ class HyperParams:
     valid_path: Optional[str] = None
     test_path: Optional[str] = None
     img_size: int = 224
-    amount_data: float = 1.0
+    amount_data: int = 0  # 0 → all data (reference startTraining_*.py)
     centering: bool = False  # dataset-level standardization vs ImageNet stats
     dataset: str = "mvtec"
     data_class: str = ""

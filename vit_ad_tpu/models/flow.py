@@ -152,9 +152,62 @@ class FlowStep(nn.Module):
         return jnp.concatenate([x1, x2], axis=-1), logdet
 
 
+def _conv_same(x: Array, kernel: Array, bias: Array) -> Array:
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return (
+        jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=dn
+        )
+        + bias
+    )
+
+
+def _step_apply(x, p, perm, clamp, split1, split2):
+    """Functional AllInOneBlock step forward; p holds unstacked leaves."""
+    h, w = x.shape[1], x.shape[2]
+    x1 = x[..., :split1]
+    x2 = x[..., split1:]
+    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"])
+    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"]) * 0.1
+    s = _soft_clamp(a[..., :split2], clamp)
+    t = a[..., split2:]
+    x2 = x2 * jnp.exp(s) + t
+    logdet = jnp.sum(s, axis=(1, 2, 3))
+    y = jnp.concatenate([x1, x2], axis=-1)
+    scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
+    y = y * scale + p["global_offset"]
+    logdet = logdet + h * w * jnp.sum(jnp.log(scale))
+    return jnp.take(y, perm, axis=-1), logdet
+
+
+def _step_inverse(y, p, inv_perm, clamp, split1, split2):
+    h, w = y.shape[1], y.shape[2]
+    y = jnp.take(y, inv_perm, axis=-1)
+    scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
+    y = (y - p["global_offset"]) / scale
+    x1 = y[..., :split1]
+    x2 = y[..., split1:]
+    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"])
+    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"]) * 0.1
+    s = _soft_clamp(a[..., :split2], clamp)
+    t = a[..., split2:]
+    x2 = (x2 - t) * jnp.exp(-s)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 class NormalizingFlow(nn.Module):
-    """Stack of FlowSteps with kernels alternating 3x3 (even i) / 1x1 (odd i)
-    (reference NormalizingFlow.fast_flow_steps, :84-116)."""
+    """Stack of AllInOneBlock-equivalent steps, kernels alternating 3x3
+    (even i) / 1x1 (odd i) (reference NormalizingFlow.fast_flow_steps,
+    :84-116).
+
+    TPU-native structure: consecutive (3x3, 1x1) step pairs share an
+    identical program, so their parameters are STACKED ([n_pairs, ...]) and
+    the stack runs under jax.lax.scan — the HLO holds one pair body instead
+    of flow_steps unrolled blocks (the axon remote-compile endpoint rejects
+    oversized programs, and compile time stays flat in depth). An odd final
+    3x3 step, when flow_steps is odd, is applied unscanned."""
 
     num_channels: int
     img_size: int
@@ -164,37 +217,151 @@ class NormalizingFlow(nn.Module):
     clamp: float = 2.0
     dtypes: DtypePolicy = DtypePolicy()
 
-    def setup(self) -> None:
-        self.steps = [
-            FlowStep(
-                channels=self.num_channels,
-                kernel=1 if i % 2 == 1 else 3,
-                hidden_ratio=self.hidden_ratio,
-                clamp=self.clamp,
-                perm_seed=i,
-                dtypes=self.dtypes,
-                name=f"step_{i}",
-            )
-            for i in range(self.flow_steps)
-        ]
-
     @property
     def feature_side(self) -> int:
         return int(math.isqrt(self.num_patches))
 
-    def transform(self, x: Array) -> Tuple[Array, Array]:
-        """[B,H,W,C] → (z, logdet [B])."""
-        logdet = jnp.zeros(x.shape[0], dtype=jnp.float32)
+    @property
+    def _splits(self) -> Tuple[int, int, int]:
+        c = self.num_channels
+        split1 = c - c // 2
+        return split1, c // 2, int(split1 * self.hidden_ratio)
+
+    def _pair_params(self, n_pairs: int):
+        split1, split2, hidden = self._splits
+        c = self.num_channels
+        pdt = jnp.float32  # flow math runs in f32 (small head, stability)
+        he = nn.initializers.he_uniform()
+
+        def stacked(init, shape):
+            def f(key, s, dtype):
+                keys = jax.random.split(key, n_pairs)
+                return jnp.stack([init(k, s[1:], dtype) for k in keys])
+            return f
+
+        def conv_params(tag, k):
+            return {
+                f"{tag}_conv1_kernel": self.param(
+                    f"{tag}_conv1_kernel", stacked(he, (n_pairs, k, k, split1, hidden)),
+                    (n_pairs, k, k, split1, hidden), pdt),
+                f"{tag}_conv1_bias": self.param(
+                    f"{tag}_conv1_bias", nn.initializers.zeros,
+                    (n_pairs, hidden), pdt),
+                f"{tag}_conv2_kernel": self.param(
+                    f"{tag}_conv2_kernel", stacked(he, (n_pairs, k, k, hidden, 2 * split2)),
+                    (n_pairs, k, k, hidden, 2 * split2), pdt),
+                f"{tag}_conv2_bias": self.param(
+                    f"{tag}_conv2_bias", nn.initializers.zeros,
+                    (n_pairs, 2 * split2), pdt),
+                f"{tag}_global_scale": self.param(
+                    f"{tag}_global_scale",
+                    nn.initializers.constant(_GLOBAL_SCALE_INIT),
+                    (n_pairs, c), pdt),
+                f"{tag}_global_offset": self.param(
+                    f"{tag}_global_offset", nn.initializers.zeros,
+                    (n_pairs, c), pdt),
+            }
+
+        return {**conv_params("a", 3), **conv_params("b", 1)}
+
+    def _perms(self, n_steps: int) -> np.ndarray:
+        c = self.num_channels
+        return np.stack(
+            [np.random.default_rng(i).permutation(c) for i in range(n_steps)]
+        ).astype(np.int32)
+
+    @nn.compact
+    def _scan_transform(self, x: Array, inverse: bool = False) -> Tuple[Array, Array]:
+        split1, split2, _ = self._splits
+        n_pairs = self.flow_steps // 2
+        tail = self.flow_steps % 2 == 1
+        perms = self._perms(self.flow_steps)
+        clamp = self.clamp
+
+        pp = self._pair_params(n_pairs) if n_pairs else None
+        if tail:
+            tail_p = {
+                k.split("_", 1)[1]: v
+                for k, v in self._pair_params_tail().items()
+            }
+
         z = x.astype(jnp.float32)
-        for step in self.steps:
-            z, ld = step(z)
-            logdet = logdet + ld
+        logdet = jnp.zeros(x.shape[0], dtype=jnp.float32)
+
+        if not inverse:
+            if n_pairs:
+                perm_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
+                perm_b = jnp.asarray(perms[1 : 2 * n_pairs : 2])
+
+                def body(carry, xs):
+                    zz, ld = carry
+                    p, pa, pb = xs
+                    a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
+                    b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
+                    zz, l1 = _step_apply(zz, a_p, pa, clamp, split1, split2)
+                    zz, l2 = _step_apply(zz, b_p, pb, clamp, split1, split2)
+                    return (zz, ld + l1 + l2), None
+
+                (z, logdet), _ = jax.lax.scan(
+                    body, (z, logdet), (pp, perm_a, perm_b)
+                )
+            if tail:
+                z, lt = _step_apply(
+                    z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2
+                )
+                logdet = logdet + lt
+            return z, logdet
+
+        # inverse
+        if tail:
+            z = _step_inverse(
+                z, tail_p, jnp.asarray(np.argsort(perms[-1])), clamp, split1, split2
+            )
+        if n_pairs:
+            inv_a = jnp.asarray(
+                np.stack([np.argsort(p) for p in perms[0 : 2 * n_pairs : 2]])
+            )
+            inv_b = jnp.asarray(
+                np.stack([np.argsort(p) for p in perms[1 : 2 * n_pairs : 2]])
+            )
+
+            def body_inv(carry, xs):
+                zz = carry
+                p, ia, ib = xs
+                a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
+                b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
+                zz = _step_inverse(zz, b_p, ib, clamp, split1, split2)
+                zz = _step_inverse(zz, a_p, ia, clamp, split1, split2)
+                return zz, None
+
+            z, _ = jax.lax.scan(
+                body_inv, z, (pp, inv_a, inv_b), reverse=True
+            )
         return z, logdet
 
+    def _pair_params_tail(self):
+        split1, split2, hidden = self._splits
+        c = self.num_channels
+        pdt = jnp.float32
+        he = nn.initializers.he_uniform()
+        mk = lambda name, init, shape: self.param(name, init, shape, pdt)
+        return {
+            "t_conv1_kernel": mk("t_conv1_kernel", he, (3, 3, split1, hidden)),
+            "t_conv1_bias": mk("t_conv1_bias", nn.initializers.zeros, (hidden,)),
+            "t_conv2_kernel": mk("t_conv2_kernel", he, (3, 3, hidden, 2 * split2)),
+            "t_conv2_bias": mk("t_conv2_bias", nn.initializers.zeros, (2 * split2,)),
+            "t_global_scale": mk(
+                "t_global_scale", nn.initializers.constant(_GLOBAL_SCALE_INIT), (c,)
+            ),
+            "t_global_offset": mk("t_global_offset", nn.initializers.zeros, (c,)),
+        }
+
+    def transform(self, x: Array) -> Tuple[Array, Array]:
+        """[B,H,W,C] → (z, logdet [B])."""
+        return self._scan_transform(x, inverse=False)
+
     def inverse(self, z: Array) -> Array:
-        x = z.astype(jnp.float32)
-        for step in reversed(self.steps):
-            x, _ = step.inverse(x)
+        x, _ = self._scan_transform(z, inverse=True)
         return x
 
     def __call__(self, x: Array) -> FlowOutput:

@@ -55,13 +55,20 @@ class PatchEmbed(nn.Module):
         return x
 
 
+def gelu_exact(x):
+    """Exact (erf) GELU — torch/timm default; flax's default is the tanh
+    approximation, which breaks weight-level parity with converted
+    checkpoints."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 → GELU → fc2."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dtypes: DtypePolicy = DtypePolicy()
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x: Array) -> Array:

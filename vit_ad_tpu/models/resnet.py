@@ -58,8 +58,10 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=cd,
                       param_dtype=pd, name="conv1")(x)
         out = nn.relu(bn("bn1")(out).astype(cd))
+        # explicit (1,1) padding: torch pads symmetrically; flax SAME would
+        # pad (0,1) for stride 2 and misalign the windows
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding="SAME", use_bias=False, dtype=cd,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=cd,
                       param_dtype=pd, name="conv2")(out)
         out = nn.relu(bn("bn2")(out).astype(cd))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=cd,

@@ -7,36 +7,75 @@ Capability parity with reference EncoderDeit / EncoderVit
     strips both; latent = cls token (reference :168-172).
   * ViT-base patch16 224 — 1 prefix token; latent = cls token (ref :204-207).
   * Truncated forward at `block_index` with the trained final LayerNorm
-    re-applied after EVERY block — the FastFlow trick (reference :149-163:
-    when block_index != 0 the loop runs blocks 0..block_index and applies
-    `self.deit.norm` inside the loop each iteration).
+    re-applied after EVERY block — the FastFlow trick (reference :149-163).
 
-The whole forward is a single jit-compiled graph: patch-embed conv (MXU),
-`depth` pre-LN blocks, final norm. Weights are frozen by construction —
-parameters live outside any optimizer state and gradients are never taken
-through the encoder (see pipeline.features).
+TPU-native structure: the `depth` identical blocks are stored as STACKED
+parameters ([depth, ...] leading axis) and executed with `jax.lax.scan` —
+one block body is compiled once instead of unrolled 12x. This keeps the HLO
+small (the axon remote-compile endpoint rejects oversized programs) and
+compile times flat, with identical math. Attention softmax runs in f32.
 """
 
 from __future__ import annotations
+
+import math
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm, PatchEmbed, TransformerBlock
+from vit_ad_tpu.models.layers import PatchEmbed
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
 
 
-class ViTEncoder(nn.Module):
-    """Monolithic pre-LN vision transformer (ViT/DeiT family).
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
 
-    num_prefix_tokens: 1 for ViT (cls), 2 for distilled DeiT (cls + dist).
-    block_index semantics follow the reference: 0 = full depth with one final
-    norm; k != 0 = run blocks 0..k applying the final norm after every block.
-    """
+
+def _block_apply(
+    x: Array, p: Dict[str, Array], num_heads: int, compute_dtype, accum_dtype
+) -> Array:
+    """One pre-LN transformer block with params p (unstacked leaves)."""
+    b, n, d = x.shape
+    hd = d // num_heads
+
+    y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
+    qkv = jnp.einsum("bnd,de->bne", y, p["qkv_kernel"].astype(compute_dtype))
+    qkv = (qkv + p["qkv_bias"].astype(compute_dtype)).reshape(
+        b, n, 3, num_heads, hd
+    )
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jnp.einsum(
+        "bnhd,bmhd->bhnm", q * (hd**-0.5), k, preferred_element_type=accum_dtype
+    )
+    attn = jax.nn.softmax(attn.astype(accum_dtype), axis=-1).astype(compute_dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+    out = (
+        jnp.einsum("bnd,de->bne", out, p["proj_kernel"].astype(compute_dtype))
+        + p["proj_bias"].astype(compute_dtype)
+    )
+    x = x + out
+
+    y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
+    h = jnp.einsum("bnd,de->bne", y, p["fc1_kernel"].astype(compute_dtype))
+    h = nn.gelu(h + p["fc1_bias"].astype(compute_dtype), approximate=False)
+    h = (
+        jnp.einsum("bnh,hd->bnd", h, p["fc2_kernel"].astype(compute_dtype))
+        + p["fc2_bias"].astype(compute_dtype)
+    )
+    return x + h
+
+
+class ViTEncoder(nn.Module):
+    """Monolithic pre-LN vision transformer (ViT/DeiT family), scan-stacked."""
 
     img_size: int = 224
     patch_size: int = 16
@@ -51,10 +90,45 @@ class ViTEncoder(nn.Module):
     def num_patches(self) -> int:
         return (self.img_size // self.patch_size) ** 2
 
+    def _stacked_block_params(self) -> Dict[str, Array]:
+        d = self.embed_dim
+        h = int(d * self.mlp_ratio)
+        L = self.depth
+        pdt = self.dtypes.param_dtype
+        trunc = nn.initializers.truncated_normal(0.02)
+
+        def stacked(init, shape):
+            # per-layer init applied across the stacked leading axis
+            def f(key, s, dtype):
+                keys = jax.random.split(key, L)
+                return jnp.stack([init(k, s[1:], dtype) for k in keys])
+
+            return f
+
+        mk = lambda name, init, shape: self.param(name, stacked(init, shape), (L, *shape[1:]), pdt)
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        xavier = nn.initializers.xavier_uniform()
+        return {
+            "norm1_scale": mk("norm1_scale", ones, (L, d)),
+            "norm1_bias": mk("norm1_bias", zeros, (L, d)),
+            "qkv_kernel": mk("qkv_kernel", xavier, (L, d, 3 * d)),
+            "qkv_bias": mk("qkv_bias", zeros, (L, 3 * d)),
+            "proj_kernel": mk("proj_kernel", xavier, (L, d, d)),
+            "proj_bias": mk("proj_bias", zeros, (L, d)),
+            "norm2_scale": mk("norm2_scale", ones, (L, d)),
+            "norm2_bias": mk("norm2_bias", zeros, (L, d)),
+            "fc1_kernel": mk("fc1_kernel", xavier, (L, d, h)),
+            "fc1_bias": mk("fc1_bias", zeros, (L, h)),
+            "fc2_kernel": mk("fc2_kernel", xavier, (L, h, d)),
+            "fc2_bias": mk("fc2_bias", zeros, (L, d)),
+        }
+
     @nn.compact
     def __call__(self, x: Array, block_index: int = 0) -> EncoderOutput:
         b = x.shape[0]
-        x = x.astype(self.dtypes.compute_dtype)
+        cd = self.dtypes.compute_dtype
+        x = x.astype(cd)
         tokens = PatchEmbed(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,
@@ -78,34 +152,42 @@ class ViTEncoder(nn.Module):
             [
                 jnp.broadcast_to(
                     prefix, (b, self.num_prefix_tokens, self.embed_dim)
-                ).astype(self.dtypes.compute_dtype),
+                ).astype(cd),
                 tokens,
             ],
             axis=1,
         )
-        tokens = tokens + pos_embed.astype(self.dtypes.compute_dtype)
+        tokens = tokens + pos_embed.astype(cd)
 
-        blocks = [
-            TransformerBlock(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                dtypes=self.dtypes,
-                name=f"blocks_{i}",
-            )
-            for i in range(self.depth)
-        ]
-        final_norm = LayerNorm(dtypes=self.dtypes, name="norm")
+        blocks = self._stacked_block_params()
+        norm_scale = self.param(
+            "norm_scale", nn.initializers.ones, (self.embed_dim,),
+            self.dtypes.param_dtype,
+        )
+        norm_bias = self.param(
+            "norm_bias", nn.initializers.zeros, (self.embed_dim,),
+            self.dtypes.param_dtype,
+        )
+        num_heads, accum = self.num_heads, self.dtypes.accum_dtype
 
         if block_index != 0:
-            # FastFlow truncation: norm re-applied after every block
-            # (reference TransformerEncoder.py:159-163).
-            for i in range(block_index + 1):
-                tokens = blocks[i](tokens)
-                tokens = final_norm(tokens)
+            # FastFlow truncation: final norm after every block
+            # (reference TransformerEncoder.py:159-163). block_index is
+            # static; scan over the first block_index+1 stacked slices.
+            sliced = jax.tree.map(lambda a: a[: block_index + 1], blocks)
+
+            def body_trunc(carry, p):
+                y = _block_apply(carry, p, num_heads, cd, accum)
+                y = _layer_norm(y, norm_scale, norm_bias).astype(cd)
+                return y, None
+
+            tokens, _ = jax.lax.scan(body_trunc, tokens, sliced)
         else:
-            for blk in blocks:
-                tokens = blk(tokens)
-            tokens = final_norm(tokens)
+            def body(carry, p):
+                return _block_apply(carry, p, num_heads, cd, accum), None
+
+            tokens, _ = jax.lax.scan(body, tokens, blocks)
+            tokens = _layer_norm(tokens, norm_scale, norm_bias).astype(cd)
 
         patch_embedding = tokens[:, self.num_prefix_tokens :, :]
         latent = tokens[:, 0, :]  # cls token (reference :169, :206)
@@ -115,24 +197,14 @@ class ViTEncoder(nn.Module):
 def deit_base_distilled_patch16(img_size: int = 224, dtypes: DtypePolicy = DtypePolicy()) -> ViTEncoder:
     """DeiT-base distilled /16 — reference EncoderDeit (TransformerEncoder.py:116)."""
     return ViTEncoder(
-        img_size=img_size,
-        patch_size=16,
-        embed_dim=768,
-        depth=12,
-        num_heads=12,
-        num_prefix_tokens=2,
-        dtypes=dtypes,
+        img_size=img_size, patch_size=16, embed_dim=768, depth=12,
+        num_heads=12, num_prefix_tokens=2, dtypes=dtypes,
     )
 
 
 def vit_base_patch16(img_size: int = 224, dtypes: DtypePolicy = DtypePolicy()) -> ViTEncoder:
     """ViT-base /16 — reference EncoderVit (TransformerEncoder.py:176)."""
     return ViTEncoder(
-        img_size=img_size,
-        patch_size=16,
-        embed_dim=768,
-        depth=12,
-        num_heads=12,
-        num_prefix_tokens=1,
-        dtypes=dtypes,
+        img_size=img_size, patch_size=16, embed_dim=768, depth=12,
+        num_heads=12, num_prefix_tokens=1, dtypes=dtypes,
     )

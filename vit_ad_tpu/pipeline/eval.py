@@ -171,3 +171,123 @@ def evaluate_recon(
         pixel_labels=gt_masks.astype(np.float64),
     )
     return M.calc_all_metrics(result, hp.fp_threshold)
+
+
+def evaluate_mdn_resnet(
+    encoder: nn.Module,
+    enc_variables: Any,
+    mdns,
+    mdn_params,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    stages=(2, 3),
+) -> Dict[str, float]:
+    """Multi-stage MDN scoring (reference ValidatorMdn.valid_loop_resnet,
+    src/pipeline/ValidatorMDN.py:186-273): per-stage probability maps are
+    upsampled (align_corners=True), inverted to anomaly, and averaged.
+
+    Deviations (documented): probabilities are normalized by the global
+    test-set max (not per batch), and the image score is the max over the
+    averaged anomaly map — the reference takes min-then-reinvert
+    (:247,:261), a double inversion its own survey flags as a bug; the sane
+    form matches the transformer path's semantics."""
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def stage_logliks(images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            enc_variables, x, train=False, method=ResNetEncoder.stage_features
+        )
+        outs = []
+        for i, mdn, p in zip(stages, mdns, mdn_params):
+            m = maps[i]
+            b, h, w, c = m.shape
+            feats = m.reshape(b, h * w, c)
+            ll = mdn.apply(p, feats, method=GaussianMDN.log_likelihood)
+            outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
+        return tuple(outs)
+
+    payloads, labels, masks = [], [], []
+    for batch in test_data.test_batches(hp.prefetch):
+        outs = stage_logliks(batch.images)
+        n = int(batch.valid.sum())
+        payloads.append([np.asarray(o[:n]) for o in outs])
+        labels.append(np.asarray(batch.labels[:n]))
+        masks.append(np.asarray(batch.masks[:n]))
+    labels = np.concatenate(labels, 0)
+    gt_masks = np.concatenate(masks, 0)
+
+    stage_anomalies = []
+    for si in range(len(stages)):
+        ll = np.concatenate([p[si] for p in payloads], 0)  # [N, h*w]
+        prob = np.exp(ll - ll.max())
+        side = int(round(np.sqrt(prob.shape[1])))
+        up = np.asarray(
+            interpolate_bilinear(
+                jnp.asarray(prob.reshape(-1, side, side)),
+                hp.img_size, hp.img_size, align_corners=True,
+            )
+        )
+        stage_anomalies.append((up * -1.0) + 1.0)
+    pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
+    image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
+
+    result = M.EvalResult(
+        image_scores=image_scores,
+        image_labels=labels.astype(np.float64),
+        pixel_scores=pixel_scores,
+        pixel_labels=gt_masks.astype(np.float64),
+    )
+    return M.calc_all_metrics(result, hp.fp_threshold)
+
+
+def evaluate_nf_resnet(
+    encoder: nn.Module,
+    enc_variables: Any,
+    flows,
+    flow_params,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    stages=(0, 1, 2),
+) -> Dict[str, float]:
+    """Multi-stage NF scoring (reference ValidatorNF.valid_loop_resnet_nf,
+    src/pipeline/ValidatorNF.py:152-219): mean of the three stage anomaly
+    maps, image score = max (:183-199)."""
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+
+    @jax.jit
+    def anomaly_maps(images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            enc_variables, x, train=False, method=ResNetEncoder.stage_features
+        )
+        stage_maps = []
+        for i, flow, p in zip(stages, flows, flow_params):
+            out = flow.apply(p, maps[i])
+            stage_maps.append(out.anomaly_score_map)
+        return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
+
+    maps, labels, gt_masks = _collect(
+        test_data.test_batches(hp.prefetch), anomaly_maps
+    )
+    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+
+    result = M.EvalResult(
+        image_scores=image_scores,
+        image_labels=labels.astype(np.float64),
+        pixel_scores=maps,
+        pixel_labels=gt_masks.astype(np.float64),
+    )
+    return M.calc_all_metrics(result, hp.fp_threshold)

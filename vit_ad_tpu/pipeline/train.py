@@ -46,6 +46,16 @@ class TrainResult:
     head: Optional[nn.Module] = None
 
 
+def default_encoder_params(encoder: nn.Module, hp: HyperParams) -> Any:
+    """Deterministic encoder init for a given seed — shared by trainers and
+    validation_loop so a head checkpoint re-evaluates against the exact same
+    (random or converted) encoder weights."""
+    _, k = jax.random.split(jax.random.key(hp.seed))
+    return encoder.init(
+        k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
+    )
+
+
 def _norm_stats(hp: HyperParams, data: DataPipeline):
     """centering=True → dataset statistics (reference
     GeneralDataLoader.compute_mean_stdev); else ImageNet stats (reference
@@ -74,10 +84,8 @@ def train_mdn(
     if encoder is None:
         encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
     if enc_params is None:
-        rng, k = jax.random.split(rng)
-        enc_params = encoder.init(
-            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
-        )
+        rng, _ = jax.random.split(rng)
+        enc_params = default_encoder_params(encoder, hp)
 
     mean, std = _norm_stats(hp, data)
     extractor = make_feature_extractor(
@@ -193,10 +201,8 @@ def train_nf(
     if encoder is None:
         encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
     if enc_params is None:
-        rng, k = jax.random.split(rng)
-        enc_params = encoder.init(
-            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
-        )
+        rng, _ = jax.random.split(rng)
+        enc_params = default_encoder_params(encoder, hp)
 
     mean, std = _norm_stats(hp, data)
     extractor = make_feature_extractor(
@@ -457,4 +463,311 @@ def train_recon(
         best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
         encoder=None,
         head=model,
+    )
+
+
+def _resnet_trainable_mask(params):
+    """Label tree freezing the ResNet trunk: only the FastFlow stage
+    LayerNorms train inside the encoder (reference LearnerMDN.py:290-294 puts
+    encoder params in the optimizer, but every trunk weight has
+    requires_grad=False — the stage norms are the only live ones)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {
+        k: ("freeze" if "trunk" in k else "train") for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def train_mdn_resnet(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    encoder: Optional[nn.Module] = None,
+    enc_variables: Any = None,
+    logger: Any = None,
+) -> TrainResult:
+    """MDN over ResNet stages 2-3: two GMDNs, one per stage map, summed NLL
+    (reference LearnerMDN.learn_mdn_resnet, src/pipeline/LearnerMDN.py:242-419;
+    stage range hardcoded 2..3 at :268-279)."""
+    import optax
+
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, ResNetEncoder
+    from vit_ad_tpu.pipeline.eval import evaluate_mdn_resnet
+
+    stages = (2, 3)
+    rng = jax.random.key(hp.seed)
+    if encoder is None:
+        encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    if enc_variables is None:
+        rng, k = jax.random.split(rng)
+        enc_variables = encoder.init(
+            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
+        )
+    mean, std = _norm_stats(hp, data)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+    mdns = [
+        GaussianMDN(features=STAGE_CHANNELS[i], num_gaussians=hp.num_gaussians)
+        for i in stages
+    ]
+    head_params = []
+    for i, mdn in zip(stages, mdns):
+        rng, k = jax.random.split(rng)
+        head_params.append(mdn.init(k, jnp.zeros((1, 1, STAGE_CHANNELS[i]))))
+
+    # joint params: heads + encoder (trunk frozen via mask)
+    params = {"heads": head_params, "encoder": enc_variables["params"]}
+    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    labels = {
+        "heads": jax.tree.map(lambda _: "train", head_params),
+        "encoder": _resnet_trainable_mask(params["encoder"]),
+    }
+    tx = optax.multi_transform(
+        {"train": base_tx, "freeze": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+
+    def stage_inputs(enc_params, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            {"params": enc_params, **enc_stats}, x, train=False,
+            method=ResNetEncoder.stage_features,
+        )
+        out = []
+        for i in stages:
+            m = maps[i]
+            b, h, w, c = m.shape
+            out.append(m.reshape(b, h * w, c))
+        return out
+
+    def loss_fn(params, images_u8, valid, step_rng):
+        inputs = stage_inputs(params["encoder"], images_u8)
+        total = 0.0
+        rngs = jax.random.split(step_rng, len(inputs))
+        for feats, hp_, mdn, r in zip(inputs, params["heads"], mdns, rngs):
+            ll = mdn.apply(hp_, feats, rng=r, method=GaussianMDN.log_likelihood)
+            per_example = -jnp.mean(ll, axis=(1, 2))
+            total = total + jnp.sum(per_example * valid) / jnp.maximum(
+                jnp.sum(valid), 1.0
+            )
+        return total
+
+    @jax.jit
+    def train_step(params, opt_state, images_u8, valid, step_rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, images_u8, valid, step_rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    eval_loss = jax.jit(
+        lambda p, im, v: loss_fn(p, im, v, jax.random.key(0))
+    )
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        losses, weights = [], []
+        for batch in data.train_batches(hp.prefetch):
+            rng, k = jax.random.split(rng)
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch.images, valid, k
+            )
+            losses.append(float(loss))
+            weights.append(float(np.sum(batch.valid)))
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for batch in data.valid_batches(hp.prefetch):
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            vlosses.append(float(eval_loss(params, batch.images, valid)))
+            vweights.append(float(np.sum(batch.valid)))
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(time.perf_counter() - t0)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+            )
+        if stopper.update(valid_loss, params, epoch):
+            break
+
+    best = stopper.best_params if stopper.best_params is not None else params
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_mdn_resnet(
+            encoder,
+            {"params": best["encoder"], **enc_stats},
+            mdns,
+            best["heads"],
+            test_data, hp, mean, std, stages=stages,
+        )
+        if logger is not None:
+            logger.log({**metrics, "block_index": str(list(stages)), "stage": "eval"})
+
+    return TrainResult(
+        head_params=best,
+        encoder_params=enc_variables,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=encoder,
+        head=None,
+    )
+
+
+def train_nf_resnet(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    encoder: Optional[nn.Module] = None,
+    enc_variables: Any = None,
+    logger: Any = None,
+) -> TrainResult:
+    """NF over ResNet stages 1-3: three flows, one per stage map, summed NLL
+    (reference LearnerNF.train_with_resnet, src/pipeline/LearnerNF.py:237-381;
+    stage range 0..2 of in_channels at :252-267)."""
+    import optax
+
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, STAGE_SCALES, ResNetEncoder
+    from vit_ad_tpu.pipeline.eval import evaluate_nf_resnet
+
+    stages = (0, 1, 2)
+    rng = jax.random.key(hp.seed)
+    if encoder is None:
+        encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    if enc_variables is None:
+        rng, k = jax.random.split(rng)
+        enc_variables = encoder.init(
+            k, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32)
+        )
+    mean, std = _norm_stats(hp, data)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+    flows = []
+    head_params = []
+    for i in stages:
+        side = hp.img_size // STAGE_SCALES[i]
+        flow = NormalizingFlow(
+            num_channels=STAGE_CHANNELS[i],
+            img_size=hp.img_size,
+            num_patches=side * side,
+            hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps,
+            dtypes=hp.dtypes,
+        )
+        flows.append(flow)
+        rng, k = jax.random.split(rng)
+        head_params.append(
+            flow.init(k, jnp.zeros((1, side, side, STAGE_CHANNELS[i])))
+        )
+
+    params = {"heads": head_params, "encoder": enc_variables["params"]}
+    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    labels = {
+        "heads": jax.tree.map(lambda _: "train", head_params),
+        "encoder": _resnet_trainable_mask(params["encoder"]),
+    }
+    tx = optax.multi_transform(
+        {"train": base_tx, "freeze": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(params, images_u8, valid):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            {"params": params["encoder"], **enc_stats}, x, train=False,
+            method=ResNetEncoder.stage_features,
+        )
+        total = 0.0
+        for i, flow, hp_ in zip(stages, flows, params["heads"]):
+            z, logdet = flow.apply(
+                hp_, maps[i], method=NormalizingFlow.transform
+            )
+            per_example = 0.5 * jnp.sum(z * z, axis=(1, 2, 3)) - logdet
+            total = total + jnp.sum(per_example * valid) / jnp.maximum(
+                jnp.sum(valid), 1.0
+            )
+        return total
+
+    @jax.jit
+    def train_step(params, opt_state, images_u8, valid):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images_u8, valid)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    eval_loss = jax.jit(loss_fn)
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        losses, weights = [], []
+        for batch in data.train_batches(hp.prefetch):
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch.images, valid
+            )
+            losses.append(float(loss))
+            weights.append(float(np.sum(batch.valid)))
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for batch in data.valid_batches(hp.prefetch):
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            vlosses.append(float(eval_loss(params, batch.images, valid)))
+            vweights.append(float(np.sum(batch.valid)))
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(time.perf_counter() - t0)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+            )
+        if stopper.update(valid_loss, params, epoch):
+            break
+
+    best = stopper.best_params if stopper.best_params is not None else params
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_nf_resnet(
+            encoder,
+            {"params": best["encoder"], **enc_stats},
+            flows,
+            best["heads"],
+            test_data, hp, mean, std, stages=stages,
+        )
+        if logger is not None:
+            logger.log({**metrics, "stage": "eval"})
+
+    return TrainResult(
+        head_params=best,
+        encoder_params=enc_variables,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=encoder,
+        head=None,
     )

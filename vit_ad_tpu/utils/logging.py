@@ -1,0 +1,70 @@
+"""Pluggable metric logging.
+
+The reference logs everything to Weights & Biases (project "masterthesis",
+reference src/pipeline/LearnerRecon.py:84-128, src/util/ValidationHelper.py:193-209).
+wandb is optional here: the default sink is local JSONL + CSV with the same
+metric names, and a wandb sink activates only if the package is importable
+and enable_wandb is set.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        log_dir: str,
+        run_name: Optional[str] = None,
+        config: Optional[Dict[str, Any]] = None,
+        enable_wandb: bool = False,
+        project: str = "masterthesis",
+    ) -> None:
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.run_name = run_name or f"run_{ts}"
+        self.dir = os.path.join(log_dir, self.run_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._csv_path = os.path.join(self.dir, "metrics.csv")
+        self._csv_keys: Optional[list] = None
+        self._wandb = None
+        if config:
+            with open(os.path.join(self.dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+        if enable_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=project, name=self.run_name, config=config or {}
+                )
+            except Exception:
+                self._wandb = None  # zero-egress / wandb absent: local only
+
+    def log(self, metrics: Dict[str, Any]) -> None:
+        record = {"_time": time.time(), **metrics}
+        self._jsonl.write(json.dumps(record, default=float) + "\n")
+        self._jsonl.flush()
+        scalar = {
+            k: v for k, v in record.items() if isinstance(v, (int, float, str))
+        }
+        if self._csv_keys is None:
+            self._csv_keys = list(scalar.keys())
+            with open(self._csv_path, "w", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._csv_keys).writeheader()
+        with open(self._csv_path, "a", newline="") as f:
+            csv.DictWriter(
+                f, fieldnames=self._csv_keys, extrasaction="ignore"
+            ).writerow(scalar)
+        if self._wandb is not None:
+            self._wandb.log(metrics)
+
+    def finish(self) -> None:
+        self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
