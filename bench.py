@@ -1,16 +1,25 @@
 """Benchmark: flagship inference throughput on the attached TPU chip.
 
-Measures images/sec/chip for the DeiT-base(+NF head) anomaly-detection
-inference path at 224px — the reference's north-star metric
-(BASELINE.json: ">=5x CPU-reference inference throughput per v5e chip").
+Measures images/sec/chip for DeiT-base + FastFlow-NF(20 steps) anomaly
+inference at 224px bf16 — the reference's north-star metric (BASELINE.json:
+">=5x CPU-reference inference throughput per v5e chip").
 
 Prints ONE JSON line:
   {"metric": ..., "value": imgs/sec on TPU, "unit": "img/s",
    "vs_baseline": tpu / (5 * cpu_reference)}
 
 vs_baseline >= 1.0 means the >=5x-over-CPU target is met. The CPU reference
-(same fused graph on the host CPU, f32) is measured once and cached in
-bench_cpu_baseline.json since it is slow and does not change.
+(same graph on the host CPU, f32) is measured once and cached in
+bench_cpu_baseline.json.
+
+axon-runtime notes baked in here:
+  * init runs on CPU (initializing on the TPU would remote-compile the init
+    graph too)
+  * encoder and flow are jitted separately — each compiles in seconds over
+    the remote-compile endpoint, while the combined program can exceed its
+    payload limit (BENCH_FUSED=1 forces the single fused graph)
+  * timing forces a device->host fetch per step: on axon,
+    block_until_ready returns before execution completes.
 """
 
 from __future__ import annotations
@@ -23,19 +32,18 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cpu_baseline.json")
 BATCH = 32
-WARMUP = 3
+WARMUP = 2
 ITERS = 10
 
 
-def _build(backend_device, dtypes):
+def _build(device, dtypes, fused: bool):
     import jax
     import jax.numpy as jnp
 
     from vit_ad_tpu.data.dataset import default_norm_stats
     from vit_ad_tpu.data.loader import preprocess
-    from vit_ad_tpu.models.flow import patch_tokens_to_map
+    from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
     from vit_ad_tpu.models.vit import deit_base_distilled_patch16
-    from vit_ad_tpu.models.flow import NormalizingFlow
 
     img = 224
     encoder = deit_base_distilled_patch16(img, dtypes)
@@ -44,7 +52,8 @@ def _build(backend_device, dtypes):
         num_patches=encoder.num_patches, hidden_ratio=0.16, flow_steps=20,
         dtypes=dtypes,
     )
-    with jax.default_device(backend_device):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
         k1, k2 = jax.random.split(jax.random.key(0))
         enc_params = encoder.init(k1, jnp.zeros((1, img, img, 3), jnp.float32))
         side = int(np.sqrt(encoder.num_patches))
@@ -53,16 +62,30 @@ def _build(backend_device, dtypes):
         )
         mean, std = default_norm_stats()
         mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+    enc_params = jax.device_put(enc_params, device)
+    flow_params = jax.device_put(flow_params, device)
+    mean_j = jax.device_put(mean_j, device)
+    std_j = jax.device_put(std_j, device)
 
-        @jax.jit
-        def score(images_u8):
-            x = preprocess(images_u8, mean_j, std_j)
-            feats = encoder.apply(enc_params, x).patch_embedding
-            out = flow.apply(flow_params, patch_tokens_to_map(feats))
-            im = jnp.max(out.anomaly_score_map.reshape(images_u8.shape[0], -1), axis=1)
-            return im, out.anomaly_score_map
+    # params are explicit jit ARGUMENTS: closed-over arrays are serialized
+    # into the axon remote-compile payload and trip its size limit.
+    def encode(ep, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        return encoder.apply(ep, x).patch_embedding
 
-        return score
+    def head(fp, feats):
+        out = flow.apply(fp, patch_tokens_to_map(feats))
+        am = out.anomaly_score_map
+        return jnp.max(am.reshape(am.shape[0], -1), axis=1)
+
+    if fused:
+        fused_j = jax.jit(lambda ep, fp, im: head(fp, encode(ep, im)))
+        score = lambda im: fused_j(enc_params, flow_params, im)
+    else:
+        encode_j = jax.jit(encode)
+        head_j = jax.jit(head)
+        score = lambda im: head_j(flow_params, encode_j(enc_params, im))
+    return score
 
 
 def _throughput(score, device, batch, warmup, iters) -> float:
@@ -73,10 +96,10 @@ def _throughput(score, device, batch, warmup, iters) -> float:
         rng.integers(0, 255, size=(batch, 224, 224, 3), dtype=np.uint8), device
     )
     for _ in range(warmup):
-        jax.block_until_ready(score(images))
+        np.asarray(score(images))  # host fetch == real completion barrier
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(score(images))
+        np.asarray(score(images))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -90,10 +113,13 @@ def _cpu_reference() -> float:
     from vit_ad_tpu.config import DtypePolicy
 
     cpu = jax.devices("cpu")[0]
-    score = _build(cpu, DtypePolicy.f32())
+    score = _build(cpu, DtypePolicy.f32(), fused=False)
     val = _throughput(score, cpu, batch=4, warmup=1, iters=2)
     with open(CACHE, "w") as f:
-        json.dump({"cpu_img_per_sec": val, "note": "DeiT-base+NF 224px f32, host CPU"}, f)
+        json.dump(
+            {"cpu_img_per_sec": val,
+             "note": "DeiT-base+NF-20 224px f32 on host CPU (1 core)"}, f
+        )
     return val
 
 
@@ -104,7 +130,8 @@ def main() -> None:
 
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     device = accel[0] if accel else jax.devices()[0]
-    score = _build(device, DtypePolicy())
+    fused = os.environ.get("BENCH_FUSED") == "1"
+    score = _build(device, DtypePolicy(), fused=fused)
     tpu_ips = _throughput(score, device, BATCH, WARMUP, ITERS)
     cpu_ips = _cpu_reference()
 

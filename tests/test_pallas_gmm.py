@@ -1,0 +1,53 @@
+"""Pallas GMM kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_ad_tpu.models.mdn import GaussianMDN
+from vit_ad_tpu.ops import gmm
+from vit_ad_tpu.ops.pallas.gmm import mdn_log_likelihood_pallas
+
+
+@pytest.mark.parametrize("b,p,d,k", [(2, 6, 16, 5), (1, 4, 8, 3)])
+def test_pallas_matches_xla(rng, b, p, d, k):
+    model = GaussianMDN(features=d, num_gaussians=k)
+    x = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    pr = variables["params"]
+
+    want = model.apply(variables, x, method=GaussianMDN.log_likelihood)
+    got = mdn_log_likelihood_pallas(
+        x,
+        pr["w_pi"], pr["b_pi"],
+        pr["w_sigma"], pr["b_sigma"],
+        pr["w_mu"], pr["b_mu"],
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_row_padding(rng):
+    """rows not a multiple of the tile must be padded and trimmed correctly."""
+    from vit_ad_tpu.ops.pallas.gmm import gmm_log_likelihood_pallas
+
+    b, p, d, k = 1, 3, 8, 2  # rows=3 < default tile
+    x = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    log_pi = jnp.log(jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(b, p, k)).astype(np.float32)), -1) + 1e-15)
+    w_s = jnp.asarray(rng.uniform(0.1, 0.5, size=(k, d, d)).astype(np.float32))
+    b_s = jnp.zeros((k, d))
+    w_m = jnp.asarray(rng.normal(size=(k, d, d)).astype(np.float32) * 0.1)
+    b_m = jnp.zeros((k, d))
+    out = gmm_log_likelihood_pallas(
+        x, log_pi, w_s, b_s, w_m, b_m, row_tile=2, interpret=True
+    )
+    # dense check
+    sigma = jax.nn.elu(jnp.einsum("bpd,kde->bpek", x, w_s)) + 1 + 1e-15
+    mu = jnp.einsum("bpd,kde->bpek", x, w_m)
+    dens = gmm.log_gaussian_density(sigma, mu, x[..., None])
+    want = jax.nn.logsumexp(log_pi[:, :, None, :] + dens, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -164,7 +164,19 @@ def _conv_same(x: Array, kernel: Array, bias: Array) -> Array:
     )
 
 
-def _step_apply(x, p, perm, clamp, split1, split2):
+def _permute_channels(y, perm_int, inverse=False):
+    """Channel permutation as a one-hot matmul: a gather along the minor
+    (lane) dimension is pathological for the TPU compiler/runtime, while a
+    [C, C] matmul rides the MXU. The one-hot matrix is built on device from
+    the tiny int32 index vector (embedding it as an f32 constant would blow
+    the remote-compile payload limit). forward: out[..., i] = y[..., perm[i]];
+    inverse uses the transposed matrix."""
+    onehot = jax.nn.one_hot(perm_int, y.shape[-1], dtype=y.dtype)  # [C, C]
+    eq = "...i,ic->...c" if inverse else "...c,ic->...i"
+    return jnp.einsum(eq, y, onehot)
+
+
+def _step_apply(x, p, perm_int, clamp, split1, split2):
     """Functional AllInOneBlock step forward; p holds unstacked leaves."""
     h, w = x.shape[1], x.shape[2]
     x1 = x[..., :split1]
@@ -179,12 +191,12 @@ def _step_apply(x, p, perm, clamp, split1, split2):
     scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
     y = y * scale + p["global_offset"]
     logdet = logdet + h * w * jnp.sum(jnp.log(scale))
-    return jnp.take(y, perm, axis=-1), logdet
+    return _permute_channels(y, perm_int), logdet
 
 
-def _step_inverse(y, p, inv_perm, clamp, split1, split2):
+def _step_inverse(y, p, perm_int, clamp, split1, split2):
     h, w = y.shape[1], y.shape[2]
-    y = jnp.take(y, inv_perm, axis=-1)
+    y = _permute_channels(y, perm_int, inverse=True)
     scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
     y = (y - p["global_offset"]) / scale
     x1 = y[..., :split1]
@@ -287,7 +299,6 @@ class NormalizingFlow(nn.Module):
 
         z = x.astype(jnp.float32)
         logdet = jnp.zeros(x.shape[0], dtype=jnp.float32)
-
         if not inverse:
             if n_pairs:
                 perm_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
@@ -315,15 +326,11 @@ class NormalizingFlow(nn.Module):
         # inverse
         if tail:
             z = _step_inverse(
-                z, tail_p, jnp.asarray(np.argsort(perms[-1])), clamp, split1, split2
+                z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2
             )
         if n_pairs:
-            inv_a = jnp.asarray(
-                np.stack([np.argsort(p) for p in perms[0 : 2 * n_pairs : 2]])
-            )
-            inv_b = jnp.asarray(
-                np.stack([np.argsort(p) for p in perms[1 : 2 * n_pairs : 2]])
-            )
+            inv_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
+            inv_b = jnp.asarray(perms[1 : 2 * n_pairs : 2])
 
             def body_inv(carry, xs):
                 zz = carry

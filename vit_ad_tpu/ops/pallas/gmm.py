@@ -1,0 +1,150 @@
+"""Pallas TPU kernel: fused GMM per-feature log-likelihood.
+
+The MDN head's memory hot spot is the [B, P, D, K] mu/sigma tensor the
+reference materializes in HBM (reference src/pipeline/LearnerMDN.py:147-169,
+src/classes/MixtureDensityNetwork.py:151-171). The XLA path in ops/gmm.py
+already streams K in chunks; this kernel goes further — mu/sigma for one
+mixture component live only in VMEM, consumed by an online logsumexp the
+moment they are produced. HBM traffic is x (once per component sweep), the
+weight slices (once per row tile), and the [rows, D] accumulator output.
+
+Layout: weights arrive [K, D, D] (component-major) so each grid step DMAs a
+contiguous [1, D, D] slice; mixture log-weights arrive precomputed [rows, K]
+(softmax over K is trivial XLA work). Grid = (row_tiles, K), K innermost:
+the VMEM accumulators persist across the K sweep of one row tile and reset
+at k == 0.
+
+Used on the inference/scoring path; training uses the differentiable XLA
+scan (ops/gmm.fused_log_likelihood).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+_NEG_BIG = -1e30
+
+
+def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
+            out_ref, m_scratch, s_scratch):
+    k = pl.program_id(1)
+    num_k = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_BIG)
+        s_scratch[:] = jnp.zeros_like(s_scratch)
+
+    x = x_ref[:]  # [T, D]
+    # component-k affine heads: [T, D] @ [D, D] on the MXU
+    mu = jnp.dot(x, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0]
+    pre = jnp.dot(x, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0]
+    sigma = jnp.where(pre > 0, pre + 1.0, jnp.exp(pre)) + 1e-15  # elu+1+eps
+
+    dens = (
+        -jnp.log(sigma)
+        - _HALF_LOG_2PI
+        - 0.5 * jnp.square((x - mu) / sigma)
+    )
+    t = dens + log_pi_ref[:, k][:, None]  # [T, D]
+
+    m_old = m_scratch[:]
+    m_new = jnp.maximum(m_old, t)
+    s_scratch[:] = s_scratch[:] * jnp.exp(m_old - m_new) + jnp.exp(t - m_new)
+    m_scratch[:] = m_new
+
+    @pl.when(k == num_k - 1)
+    def _():
+        out_ref[:] = m_scratch[:] + jnp.log(s_scratch[:])
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def gmm_log_likelihood_pallas(
+    x: Array,          # [B, P, D] f32
+    log_pi: Array,     # [B, P, K] f32 (log mixture weights, pre-softmaxed)
+    w_sigma: Array,    # [K, D, D] f32
+    b_sigma: Array,    # [K, D]
+    w_mu: Array,       # [K, D, D]
+    b_mu: Array,       # [K, D]
+    row_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Returns per-feature log-likelihood [B, P, D]."""
+    b, p, d = x.shape
+    k = log_pi.shape[-1]
+    rows = b * p
+    xr = x.reshape(rows, d).astype(jnp.float32)
+    lpr = log_pi.reshape(rows, k).astype(jnp.float32)
+
+    row_tile = min(row_tile, rows)
+    pad_rows = (-rows) % row_tile
+    if pad_rows:
+        xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
+        lpr = jnp.pad(lpr, ((0, pad_rows), (0, 0)))
+    n_tiles = (rows + pad_rows) // row_tile
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((rows + pad_rows, d), jnp.float32),
+        grid=(n_tiles, k),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, k), lambda i, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d), lambda i, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d), lambda i, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, d), lambda i, kk: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((row_tile, d), jnp.float32),
+            pltpu.VMEM((row_tile, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * d * d * k,
+            bytes_accessed=(n_tiles * k * 2 * d * d + 2 * rows * d) * 4,
+            transcendentals=rows * d * k * 2,
+        ),
+        interpret=interpret,
+    )(xr, lpr, w_sigma, b_sigma, w_mu, b_mu)
+    return out[:rows].reshape(b, p, d)
+
+
+def mdn_log_likelihood_pallas(
+    x: Array,
+    w_pi: Array, b_pi: Array,        # [D, K], [K]
+    w_sigma: Array, b_sigma: Array,  # [D, D, K], [D, K] (param layout)
+    w_mu: Array, b_mu: Array,
+    interpret: bool = False,
+) -> Array:
+    """Convenience wrapper taking GaussianMDN's param layout (deterministic
+    softmax mixture weights — the eval path)."""
+    xf = x.astype(jnp.float32)
+    logits = jnp.einsum("bpd,dk->bpk", xf, w_pi.astype(jnp.float32)) + b_pi
+    log_pi = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-15)
+    return gmm_log_likelihood_pallas(
+        xf,
+        log_pi,
+        jnp.moveaxis(w_sigma, -1, 0).astype(jnp.float32),
+        jnp.moveaxis(b_sigma, -1, 0).astype(jnp.float32),
+        jnp.moveaxis(w_mu, -1, 0).astype(jnp.float32),
+        jnp.moveaxis(b_mu, -1, 0).astype(jnp.float32),
+        interpret=interpret,
+    )

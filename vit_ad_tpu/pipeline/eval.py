@@ -66,14 +66,18 @@ def evaluate_mdn(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
+    # params as jit args (axon remote-compile payload limit; see features.py)
     @jax.jit
-    def loglik_map(images_u8):
+    def loglik_map(ep, mp, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
-        feats = encoder.apply(enc_params, x, block_index=hp.block_index).patch_embedding
-        ll = mdn.apply(mdn_params, feats, method=GaussianMDN.log_likelihood)
+        feats = encoder.apply(ep, x, block_index=hp.block_index).patch_embedding
+        ll = mdn.apply(mp, feats, method=GaussianMDN.log_likelihood)
         return jnp.mean(ll, axis=2)  # [B, P] per-patch mean log-likelihood
 
-    ll, labels, gt_masks = _collect(test_data.test_batches(hp.prefetch), loglik_map)
+    ll, labels, gt_masks = _collect(
+        test_data.test_batches(hp.prefetch),
+        lambda im: loglik_map(enc_params, mdn_params, im),
+    )
 
     # Global (whole-test-set) probability normalization — see module docstring.
     prob = np.exp(ll - ll.max())  # [N, P] in [0, 1]
@@ -153,14 +157,15 @@ def evaluate_recon(
     std_j = None if std is None else jnp.asarray(std)
 
     @jax.jit
-    def error_maps(images_u8):
+    def error_maps(v, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
-        out = model.apply(variables, x, train=False)
+        out = model.apply(v, x, train=False)
         err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
         return jnp.mean(err, axis=-1)  # [B, H, W]
 
     maps, labels, gt_masks = _collect(
-        test_data.test_batches(hp.prefetch), error_maps
+        test_data.test_batches(hp.prefetch),
+        lambda im: error_maps(variables, im),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
@@ -200,13 +205,13 @@ def evaluate_mdn_resnet(
     std_j = None if std is None else jnp.asarray(std)
 
     @jax.jit
-    def stage_logliks(images_u8):
+    def stage_logliks(ev, mps, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         maps = encoder.apply(
-            enc_variables, x, train=False, method=ResNetEncoder.stage_features
+            ev, x, train=False, method=ResNetEncoder.stage_features
         )
         outs = []
-        for i, mdn, p in zip(stages, mdns, mdn_params):
+        for i, mdn, p in zip(stages, mdns, mps):
             m = maps[i]
             b, h, w, c = m.shape
             feats = m.reshape(b, h * w, c)
@@ -216,7 +221,7 @@ def evaluate_mdn_resnet(
 
     payloads, labels, masks = [], [], []
     for batch in test_data.test_batches(hp.prefetch):
-        outs = stage_logliks(batch.images)
+        outs = stage_logliks(enc_variables, list(mdn_params), batch.images)
         n = int(batch.valid.sum())
         payloads.append([np.asarray(o[:n]) for o in outs])
         labels.append(np.asarray(batch.labels[:n]))
@@ -268,19 +273,20 @@ def evaluate_nf_resnet(
     std_j = None if std is None else jnp.asarray(std)
 
     @jax.jit
-    def anomaly_maps(images_u8):
+    def anomaly_maps(ev, fps, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         maps = encoder.apply(
-            enc_variables, x, train=False, method=ResNetEncoder.stage_features
+            ev, x, train=False, method=ResNetEncoder.stage_features
         )
         stage_maps = []
-        for i, flow, p in zip(stages, flows, flow_params):
+        for i, flow, p in zip(stages, flows, fps):
             out = flow.apply(p, maps[i])
             stage_maps.append(out.anomaly_score_map)
         return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
 
     maps, labels, gt_masks = _collect(
-        test_data.test_batches(hp.prefetch), anomaly_maps
+        test_data.test_batches(hp.prefetch),
+        lambda im: anomaly_maps(enc_variables, list(flow_params), im),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 

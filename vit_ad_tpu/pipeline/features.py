@@ -31,13 +31,16 @@ def make_feature_extractor(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
+    # Params are explicit jit arguments, not closure captures: the axon
+    # remote-compile endpoint serializes captured arrays into the compile
+    # payload and rejects oversized requests (HTTP 413).
     @jax.jit
-    def fn(images_u8: jax.Array) -> jax.Array:
+    def fn(params, images_u8: jax.Array) -> jax.Array:
         x = preprocess(images_u8, mean_j, std_j)
-        out = encoder.apply(enc_params, x, block_index=block_index)
+        out = encoder.apply(params, x, block_index=block_index)
         return out.patch_embedding
 
-    return fn
+    return lambda images_u8: fn(enc_params, images_u8)
 
 
 def extract_features(
