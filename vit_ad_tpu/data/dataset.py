@@ -70,6 +70,13 @@ class AnomalyDataset:
         return len(self.file_names)
 
     def _load_image(self, path: str) -> np.ndarray:
+        # native C++ decode+resize (PIL-parity triangle filter) when built;
+        # PIL fallback otherwise (set VITAD_NO_NATIVE=1 to force PIL)
+        from vit_ad_tpu.data import native
+
+        img = native.load_image(path, self.img_size)
+        if img is not None:
+            return img
         img = Image.open(path).convert("RGB")
         img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)  # [H, W, 3]
@@ -78,6 +85,11 @@ class AnomalyDataset:
         mp = mask_path_for(image_path)
         if mp is None:
             return np.zeros((self.img_size, self.img_size), dtype=np.uint8)
+        from vit_ad_tpu.data import native
+
+        mask = native.load_mask(mp, self.img_size)
+        if mask is not None:
+            return mask
         mask = Image.open(mp)
         mask = mask.resize((self.img_size, self.img_size), Image.BILINEAR)
         mask = np.asarray(mask)

@@ -146,13 +146,19 @@ def train_mdn(
             vweights.append(valid.sum())
         valid_loss = float(np.average(vlosses, weights=vweights))
 
+        epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
         history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(time.perf_counter() - t0)
+        history["epoch_time"].append(epoch_time)
         epochs_ran = epoch + 1
         if logger is not None:
             logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
             )
         if stopper.update(valid_loss, head_params, epoch):
             break
@@ -264,13 +270,19 @@ def train_nf(
             vweights.append(valid.sum())
         valid_loss = float(np.average(vlosses, weights=vweights))
 
+        epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
         history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(time.perf_counter() - t0)
+        history["epoch_time"].append(epoch_time)
         epochs_ran = epoch + 1
         if logger is not None:
             logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
             )
         if stopper.update(valid_loss, head_params, epoch):
             break
@@ -430,13 +442,19 @@ def train_recon(
             vweights.append(float(np.sum(batch.valid)))
         valid_loss = float(np.average(vlosses, weights=vweights))
 
+        epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
         history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(time.perf_counter() - t0)
+        history["epoch_time"].append(epoch_time)
         epochs_ran = epoch + 1
         if logger is not None:
             logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
             )
         if stopper.update(valid_loss, {"params": params, "batch_stats": batch_stats}, epoch):
             break
@@ -591,13 +609,19 @@ def train_mdn_resnet(
             vweights.append(float(np.sum(batch.valid)))
         valid_loss = float(np.average(vlosses, weights=vweights))
 
+        epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
         history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(time.perf_counter() - t0)
+        history["epoch_time"].append(epoch_time)
         epochs_ran = epoch + 1
         if logger is not None:
             logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
             )
         if stopper.update(valid_loss, params, epoch):
             break
@@ -735,13 +759,19 @@ def train_nf_resnet(
             vweights.append(float(np.sum(batch.valid)))
         valid_loss = float(np.average(vlosses, weights=vweights))
 
+        epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
         history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(time.perf_counter() - t0)
+        history["epoch_time"].append(epoch_time)
         epochs_ran = epoch + 1
         if logger is not None:
             logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "valid_loss": valid_loss}
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
             )
         if stopper.update(valid_loss, params, epoch):
             break
