@@ -1,0 +1,37 @@
+"""Pallas windowed-attention kernel vs the XLA core (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_ad_tpu.ops import window_attention as wa
+from vit_ad_tpu.ops.pallas.window_attention import window_attention_core_pallas
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_matches_xla_core(rng, shift):
+    window, heads, hd = 4, 2, 8
+    hp = wp = 8  # 2x2 windows
+    n = window * window
+    n_windows = (hp // window) * (wp // window)
+    b = 3  # batch of images
+    b_ = b * n_windows
+
+    q = jnp.asarray(rng.normal(size=(b_, n, heads, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b_, n, heads, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b_, n, heads, hd)).astype(np.float32))
+    bias_table = jnp.asarray(
+        rng.normal(size=((2 * window - 1) ** 2, heads)).astype(np.float32) * 0.1
+    )
+    mask_np = wa.shift_attention_mask(hp, wp, window, shift)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+
+    want = wa.window_attention_core(
+        q, k, v, bias_table, heads, (window, window), mask
+    )
+    got = window_attention_core_pallas(
+        q, k, v, bias_table, heads, (window, window), mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -57,7 +57,14 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, self.num_heads),
             self.dtypes.param_dtype,
         )
-        out = wa.window_attention_core(
+        import os
+
+        core = wa.window_attention_core
+        if os.environ.get("VITAD_PALLAS_WINDOW_ATTN") == "1":
+            from vit_ad_tpu.ops.pallas.window_attention import (
+                window_attention_core_pallas as core,
+            )
+        out = core(
             qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
             bias_table.astype(jnp.float32),
             self.num_heads,
