@@ -94,6 +94,12 @@ def parse_args(
             hp.hidden_ratio = float(arg)
         elif opt == "-f":
             hp.flow_steps = int(arg)
+        elif opt == "-s":
+            # extension: truncated-encoder depth (the reference hardcodes
+            # BLOCK_INDEX_DEIT=0 / edits the constant for its block-7 runs,
+            # reference src/pipeline/LearnerNF.py:18; its getopt already
+            # accepted an unused "s:")
+            hp.block_index = int(arg)
     hp.base_path = data_path
     hp.dataset, hp.data_class = derive_dataset_names(data_path)
     return hp, data_path, train_pref, test_pref

@@ -801,3 +801,189 @@ def train_nf_resnet(
         encoder=encoder,
         head=None,
     )
+
+
+def train_vae(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline] = None,
+    model: Optional[nn.Module] = None,
+    logger: Any = None,
+) -> TrainResult:
+    """Train the variational auto-encoder: loss = MSE + KL (reference
+    LearnerRecon.learn_vae, src/pipeline/LearnerRecon.py:165-276 — dead code
+    there since no MODEL_DICT key builds the VAE; functional here)."""
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.models.vae import VariationalAutoEncoder
+    from vit_ad_tpu.pipeline.eval import evaluate_recon
+
+    rng = jax.random.key(hp.seed)
+    if model is None:
+        model = VariationalAutoEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+
+    mean, std = _norm_stats(hp, data)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+    rng, k1, k2 = jax.random.split(rng, 3)
+    variables = model.init(
+        k1, jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+        k2, train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = torch_adam(hp.learning_rate, hp.weight_decay)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, images_u8, valid, step_rng):
+        x = preprocess(images_u8, mean_j, std_j)
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, step_rng, train=True, mutable=["batch_stats"],
+        )
+        mu, log_var = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=False, method=VariationalAutoEncoder.encode,
+        )
+        err = jnp.mean(
+            jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )
+        mse = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        kl = VariationalAutoEncoder.kl_loss(mu, log_var)
+        return mse + kl, updates["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images_u8, valid, step_rng):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images_u8, valid, step_rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            jax.tree.map(lambda p, u: p + u, params, updates),
+            new_stats, opt_state, loss,
+        )
+
+    @jax.jit
+    def valid_loss_fn(params, batch_stats, images_u8, valid, step_rng):
+        x = preprocess(images_u8, mean_j, std_j)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, step_rng,
+            train=False,
+        )
+        mu, log_var = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False,
+            method=VariationalAutoEncoder.encode,
+        )
+        err = jnp.mean(
+            jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )
+        mse = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return mse + VariationalAutoEncoder.kl_loss(mu, log_var)
+
+    stopper = EarlyStopping(hp.patience)
+    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        losses, weights = [], []
+        for batch in data.train_batches(hp.prefetch):
+            rng, k = jax.random.split(rng)
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, batch.images, valid, k
+            )
+            losses.append(float(loss))
+            weights.append(float(np.sum(batch.valid)))
+        train_loss = float(np.average(losses, weights=weights))
+
+        vlosses, vweights = [], []
+        for batch in data.valid_batches(hp.prefetch):
+            rng, k = jax.random.split(rng)
+            valid = jnp.asarray(batch.valid, jnp.float32)
+            vlosses.append(
+                float(valid_loss_fn(params, batch_stats, batch.images, valid, k))
+            )
+            vweights.append(float(np.sum(batch.valid)))
+        valid_loss = float(np.average(vlosses, weights=vweights))
+
+        epoch_time = time.perf_counter() - t0
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(epoch_time)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
+                }
+            )
+        if stopper.update(
+            valid_loss, {"params": params, "batch_stats": batch_stats}, epoch
+        ):
+            break
+
+    best = (
+        stopper.best_params
+        if stopper.best_params is not None
+        else {"params": params, "batch_stats": batch_stats}
+    )
+
+    metrics: Dict[str, float] = {}
+    # reconstruction-error evaluation needs a deterministic forward; the VAE
+    # decodes from the posterior mean at eval — reuse evaluate_recon via a
+    # mean-decoding adapter module
+    if test_data is not None:
+        from vit_ad_tpu.models.vae import VariationalAutoEncoder as VAE
+
+        def eval_maps(variables, test, hp, mean, std):
+            mean_jj = None if mean is None else jnp.asarray(mean)
+            std_jj = None if std is None else jnp.asarray(std)
+
+            @jax.jit
+            def error_maps(v, images_u8):
+                x = preprocess(images_u8, mean_jj, std_jj)
+                mu, _ = model.apply(
+                    v, x, train=False, method=VAE.encode
+                )
+                recon = model.apply(
+                    v, mu, train=False, method=lambda m, z, train: m.decoder(z, train=train)
+                )
+                err = jnp.square(recon.astype(jnp.float32) - x.astype(jnp.float32))
+                return jnp.mean(err, axis=-1)
+
+            from vit_ad_tpu.pipeline.eval import _collect
+            from vit_ad_tpu.pipeline import metrics as M
+
+            maps, labels, gt = _collect(
+                test.test_batches(hp.prefetch), lambda im: error_maps(variables, im)
+            )
+            image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+            return M.calc_all_metrics(
+                M.EvalResult(
+                    image_scores=image_scores,
+                    image_labels=labels.astype(np.float64),
+                    pixel_scores=maps,
+                    pixel_labels=gt.astype(np.float64),
+                ),
+                hp.fp_threshold,
+            )
+
+        metrics = eval_maps(best, test_data, hp, mean, std)
+        if logger is not None:
+            logger.log({**metrics, "stage": "eval"})
+
+    return TrainResult(
+        head_params=best,
+        encoder_params=None,
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=None,
+        head=model,
+    )
