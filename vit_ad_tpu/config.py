@@ -70,6 +70,8 @@ class HyperParams:
     data_class: str = ""
     # Head-specific.
     num_gaussians: int = 150          # MDN (reference startTraining_mdn.py:33)
+    kmeans_init: bool = False         # MDN mu-bias KMeans seeding (reference
+                                      # TrainingsHelper.init_cluster_centers)
     hidden_ratio: float = 0.16        # NF  (reference startTraining_NF.py:35)
     flow_steps: int = 20              # NF  (reference startTraining_NF.py:36)
     block_index: int = 0              # transformer feature depth (0 = last)

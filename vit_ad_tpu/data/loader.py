@@ -169,6 +169,12 @@ class DataPipeline:
     def num_train_batches(self) -> int:
         return -(-len(self.train_files) // self.batch_size)
 
+    def load_all(self) -> np.ndarray:
+        """All train images as one [N, H, W, 3] uint8 array (reference
+        load_all_data_at_once, GeneralDataLoader.py:175-183)."""
+        ds = AnomalyDataset(self.train_files or self.test_files, self.img_size)
+        return np.stack([ds[i] for i in range(len(ds))])
+
     # --- dataset statistics --------------------------------------------------
 
     def compute_mean_std(self) -> Tuple[np.ndarray, np.ndarray]:

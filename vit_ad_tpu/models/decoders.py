@@ -26,10 +26,15 @@ DECODER_CHANNELS = (384, 192, 96, 48, 3)
 
 
 class SmallDecoder(nn.Module):
-    """5-stage transposed-conv decoder ("small decoder")."""
+    """5-stage transposed-conv decoder ("small decoder").
+
+    linear_end=True reproduces DecoderCNNLinEnd (reference
+    CnnDecoder.py:120-155, "currently not in use"): ReLU + a final linear
+    3x3 conv instead of Tanh."""
 
     img_size: int = 224
     z_space: int = 0  # 0 → input is already a [B, s, s, 768] map
+    linear_end: bool = False
     dtypes: DtypePolicy = DtypePolicy()
 
     @nn.compact
@@ -56,6 +61,10 @@ class SmallDecoder(nn.Module):
             )(x).astype(cd)
             if i < len(DECODER_CHANNELS) - 1:
                 x = nn.relu(x)
+        if self.linear_end:
+            x = nn.relu(x)
+            return nn.Conv(3, (3, 3), padding="SAME", dtype=cd,
+                           param_dtype=pd, name="linear_end")(x)
         return jnp.tanh(x)  # [B, 32s, 32s, 3] in [-1, 1]
 
 

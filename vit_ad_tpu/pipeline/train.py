@@ -101,6 +101,14 @@ def train_mdn(
     mdn = GaussianMDN(features=embed_dim, num_gaussians=hp.num_gaussians)
     rng, k = jax.random.split(rng)
     head_params = mdn.init(k, jnp.zeros((1, 1, embed_dim)))
+    if hp.kmeans_init:
+        from vit_ad_tpu.pipeline.cluster_init import (
+            kmeans_cluster_centers,
+            seed_mdn_mu_bias,
+        )
+
+        centers = kmeans_cluster_centers(feats_train, hp.num_gaussians)
+        head_params = seed_mdn_mu_bias(head_params, centers)
     tx = torch_adam(hp.learning_rate, hp.weight_decay)
     opt_state = tx.init(head_params)
 
@@ -361,9 +369,19 @@ def train_recon(
 
     # Vanilla CNN AE trains end-to-end; pretrained-encoder AEs train the
     # decoder only (reference freezes encoder weights via requires_grad).
-    from vit_ad_tpu.models.autoencoder import VanillaAutoEncoder
+    from vit_ad_tpu.models.autoencoder import (
+        TransformerAutoEncoder,
+        VanillaAutoEncoder,
+    )
 
     trainable = () if isinstance(model, VanillaAutoEncoder) else ("decoder",)
+
+    # Latent cache: for frozen transformer encoders the AE latent is a pure
+    # function of the (fixed) input — compute it once and train the decoder
+    # alone, skipping the encoder forward every step.
+    use_latent_cache = (
+        hp.cache_frozen_features and isinstance(model, TransformerAutoEncoder)
+    )
     base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
     if trainable:
         labels = _freeze_mask({"params": params}, trainable)["params"]
@@ -374,15 +392,26 @@ def train_recon(
         tx = base_tx
     opt_state = tx.init(params)
 
-    def loss_fn(params, batch_stats, images_u8, valid):
-        x = preprocess(images_u8, mean_j, std_j)
-        out, updates = model.apply(
+    def _decode(params, batch_stats, z):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            x,
-            train=True,
-            mutable=["batch_stats"],
+            z, train=True, mutable=["batch_stats"],
+            method=lambda m, zz, train: m.decoder(zz, train=train),
         )
-        recon = out.reconstruction.astype(jnp.float32)
+
+    def loss_fn(params, batch_stats, images_u8, valid, latents=None):
+        x = preprocess(images_u8, mean_j, std_j)
+        if latents is not None:
+            recon, updates = _decode(params, batch_stats, latents)
+        else:
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            recon = out.reconstruction
+        recon = recon.astype(jnp.float32)
         err = jnp.mean(
             jnp.square(recon - x.astype(jnp.float32)), axis=(1, 2, 3)
         )
@@ -407,6 +436,35 @@ def train_recon(
         )
 
     @jax.jit
+    def train_step_cached(params, batch_stats, opt_state, images_u8, valid, latents):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images_u8, valid, latents
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            jax.tree.map(lambda p, u: p + u, params, updates),
+            new_stats,
+            opt_state,
+            loss,
+        )
+
+    latents_train = None
+    if use_latent_cache:
+        @jax.jit
+        def _latent(params, batch_stats, images_u8):
+            x = preprocess(images_u8, mean_j, std_j)
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=False,
+            ).latent
+
+        chunks = []
+        for batch in data.train_batches(hp.prefetch):
+            z = _latent(params, batch_stats, batch.images)
+            chunks.append(np.asarray(z[: int(batch.valid.sum())]))
+        latents_train = np.concatenate(chunks, 0)
+
+    @jax.jit
     def valid_loss_fn(params, batch_stats, images_u8, valid):
         x = preprocess(images_u8, mean_j, std_j)
         out = model.apply(
@@ -424,11 +482,25 @@ def train_recon(
     for epoch in range(hp.epochs):
         t0 = time.perf_counter()
         losses, weights = [], []
+        offset = 0
         for batch in data.train_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, batch.images, valid
-            )
+            if latents_train is not None:
+                n_valid = int(batch.valid.sum())
+                z = latents_train[offset : offset + n_valid]
+                offset += n_valid
+                if n_valid < batch.images.shape[0]:
+                    z = np.concatenate(
+                        [z, np.repeat(z[-1:], batch.images.shape[0] - n_valid, 0)]
+                    )
+                params, batch_stats, opt_state, loss = train_step_cached(
+                    params, batch_stats, opt_state, batch.images, valid,
+                    jnp.asarray(z),
+                )
+            else:
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, batch.images, valid
+                )
             losses.append(float(loss))
             weights.append(float(np.sum(batch.valid)))
         train_loss = float(np.average(losses, weights=weights))
