@@ -70,3 +70,27 @@ def test_registry_covers_reference_model_dict():
         "ae_vit_small", "ae_esvit_small",
     }
     assert reference_keys <= set(get_possible_models())
+
+
+def test_all_registry_models_shape_check():
+    """eval_shape smoke over every reference MODEL_DICT key at 224px —
+    catches wiring errors across the whole zoo without running compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.registry import get_model, get_possible_models
+
+    x = jnp.zeros((1, 224, 224, 3))
+    for name in get_possible_models():
+        model = get_model(name, img_size=224, dtypes=F32)
+        kwargs = {}
+        try:
+            shapes = jax.eval_shape(
+                lambda k: model.init(k, x, train=True)
+                if name.startswith("ae_") or name in ("enc_cnn", "enc_res_net", "enc_eff_net", "enc_eff_former")
+                else model.init(k, x),
+                jax.random.key(0),
+            )
+        except TypeError:
+            shapes = jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
+        assert shapes, name
