@@ -125,20 +125,28 @@ bool decode_bmp(FILE* fp, Image* out) {
   int32_t w, h;
   uint16_t bpp;
   uint32_t compression;
+  uint32_t dib_size;
   memcpy(&data_offset, header + 10, 4);
+  memcpy(&dib_size, header + 14, 4);
   memcpy(&w, header + 18, 4);
   memcpy(&h, header + 22, 4);
   memcpy(&bpp, header + 28, 2);
   memcpy(&compression, header + 30, 4);
   if (compression != 0 || (bpp != 24 && bpp != 32 && bpp != 8)) return false;
   bool bottom_up = h > 0;
-  int ah = bottom_up ? h : -h;
+  int64_t ah64 = bottom_up ? (int64_t)h : -(int64_t)h;
+  // reject nonsense dimensions before any allocation
+  if (w <= 0 || ah64 <= 0 || w > 1 << 16 || ah64 > 1 << 16) return false;
+  int ah = (int)ah64;
 
-  // 8-bit BMPs carry a palette right before the pixel data
+  // 8-bit BMPs: the palette sits right after the DIB header (which may be
+  // the 40-byte BITMAPINFOHEADER or a longer V4/V5 header)
   std::vector<uint8_t> palette;
   if (bpp == 8) {
-    long pal_bytes = (long)data_offset - 54;
-    if (pal_bytes < 0) return false;
+    long pal_start = 14 + (long)dib_size;
+    long pal_bytes = (long)data_offset - pal_start;
+    if (pal_bytes < 4) return false;
+    fseek(fp, pal_start, SEEK_SET);
     palette.resize(pal_bytes);
     if (fread(palette.data(), 1, pal_bytes, fp) != (size_t)pal_bytes) return false;
   } else {
@@ -158,7 +166,8 @@ bool decode_bmp(FILE* fp, Image* out) {
     uint8_t* dst = out->data.data() + (size_t)dst_y * w * 3;
     for (int x = 0; x < w; ++x) {
       if (bpp == 8) {
-        uint8_t idx = row[x];
+        size_t idx = row[x];
+        if (4 * idx + 3 >= palette.size()) idx = 0;
         const uint8_t* p = palette.data() + 4 * idx;  // BGRA palette entries
         dst[x * 3 + 0] = p[2];
         dst[x * 3 + 1] = p[1];

@@ -47,18 +47,33 @@ def validate_run(run_dir: str, data_root: str, test_pref: str = "test"):
         raise FileNotFoundError(f"no checkpoint in {run_dir}")
     ckpt = os.path.abspath(ckpts[0])  # orbax requires absolute paths
 
+    # -d may be a dataset ROOT (join with the run's category) or the
+    # category dir itself — prefer the joined path when it exists
     base = data_root or hp.base_path
+    joined = os.path.join(base, str(cfg.get("data_class", "")))
+    if cfg.get("data_class") and os.path.isdir(os.path.join(joined, test_pref.split("/")[0])):
+        base = joined
     test = DataPipeline(
         batch_size=hp.batch_size, base_path=base, data_path=test_pref,
         img_size=hp.img_size, validation_mode=True,
     )
-    mean, std = None, None
-    if not hp.centering:
+    if hp.centering:
+        # reproduce training-time dataset standardization (reference
+        # compute_mean_stdev) from the same train split
+        train_pipe = DataPipeline(
+            batch_size=hp.batch_size, base_path=base,
+            data_path=cfg.get("train_pref", "train/good"),
+            img_size=hp.img_size,
+        )
+        mean, std = train_pipe.compute_mean_std()
+    else:
         from vit_ad_tpu.data.dataset import default_norm_stats
 
         mean, std = default_norm_stats()
 
     arch = hp.architecture
+    if "res_net" in hp.model_name and arch in ("mdn", "nf"):
+        return _validate_resnet_run(hp, arch, ckpt, test, mean, std)
     if arch == "mdn":
         from vit_ad_tpu.models.mdn import GaussianMDN
         from vit_ad_tpu.pipeline.eval import evaluate_mdn
@@ -103,6 +118,69 @@ def validate_run(run_dir: str, data_root: str, test_pref: str = "test"):
     )
     variables = load_params(ckpt, target)
     return evaluate_recon(model, variables, test, hp, mean, std)
+
+
+def _validate_resnet_run(hp, arch, ckpt, test, mean, std):
+    """Rebuild the multi-stage ResNet head ensembles and restore the joint
+    {'heads': [...], 'encoder': ...} checkpoint the resnet trainers save."""
+    import jax
+
+    from vit_ad_tpu.models.resnet import (
+        STAGE_CHANNELS,
+        STAGE_SCALES,
+        ResNetEncoder,
+    )
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    enc_variables = encoder.init(
+        jax.random.split(jax.random.key(hp.seed))[1],
+        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+    )
+    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+
+    if arch == "mdn":
+        from vit_ad_tpu.models.mdn import GaussianMDN
+        from vit_ad_tpu.pipeline.eval import evaluate_mdn_resnet
+
+        stages = (2, 3)
+        mdns = [
+            GaussianMDN(features=STAGE_CHANNELS[i], num_gaussians=hp.num_gaussians)
+            for i in stages
+        ]
+        heads = [
+            m.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
+            for i, m in zip(stages, mdns)
+        ]
+        target = {"heads": heads, "encoder": enc_variables["params"]}
+        best = load_params(ckpt, target)
+        return evaluate_mdn_resnet(
+            encoder, {"params": best["encoder"], **enc_stats},
+            mdns, best["heads"], test, hp, mean, std, stages=stages,
+        )
+
+    from vit_ad_tpu.models.flow import NormalizingFlow
+    from vit_ad_tpu.pipeline.eval import evaluate_nf_resnet
+
+    stages = (0, 1, 2)
+    flows, heads = [], []
+    for i in stages:
+        side = hp.img_size // STAGE_SCALES[i]
+        flow = NormalizingFlow(
+            num_channels=STAGE_CHANNELS[i], img_size=hp.img_size,
+            num_patches=side * side, hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps, dtypes=hp.dtypes,
+        )
+        flows.append(flow)
+        heads.append(
+            flow.init(jax.random.key(0), jnp.zeros((1, side, side, STAGE_CHANNELS[i])))
+        )
+    target = {"heads": heads, "encoder": enc_variables["params"]}
+    best = load_params(ckpt, target)
+    return evaluate_nf_resnet(
+        encoder, {"params": best["encoder"], **enc_stats},
+        flows, best["heads"], test, hp, mean, std, stages=stages,
+    )
 
 
 def main(argv):

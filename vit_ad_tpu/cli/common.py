@@ -101,6 +101,7 @@ def parse_args(
             # accepted an unused "s:")
             hp.block_index = int(arg)
     hp.base_path = data_path
+    hp.train_pref = train_pref
     hp.dataset, hp.data_class = derive_dataset_names(data_path)
     return hp, data_path, train_pref, test_pref
 

@@ -61,6 +61,7 @@ class HyperParams:
     batch_size: int = 64
     # Data.
     base_path: str = "data/mvtec"
+    train_pref: str = "train/good"   # train-subdir suffix (CLI -t)
     valid_path: Optional[str] = None
     test_path: Optional[str] = None
     img_size: int = 224

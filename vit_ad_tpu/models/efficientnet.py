@@ -121,6 +121,10 @@ class EfficientNetEncoder(nn.Module):
     def embed_dim(self) -> int:
         return _round_channels(1280)  # B4 head conv channels (1792)
 
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // 32) ** 2  # stem /2 x stage strides = /32
+
     @nn.compact
     def __call__(
         self, x: Array, block_index: int = 0, train: bool = False

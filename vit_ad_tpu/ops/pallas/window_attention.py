@@ -48,8 +48,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(q, k, v, bias, mask_per_window, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_w", "interpret"))
+def _call(q, k, v, bias, mask_windows, n_w, interpret=False):
+    """mask_windows: [n_w, N, N] — indexed per grid cell by (window_id %
+    n_w); windows are the minor axis of the partition, so window b maps to
+    mask row b % n_w. Avoids materializing a [B_, N, N] mask in HBM."""
     b_, h, n, hd = q.shape
     return pl.pallas_call(
         _kernel,
@@ -64,7 +67,7 @@ def _call(q, k, v, bias, mask_per_window, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda b, hh: (hh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b, hh: (b, 0, 0),
+            pl.BlockSpec((1, n, n), lambda b, hh: (b % n_w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, n, hd), lambda b, hh: (b, hh, 0, 0),
@@ -75,7 +78,7 @@ def _call(q, k, v, bias, mask_per_window, interpret=False):
             transcendentals=b_ * h * n * n,
         ),
         interpret=interpret,
-    )(q, k, v, bias, mask_per_window)
+    )(q, k, v, bias, mask_windows)
 
 
 def window_attention_core_pallas(
@@ -108,13 +111,11 @@ def window_attention_core_pallas(
         interpret = True
 
     if mask is None:
-        mask_pw = jnp.zeros((b_, n, n), jnp.float32)
+        mask_windows = jnp.zeros((1, n, n), jnp.float32)
+        n_w = 1
     else:
+        mask_windows = mask.astype(jnp.float32)
         n_w = mask.shape[0]
-        # window id for each of the B_ = B*nW entries (windows are the
-        # fastest-varying axis of the partition)
-        reps = b_ // n_w
-        mask_pw = jnp.tile(mask.astype(jnp.float32), (reps, 1, 1))
 
-    out = _call(qt, kt, vt, bias, mask_pw, interpret=interpret)
+    out = _call(qt, kt, vt, bias, mask_windows, n_w, interpret=interpret)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, h * hd)

@@ -66,12 +66,26 @@ def evaluate_mdn(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
+    import os
+
+    use_pallas = os.environ.get("VITAD_PALLAS_GMM") == "1"
+
     # params as jit args (axon remote-compile payload limit; see features.py)
     @jax.jit
     def loglik_map(ep, mp, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         feats = encoder.apply(ep, x, block_index=hp.block_index).patch_embedding
-        ll = mdn.apply(mp, feats, method=GaussianMDN.log_likelihood)
+        if use_pallas:
+            from vit_ad_tpu.ops.pallas.gmm import mdn_log_likelihood_pallas
+
+            pr = mp["params"]
+            ll = mdn_log_likelihood_pallas(
+                feats, pr["w_pi"], pr["b_pi"], pr["w_sigma"], pr["b_sigma"],
+                pr["w_mu"], pr["b_mu"],
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            ll = mdn.apply(mp, feats, method=GaussianMDN.log_likelihood)
         return jnp.mean(ll, axis=2)  # [B, P] per-patch mean log-likelihood
 
     ll, labels, gt_masks = _collect(
@@ -119,17 +133,19 @@ def evaluate_nf(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
+    # params as jit args (axon remote-compile payload limit; see features.py)
     @jax.jit
-    def anomaly_maps(images_u8):
+    def anomaly_maps(ep, fpar, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         feats = encoder.apply(
-            enc_params, x, block_index=hp.block_index
+            ep, x, block_index=hp.block_index
         ).patch_embedding
-        out = flow.apply(flow_params, patch_tokens_to_map(feats))
+        out = flow.apply(fpar, patch_tokens_to_map(feats))
         return out.anomaly_score_map  # [B, H, W]
 
     maps, labels, gt_masks = _collect(
-        test_data.test_batches(hp.prefetch), anomaly_maps
+        test_data.test_batches(hp.prefetch),
+        lambda im: anomaly_maps(enc_params, flow_params, im),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 

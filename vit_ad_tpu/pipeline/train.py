@@ -921,7 +921,9 @@ def train_vae(
             axis=(1, 2, 3),
         )
         mse = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-        kl = VariationalAutoEncoder.kl_loss(mu, log_var)
+        # per-example KL, masked like the MSE (padded rows must not count)
+        kl_i = -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
+        kl = jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         return mse + kl, updates["batch_stats"]
 
     @jax.jit
@@ -951,7 +953,8 @@ def train_vae(
             axis=(1, 2, 3),
         )
         mse = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-        return mse + VariationalAutoEncoder.kl_loss(mu, log_var)
+        kl_i = -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
+        return mse + jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     stopper = EarlyStopping(hp.patience)
     history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}

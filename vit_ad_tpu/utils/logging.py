@@ -31,7 +31,8 @@ class MetricLogger:
         os.makedirs(self.dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
         self._csv_path = os.path.join(self.dir, "metrics.csv")
-        self._csv_keys: Optional[list] = None
+        self._csv_keys: list = []
+        self._csv_rows: list = []
         self._wandb = None
         if config:
             with open(os.path.join(self.dir, "config.json"), "w") as f:
@@ -53,14 +54,21 @@ class MetricLogger:
         scalar = {
             k: v for k, v in record.items() if isinstance(v, (int, float, str))
         }
-        if self._csv_keys is None:
-            self._csv_keys = list(scalar.keys())
+        self._csv_rows.append(scalar)
+        new_keys = [k for k in scalar if k not in self._csv_keys]
+        if new_keys:
+            # header grows (e.g. eval-stage AUROC keys arrive after epoch
+            # rows) → rewrite the whole file with the union of keys
+            self._csv_keys.extend(new_keys)
             with open(self._csv_path, "w", newline="") as f:
-                csv.DictWriter(f, fieldnames=self._csv_keys).writeheader()
-        with open(self._csv_path, "a", newline="") as f:
-            csv.DictWriter(
-                f, fieldnames=self._csv_keys, extrasaction="ignore"
-            ).writerow(scalar)
+                w = csv.DictWriter(f, fieldnames=self._csv_keys)
+                w.writeheader()
+                w.writerows(self._csv_rows)
+        else:
+            with open(self._csv_path, "a", newline="") as f:
+                csv.DictWriter(
+                    f, fieldnames=self._csv_keys, extrasaction="ignore"
+                ).writerow(scalar)
         if self._wandb is not None:
             self._wandb.log(metrics)
 
