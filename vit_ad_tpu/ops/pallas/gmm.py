@@ -37,6 +37,9 @@ _NEG_BIG = -1e30
 
 def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
             out_ref, m_scratch, s_scratch):
+    # log_pi arrives component-major ([K, 1, rows] blocks): indexing a VMEM
+    # column by the grid id would be a dynamic lane gather, which the Mosaic
+    # compiler rejects.
     k = pl.program_id(1)
     num_k = pl.num_programs(1)
 
@@ -47,8 +50,8 @@ def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
 
     x = x_ref[:]  # [T, D]
     # component-k affine heads: [T, D] @ [D, D] on the MXU
-    mu = jnp.dot(x, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0]
-    pre = jnp.dot(x, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0]
+    mu = jnp.dot(x, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0, 0]
+    pre = jnp.dot(x, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0, 0]
     sigma = jnp.where(pre > 0, pre + 1.0, jnp.exp(pre)) + 1e-15  # elu+1+eps
 
     dens = (
@@ -56,7 +59,7 @@ def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
         - _HALF_LOG_2PI
         - 0.5 * jnp.square((x - mu) / sigma)
     )
-    t = dens + log_pi_ref[:, k][:, None]  # [T, D]
+    t = dens + log_pi_ref[0, 0][:, None]  # [T, D]
 
     m_old = m_scratch[:]
     m_new = jnp.maximum(m_old, t)
@@ -86,7 +89,20 @@ def gmm_log_likelihood_pallas(
     xr = x.reshape(rows, d).astype(jnp.float32)
     lpr = log_pi.reshape(rows, k).astype(jnp.float32)
 
-    row_tile = min(row_tile, rows)
+    # TPU lane constraint: the minor dim of every block must be a multiple
+    # of 128 → pad K with -inf-weight components (their exp contribution is
+    # exactly 0 in the online logsumexp; sigma=elu(0)+1=1 keeps dens finite).
+    pad_k = (-k) % 128
+    if pad_k:
+        lpr = jnp.pad(lpr, ((0, 0), (0, pad_k)), constant_values=_NEG_BIG)
+        w_sigma = jnp.pad(w_sigma, ((0, pad_k), (0, 0), (0, 0)))
+        b_sigma = jnp.pad(b_sigma, ((0, pad_k), (0, 0)))
+        w_mu = jnp.pad(w_mu, ((0, pad_k), (0, 0), (0, 0)))
+        b_mu = jnp.pad(b_mu, ((0, pad_k), (0, 0)))
+        k = k + pad_k
+
+    # sublane constraint: row tile must be a multiple of 8
+    row_tile = max(8, min(row_tile, ((rows + 7) // 8) * 8))
     pad_rows = (-rows) % row_tile
     if pad_rows:
         xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
@@ -100,15 +116,17 @@ def gmm_log_likelihood_pallas(
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i, kk: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, k), lambda i, kk: (i, 0),
+            pl.BlockSpec((1, 1, row_tile), lambda i, kk: (kk, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, d), lambda i, kk: (kk, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, kk: (kk, 0),
+            # biases as [K, 1, D]: a (1, 1, D) block satisfies the TPU
+            # sublane rule (block dim == array dim on the middle axis)
+            pl.BlockSpec((1, 1, d), lambda i, kk: (kk, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, d), lambda i, kk: (kk, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, kk: (kk, 0),
+            pl.BlockSpec((1, 1, d), lambda i, kk: (kk, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((row_tile, d), lambda i, kk: (i, 0),
@@ -123,7 +141,7 @@ def gmm_log_likelihood_pallas(
             transcendentals=rows * d * k * 2,
         ),
         interpret=interpret,
-    )(xr, lpr, w_sigma, b_sigma, w_mu, b_mu)
+    )(xr, lpr.T[:, None, :], w_sigma, b_sigma[:, None, :], w_mu, b_mu[:, None, :])
     return out[:rows].reshape(b, p, d)
 
 
