@@ -51,3 +51,32 @@ def test_pallas_row_padding(rng):
     want = jax.nn.logsumexp(log_pi[:, :, None, :] + dens, axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_evaluate_mdn_pallas_flag_parity(rng, tmp_path, monkeypatch):
+    """VITAD_PALLAS_GMM=1 must produce the same metrics as the XLA path."""
+    from vit_ad_tpu.config import DtypePolicy, HyperParams
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.models.vit import ViTEncoder
+    from vit_ad_tpu.pipeline.eval import evaluate_mdn
+
+    root = str(tmp_path)
+    make_mvtec_category(root, "cat", img_size=32, n_train=8,
+                        n_test_good=3, n_test_defect=3)
+    hp = HyperParams(batch_size=4, img_size=32, num_gaussians=3,
+                     dtypes=DtypePolicy.f32())
+    test = DataPipeline(batch_size=4, base_path=f"{root}/cat",
+                        data_path="test", img_size=32, validation_mode=True)
+    enc = ViTEncoder(img_size=32, patch_size=8, embed_dim=16, depth=1,
+                     num_heads=2, num_prefix_tokens=2, dtypes=DtypePolicy.f32())
+    ep = enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    mdn = GaussianMDN(features=16, num_gaussians=3)
+    mp = mdn.init(jax.random.key(1), jnp.zeros((1, 1, 16)))
+
+    monkeypatch.delenv("VITAD_PALLAS_GMM", raising=False)
+    m_xla = evaluate_mdn(enc, ep, mdn, mp, test, hp)
+    monkeypatch.setenv("VITAD_PALLAS_GMM", "1")
+    m_pl = evaluate_mdn(enc, ep, mdn, mp, test, hp)
+    for key in ("image_auroc_score", "pixel_auroc_score"):
+        assert abs(m_xla[key] - m_pl[key]) < 1e-6, key
