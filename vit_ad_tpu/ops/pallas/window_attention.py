@@ -32,50 +32,58 @@ from vit_ad_tpu.ops.window_attention import relative_position_index
 Array = jax.Array
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    # blocks: q/k/v [1, 1, N, hd]; bias [1, N, N]; mask [1, N, N]
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    hd = q.shape[-1]
-    scores = jnp.dot(
-        q * (hd**-0.5), k.T, preferred_element_type=jnp.float32
-    )  # [N, N]
-    scores = scores + bias_ref[0] + mask_ref[0]
-    scores = jax.nn.softmax(scores, axis=-1)
-    out_ref[0, 0] = jnp.dot(
-        scores.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+def _kernel(num_heads, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
+    # blocks: q/k/v/out [1, N, C] (heads packed in C, sliced in VMEM);
+    # bias [H, N, N]; mask [1, N, N]. One grid cell per window, heads
+    # unrolled — fewer, fatter grid cells than a (window, head) grid.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    c = q.shape[-1]
+    hd = c // num_heads
+    scale = hd**-0.5
+    mask = mask_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        scores = jnp.dot(
+            q[:, sl] * scale, k[:, sl].T, preferred_element_type=jnp.float32
+        )  # [N, N]
+        scores = scores + bias_ref[h] + mask
+        scores = jax.nn.softmax(scores, axis=-1)
+        out_ref[0, :, sl] = jnp.dot(
+            scores.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_w", "interpret"))
-def _call(q, k, v, bias, mask_windows, n_w, interpret=False):
-    """mask_windows: [n_w, N, N] — indexed per grid cell by (window_id %
-    n_w); windows are the minor axis of the partition, so window b maps to
-    mask row b % n_w. Avoids materializing a [B_, N, N] mask in HBM."""
-    b_, h, n, hd = q.shape
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_w", "interpret"))
+def _call(q, k, v, bias, mask_windows, num_heads, n_w, interpret=False):
+    """q/k/v: [B_, N, C]; mask_windows: [n_w, N, N] — indexed per grid cell
+    by (window_id % n_w); windows are the minor axis of the partition, so
+    window b maps to mask row b % n_w. No [B_, N, N] mask in HBM."""
+    b_, n, c = q.shape
+    hd = c // num_heads
     return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((b_, h, n, hd), q.dtype),
-        grid=(b_, h),
+        functools.partial(_kernel, num_heads),
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), q.dtype),
+        grid=(b_,),
         in_specs=[
-            pl.BlockSpec((1, 1, n, hd), lambda b, hh: (b, hh, 0, 0),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, hd), lambda b, hh: (b, hh, 0, 0),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, hd), lambda b, hh: (b, hh, 0, 0),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b, hh: (hh, 0, 0),
+            pl.BlockSpec((num_heads, n, n), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b, hh: (b % n_w, 0, 0),
+            pl.BlockSpec((1, n, n), lambda b: (b % n_w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, n, hd), lambda b, hh: (b, hh, 0, 0),
+        out_specs=pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b_ * h * n * n * hd,
-            bytes_accessed=(3 * b_ * h * n * hd + b_ * n * n) * 4,
-            transcendentals=b_ * h * n * n,
+            flops=4 * b_ * num_heads * n * n * hd,
+            bytes_accessed=(3 * b_ * n * c + b_ * n * n) * 4,
+            transcendentals=b_ * num_heads * n * n,
         ),
         interpret=interpret,
     )(q, k, v, bias, mask_windows)
@@ -97,10 +105,10 @@ def window_attention_core_pallas(
     q/k/v: [B_, N, H, hd]; bias_table [(2Wh-1)(2Ww-1), nH];
     mask [nW, N, N] or None → returns [B_, N, H*hd]."""
     b_, n, h, hd = q.shape
-    # [B_, H, N, hd] layout for per-(window, head) blocks
-    qt = jnp.transpose(q, (0, 2, 1, 3))
-    kt = jnp.transpose(k, (0, 2, 1, 3))
-    vt = jnp.transpose(v, (0, 2, 1, 3))
+    # heads stay packed in the channel dim — no transposes
+    qf = q.reshape(b_, n, h * hd)
+    kf = k.reshape(b_, n, h * hd)
+    vf = v.reshape(b_, n, h * hd)
 
     idx = relative_position_index(window[0], window[1]).reshape(-1)
     bias = bias_table[idx].reshape(n, n, num_heads)
@@ -117,5 +125,5 @@ def window_attention_core_pallas(
         mask_windows = mask.astype(jnp.float32)
         n_w = mask.shape[0]
 
-    out = _call(qt, kt, vt, bias, mask_windows, n_w, interpret=interpret)
-    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, h * hd)
+    return _call(qf, kf, vf, bias, mask_windows, num_heads, n_w,
+                 interpret=interpret)
