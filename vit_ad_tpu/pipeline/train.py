@@ -10,6 +10,7 @@ semantics, early stopping on validation loss, and a final metric evaluation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Dict, List, Optional
 
@@ -119,7 +120,7 @@ def train_mdn(
         per_example = -jnp.mean(ll, axis=(1, 2))
         return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, feats, valid, step_rng):
         loss, grads = jax.value_and_grad(masked_loss)(
             params, feats, valid, step_rng
@@ -246,7 +247,7 @@ def train_nf(
         per_example = 0.5 * jnp.sum(z * z, axis=(1, 2, 3)) - logdet
         return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, feats, valid):
         loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid)
         updates, opt_state = tx.update(grads, opt_state, params)
