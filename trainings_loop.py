@@ -27,11 +27,14 @@ def main(argv):
     model = "enc_deit"
     categories = None
 
-    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:")
+    overrides = {}
+    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:e:b:i:p:n:l:w:")
     for opt, arg in opts:
         if opt == "-h":
             print("trainings_loop.py -a <arch: nf|mdn|recon> -d <dataRoot> "
-                  "-o <outDir> -m <model> -c <cat1,cat2,...>")
+                  "-o <outDir> -m <model> -c <cat1,cat2,...> "
+                  "[-e epochs -b batch -i imgSize -p patience -n gaussians "
+                  "-l lr -w wd]")
             return
         if opt == "-a":
             arch = arg
@@ -43,6 +46,20 @@ def main(argv):
             model = arg
         elif opt == "-c":
             categories = arg.split(",")
+        elif opt == "-e":
+            overrides["epochs"] = int(arg)
+        elif opt == "-b":
+            overrides["batch_size"] = int(arg)
+        elif opt == "-i":
+            overrides["img_size"] = int(arg)
+        elif opt == "-p":
+            overrides["patience"] = int(arg)
+        elif opt == "-n":
+            overrides["num_gaussians"] = int(arg)
+        elif opt == "-l":
+            overrides["learning_rate"] = float(arg)
+        elif opt == "-w":
+            overrides["weight_decay"] = float(arg)
 
     is_btad = "btad" in data_root
     if categories is None:
@@ -70,6 +87,9 @@ def main(argv):
     else:
         raise SystemExit(f"unknown arch {arch!r}")
 
+    import dataclasses
+
+    hp = dataclasses.replace(hp, **overrides)
     runs = [
         SweepRun(category=c, data_root=data_root, train_pref=train_pref)
         for c in categories
