@@ -53,3 +53,27 @@ def test_nf_end_to_end(category):
     for k in ("image_auroc_score", "pixel_auroc_score", "image_prauc_score"):
         assert np.isfinite(m[k]), m
     assert m["image_auroc_score"] > 0.5, m
+
+
+def test_nf_btad_layout(tmp_path):
+    """BTAD directory contract (train/ok, test/ko, bmp images) end-to-end."""
+    from vit_ad_tpu.data.synthetic import make_btad_category
+
+    root = str(tmp_path)
+    make_btad_category(root, "01", img_size=32, n_train=12)
+    hp = HyperParams(
+        architecture="nf", epochs=2, patience=2, learning_rate=1e-3,
+        batch_size=6, img_size=32, hidden_ratio=1.0, flow_steps=2,
+        dtypes=DtypePolicy.f32(),
+    )
+    encoder = ViTEncoder(
+        img_size=32, patch_size=8, embed_dim=16, depth=1, num_heads=2,
+        num_prefix_tokens=2, dtypes=DtypePolicy.f32(),
+    )
+    data = DataPipeline(batch_size=6, base_path=root, data_path="train/ok",
+                        img_size=32)
+    test_data = DataPipeline(batch_size=6, base_path=f"{root}/01",
+                             data_path="test", img_size=32,
+                             validation_mode=True)
+    result = train_nf(hp, data, test_data, encoder=encoder)
+    assert np.isfinite(result.metrics["image_auroc_score"])
