@@ -1,0 +1,101 @@
+"""Checkpoint conversion CLI: torch .pth → orbax params for our encoders.
+
+Usage (mirrors the reference's implicit weight plumbing — it downloads timm/
+torchvision checkpoints at model build, reference TransformerEncoder.py:134,
+CnnEncoder.py:141-145; here conversion is an explicit, inspectable step):
+
+    python -m vit_ad_tpu.cli.convert_weights \
+        --arch deit --src deit_base_distilled_patch16_224.pth --dst ckpt/deit
+    python -m vit_ad_tpu.cli.convert_weights --arch resnet50 --src resnet50.pth --dst ckpt/rn50
+    python -m vit_ad_tpu.cli.convert_weights --arch esvit --src checkpoint_best.pth --dst ckpt/esvit
+
+The result loads with utils.checkpoint.load_params against the matching
+encoder's init tree, or directly via `load_encoder_params`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import DtypePolicy
+    from vit_ad_tpu.utils import torch_convert as tc
+    from vit_ad_tpu.utils.checkpoint import save_params
+
+    sd = tc.load_pth(src)
+    sd = tc.strip_prefix(sd, "module.")
+
+    if arch in ("deit", "vit"):
+        from vit_ad_tpu.models.vit import (
+            deit_base_distilled_patch16,
+            vit_base_patch16,
+        )
+
+        encoder = (
+            deit_base_distilled_patch16(img_size)
+            if arch == "deit"
+            else vit_base_patch16(img_size)
+        )
+        converted = tc.convert_vit(
+            sd, depth=12, num_prefix_tokens=2 if arch == "deit" else 1
+        )
+    elif arch == "resnet50":
+        from vit_ad_tpu.models.resnet import ResNetEncoder
+
+        encoder = ResNetEncoder(img_size=img_size)
+        converted = tc.convert_resnet50(sd)
+    elif arch == "esvit":
+        from vit_ad_tpu.models.swin import esvit_swin_tiny
+
+        encoder = esvit_swin_tiny(img_size)
+        # EsViT checkpoints carry a 'student' dict (reference
+        # TransformerEncoder.py:242-249)
+        if any(key.startswith("student") for key in sd):
+            sd = {k[len("student."):]: v for k, v in sd.items()
+                  if k.startswith("student.")}
+            sd = tc.strip_prefix(sd, "module.")
+        inner = tc.convert_swin(sd, img_size=img_size)
+        converted = {"params": inner["params"]}
+    else:
+        raise SystemExit(f"unknown arch {arch!r} (deit|vit|resnet50|esvit)")
+
+    base = encoder.init(
+        jax.random.key(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+    merged = tc.merge_variables(base, converted)
+    path = save_params(dst, "encoder", merged)
+    print(f"converted {arch} weights → {path}")
+    return path
+
+
+def load_encoder_params(arch_dir: str, encoder, img_size: int = 224):
+    """Restore converted encoder variables saved by this CLI."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    target = encoder.init(
+        jax.random.key(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+    return load_params(arch_dir, target)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--arch", required=True,
+                    choices=["deit", "vit", "resnet50", "esvit"])
+    ap.add_argument("--src", required=True, help="torch .pth checkpoint")
+    ap.add_argument("--dst", required=True, help="output checkpoint directory")
+    ap.add_argument("--img-size", type=int, default=224)
+    args = ap.parse_args(argv)
+    convert(args.arch, args.src, args.dst, args.img_size)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
