@@ -134,7 +134,7 @@ class TMerge(tnn.Module):
 
 
 class TSwin(tnn.Module):
-    def __init__(self, img=16, patch=2, dim=8, depths=(2, 1), heads=(2, 4), ws=4):
+    def __init__(self, img=16, patch=2, dim=8, depths=(2, 2), heads=(2, 4), ws=4):
         super().__init__()
         self.patch_embed = tnn.Conv2d(3, dim, patch, patch)
         self.patch_norm = tnn.LayerNorm(dim, eps=1e-5)
@@ -168,11 +168,10 @@ class TSwin(tnn.Module):
         return x.mean(1), x
 
 
-def _torch_to_swin_params(tm: TSwin, depths=(2, 1)):
-    """Map the torch mini-swin state onto our SwinTransformer param tree."""
+def _torch_to_swin_params(tm: TSwin, depths=(2, 2)):
+    """Map the torch mini-swin state onto our scan-stacked param tree."""
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     ln = lambda p: {"LayerNorm_0": {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}}
-    lin = lambda p: {"kernel": sd[f"{p}.weight"].T, "bias": sd[f"{p}.bias"]}
     params = {
         "patch_embed": {
             "kernel": np.transpose(sd["patch_embed.weight"], (2, 3, 1, 0)),
@@ -181,23 +180,36 @@ def _torch_to_swin_params(tm: TSwin, depths=(2, 1)):
         "patch_norm": ln("patch_norm"),
         "norm": ln("norm"),
     }
+
+    def block_leaves(p):
+        return {
+            "norm1_scale": sd[f"{p}.norm1.weight"],
+            "norm1_bias": sd[f"{p}.norm1.bias"],
+            "qkv_kernel": sd[f"{p}.attn.qkv.weight"].T,
+            "qkv_bias": sd[f"{p}.attn.qkv.bias"],
+            "bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+            "proj_kernel": sd[f"{p}.attn.proj.weight"].T,
+            "proj_bias": sd[f"{p}.attn.proj.bias"],
+            "norm2_scale": sd[f"{p}.norm2.weight"],
+            "norm2_bias": sd[f"{p}.norm2.bias"],
+            "fc1_kernel": sd[f"{p}.fc1.weight"].T,
+            "fc1_bias": sd[f"{p}.fc1.bias"],
+            "fc2_kernel": sd[f"{p}.fc2.weight"].T,
+            "fc2_bias": sd[f"{p}.fc2.bias"],
+        }
+
     bi = 0
     for si, depth in enumerate(depths):
-        for bj in range(depth):
-            p = f"blocks.{bi}"
-            params[f"layer{si}_block{bj}"] = {
-                "norm1": ln(f"{p}.norm1"),
-                "norm2": ln(f"{p}.norm2"),
-                "attn": {
-                    "qkv": lin(f"{p}.attn.qkv"),
-                    "proj": lin(f"{p}.attn.proj"),
-                    "relative_position_bias_table": sd[
-                        f"{p}.attn.relative_position_bias_table"
-                    ],
-                },
-                "mlp": {"fc1": lin(f"{p}.fc1"), "fc2": lin(f"{p}.fc2")},
-            }
-            bi += 1
+        stage = {}
+        for tag, parity in (("a", 0), ("b", 1)):
+            leaves = [
+                block_leaves(f"blocks.{bi + 2 * j + parity}")
+                for j in range(depth // 2)
+            ]
+            for key in leaves[0]:
+                stage[f"{tag}_{key}"] = np.stack([lv[key] for lv in leaves])
+        params[f"layer{si}"] = stage
+        bi += depth
         if si < len(depths) - 1:
             params[f"layer{si}_downsample"] = {
                 "norm": ln(f"merges.{si}.norm"),
@@ -214,7 +226,7 @@ def test_swin_parity_with_torch(rng):
         want_latent, want_region = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
 
     model = SwinTransformer(
-        img_size=16, patch_size=2, embed_dim=8, depths=(2, 1), num_heads=(2, 4),
+        img_size=16, patch_size=2, embed_dim=8, depths=(2, 2), num_heads=(2, 4),
         window=4, dtypes=F32,
     )
     variables = _torch_to_swin_params(tm)

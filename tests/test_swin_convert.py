@@ -22,7 +22,7 @@ import jax.numpy as jnp
 F32 = DtypePolicy.f32()
 
 
-def _rename_to_esvit_layout(sd, depths=(2, 1)):
+def _rename_to_esvit_layout(sd, depths=(2, 2)):
     """Map the mini torch swin's names to the vendored module layout
     (patch_embed.proj, layers.{i}.blocks.{j}, layers.{i}.downsample)."""
     out = {}
@@ -54,7 +54,7 @@ def _rename_to_esvit_layout(sd, depths=(2, 1)):
 
 def test_convert_swin_forward_parity(rng):
     torch.manual_seed(13)
-    tm = TSwin(img=16, patch=2, dim=8, depths=(2, 1), heads=(2, 4), ws=4).eval()
+    tm = TSwin(img=16, patch=2, dim=8, depths=(2, 2), heads=(2, 4), ws=4).eval()
     x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
     with torch.no_grad():
         want_latent, want_region = tm(
@@ -62,13 +62,13 @@ def test_convert_swin_forward_parity(rng):
         )
 
     sd = _rename_to_esvit_layout(
-        state_dict_to_numpy(tm.state_dict()), depths=(2, 1)
+        state_dict_to_numpy(tm.state_dict()), depths=(2, 2)
     )
-    converted = convert_swin(sd, img_size=16, patch_size=2, depths=(2, 1),
+    converted = convert_swin(sd, img_size=16, patch_size=2, depths=(2, 2),
                              window=4)
 
     model = SwinTransformer(
-        img_size=16, patch_size=2, embed_dim=8, depths=(2, 1),
+        img_size=16, patch_size=2, embed_dim=8, depths=(2, 2),
         num_heads=(2, 4), window=4, dtypes=F32,
     )
     # wrap under the EsViTEncoder-style 'esvit' scope the converter emits

@@ -15,118 +15,188 @@ Swin conventions preserved:
   * padding to window multiples before partition (reference :359-363)
   * per-window relative position bias; additive -100 shift mask
 
-The attention core is ops/window_attention.window_attention_core (XLA,
-swappable for the Pallas kernel).
+TPU-native structure: each stage's blocks come in (unshifted, shifted) pairs
+with identical programs, so — like the ViT blocks and NF coupling pairs —
+their parameters are STACKED ([n_pairs, ...]) and the stack runs under
+jax.lax.scan: one pair body per stage in the HLO, flat compile times, small
+remote-compile payloads.
+
+The attention core is ops/window_attention.window_attention_core (XLA) or
+the fused Pallas kernel (VITAD_PALLAS_WINDOW_ATTN=1, read at trace time).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import os
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm, Mlp
+from vit_ad_tpu.models.layers import LayerNorm
 from vit_ad_tpu.models.outputs import EncoderOutput
 from vit_ad_tpu.ops import window_attention as wa
 
 Array = jax.Array
 
 
-class WindowAttention(nn.Module):
-    """QKV/proj projections + relative-position-bias table around the core."""
+def _layer_norm(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _attention_core():
+    if os.environ.get("VITAD_PALLAS_WINDOW_ATTN") == "1":
+        from vit_ad_tpu.ops.pallas.window_attention import (
+            window_attention_core_pallas,
+        )
+
+        return window_attention_core_pallas
+    return wa.window_attention_core
+
+
+def _block_apply(
+    x: Array,
+    p: Dict[str, Array],
+    num_heads: int,
+    window: int,
+    shift: int,
+    res: Tuple[int, int],
+    mask,
+    compute_dtype,
+    accum_dtype,
+    core,
+) -> Array:
+    """One Swin block, functional params (unstacked leaves)."""
+    h, w = res
+    b, l, c = x.shape
+    shortcut = x
+    y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
+    y = y.reshape(b, h, w, c)
+
+    pad_b = (window - h % window) % window
+    pad_r = (window - w % window) % window
+    if pad_b or pad_r:
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    hp_, wp_ = h + pad_b, w + pad_r
+
+    if shift > 0:
+        y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+    windows = wa.window_partition(y, window)  # [B*nW, N, C]
+
+    b_, n, _ = windows.shape
+    hd = c // num_heads
+    qkv = (
+        jnp.einsum("bnc,cd->bnd", windows, p["qkv_kernel"].astype(compute_dtype))
+        + p["qkv_bias"].astype(compute_dtype)
+    ).reshape(b_, n, 3, num_heads, hd)
+    attn_out = core(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        p["bias_table"].astype(jnp.float32),
+        num_heads,
+        (window, window),
+        mask,
+        accum_dtype=accum_dtype,
+    )
+    attn_out = (
+        jnp.einsum("bnc,cd->bnd", attn_out.astype(compute_dtype),
+                   p["proj_kernel"].astype(compute_dtype))
+        + p["proj_bias"].astype(compute_dtype)
+    )
+
+    y = wa.window_reverse(attn_out, window, hp_, wp_)
+    if shift > 0:
+        y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+    if pad_b or pad_r:
+        y = y[:, :h, :w, :]
+    x = shortcut + y.reshape(b, l, c)
+
+    y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
+    hdn = jnp.einsum("blc,cd->bld", y, p["fc1_kernel"].astype(compute_dtype))
+    hdn = nn.gelu(hdn + p["fc1_bias"].astype(compute_dtype), approximate=False)
+    hdn = (
+        jnp.einsum("bld,dc->blc", hdn, p["fc2_kernel"].astype(compute_dtype))
+        + p["fc2_bias"].astype(compute_dtype)
+    )
+    return x + hdn
+
+
+class SwinStage(nn.Module):
+    """depth blocks as scan-stacked (unshifted, shifted) pairs."""
 
     dim: int
     num_heads: int
+    depth: int
     window: int
-    dtypes: DtypePolicy = DtypePolicy()
-
-    @nn.compact
-    def __call__(self, windows: Array, mask) -> Array:
-        b_, n, c = windows.shape
-        qkv = nn.Dense(
-            3 * self.dim, dtype=self.dtypes.compute_dtype,
-            param_dtype=self.dtypes.param_dtype, name="qkv",
-        )(windows)
-        qkv = qkv.reshape(b_, n, 3, self.num_heads, c // self.num_heads)
-        bias_table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(0.02),
-            ((2 * self.window - 1) ** 2, self.num_heads),
-            self.dtypes.param_dtype,
-        )
-        import os
-
-        core = wa.window_attention_core
-        if os.environ.get("VITAD_PALLAS_WINDOW_ATTN") == "1":
-            from vit_ad_tpu.ops.pallas.window_attention import (
-                window_attention_core_pallas as core,
-            )
-        out = core(
-            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-            bias_table.astype(jnp.float32),
-            self.num_heads,
-            (self.window, self.window),
-            mask,
-            accum_dtype=self.dtypes.accum_dtype,
-        )
-        return nn.Dense(
-            self.dim, dtype=self.dtypes.compute_dtype,
-            param_dtype=self.dtypes.param_dtype, name="proj",
-        )(out)
-
-
-class SwinBlock(nn.Module):
-    dim: int
-    num_heads: int
-    window: int
-    shift: int
     input_resolution: Tuple[int, int]
     mlp_ratio: float = 4.0
     dtypes: DtypePolicy = DtypePolicy()
 
+    def _pair_params(self, n_pairs: int, window: int) -> Dict[str, Array]:
+        c = self.dim
+        hidden = int(c * self.mlp_ratio)
+        t = (2 * window - 1) ** 2
+        pdt = self.dtypes.param_dtype
+        xavier = nn.initializers.xavier_uniform()
+        trunc = nn.initializers.truncated_normal(0.02)
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+
+        def stacked(init):
+            def f(key, shape, dtype):
+                keys = jax.random.split(key, shape[0])
+                return jnp.stack([init(k, shape[1:], dtype) for k in keys])
+            return f
+
+        out = {}
+        for tag in ("a", "b"):
+            out.update({
+                f"{tag}_norm1_scale": self.param(f"{tag}_norm1_scale", ones, (n_pairs, c), pdt),
+                f"{tag}_norm1_bias": self.param(f"{tag}_norm1_bias", zeros, (n_pairs, c), pdt),
+                f"{tag}_qkv_kernel": self.param(f"{tag}_qkv_kernel", stacked(xavier), (n_pairs, c, 3 * c), pdt),
+                f"{tag}_qkv_bias": self.param(f"{tag}_qkv_bias", zeros, (n_pairs, 3 * c), pdt),
+                f"{tag}_bias_table": self.param(f"{tag}_bias_table", stacked(trunc), (n_pairs, t, self.num_heads), pdt),
+                f"{tag}_proj_kernel": self.param(f"{tag}_proj_kernel", stacked(xavier), (n_pairs, c, c), pdt),
+                f"{tag}_proj_bias": self.param(f"{tag}_proj_bias", zeros, (n_pairs, c), pdt),
+                f"{tag}_norm2_scale": self.param(f"{tag}_norm2_scale", ones, (n_pairs, c), pdt),
+                f"{tag}_norm2_bias": self.param(f"{tag}_norm2_bias", zeros, (n_pairs, c), pdt),
+                f"{tag}_fc1_kernel": self.param(f"{tag}_fc1_kernel", stacked(xavier), (n_pairs, c, hidden), pdt),
+                f"{tag}_fc1_bias": self.param(f"{tag}_fc1_bias", zeros, (n_pairs, hidden), pdt),
+                f"{tag}_fc2_kernel": self.param(f"{tag}_fc2_kernel", stacked(xavier), (n_pairs, hidden, c), pdt),
+                f"{tag}_fc2_bias": self.param(f"{tag}_fc2_bias", zeros, (n_pairs, c), pdt),
+            })
+        return out
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        assert self.depth % 2 == 0, "Swin stages use (unshifted, shifted) pairs"
         h, w = self.input_resolution
-        window, shift = self.window, self.shift
+        window, shift = self.window, self.window // 2
         if min(h, w) <= window:
             window, shift = min(h, w), 0
 
-        b, l, c = x.shape
-        shortcut = x
-        y = LayerNorm(dtypes=self.dtypes, eps=1e-5, name="norm1")(x)
-        y = y.reshape(b, h, w, c)
-
-        pad_b = (window - h % window) % window
-        pad_r = (window - w % window) % window
-        if pad_b or pad_r:
-            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        hp, wp = h + pad_b, w + pad_r
-
-        if shift > 0:
-            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-        windows = wa.window_partition(y, window)
-
-        mask_np = wa.shift_attention_mask(hp, wp, window, shift)
+        n_pairs = self.depth // 2
+        params = self._pair_params(n_pairs, window)
+        pad_h = h + (window - h % window) % window
+        pad_w = w + (window - w % window) % window
+        mask_np = wa.shift_attention_mask(pad_h, pad_w, window, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn_out = WindowAttention(
-            dim=c, num_heads=self.num_heads, window=window,
-            dtypes=self.dtypes, name="attn",
-        )(windows, mask)
+        core = _attention_core()
+        cd, acc = self.dtypes.compute_dtype, self.dtypes.accum_dtype
+        heads, res = self.num_heads, self.input_resolution
 
-        y = wa.window_reverse(attn_out, window, hp, wp)
-        if shift > 0:
-            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
-        if pad_b or pad_r:
-            y = y[:, :h, :w, :]
-        x = shortcut + y.reshape(b, l, c)
+        def body(carry, pair):
+            a = {k[2:]: v for k, v in pair.items() if k.startswith("a_")}
+            b = {k[2:]: v for k, v in pair.items() if k.startswith("b_")}
+            y = _block_apply(carry, a, heads, window, 0, res, None, cd, acc, core)
+            y = _block_apply(y, b, heads, window, shift, res, mask, cd, acc, core)
+            return y, None
 
-        y = LayerNorm(dtypes=self.dtypes, eps=1e-5, name="norm2")(x)
-        x = x + Mlp(
-            hidden_dim=int(c * self.mlp_ratio), dtypes=self.dtypes, name="mlp"
-        )(y)
+        x, _ = jax.lax.scan(body, x, params)
         return x
 
 
@@ -192,17 +262,16 @@ class SwinTransformer(nn.Module):
         res = (h, w)
         dim = self.embed_dim
         for si, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
-            for bi in range(depth):
-                x = SwinBlock(
-                    dim=dim,
-                    num_heads=heads,
-                    window=self.window,
-                    shift=0 if bi % 2 == 0 else self.window // 2,
-                    input_resolution=res,
-                    mlp_ratio=self.mlp_ratio,
-                    dtypes=self.dtypes,
-                    name=f"layer{si}_block{bi}",
-                )(x)
+            x = SwinStage(
+                dim=dim,
+                num_heads=heads,
+                depth=depth,
+                window=self.window,
+                input_resolution=res,
+                mlp_ratio=self.mlp_ratio,
+                dtypes=self.dtypes,
+                name=f"layer{si}",
+            )(x)
             if si < len(self.depths) - 1:
                 x = PatchMerging(
                     input_resolution=res, dim=dim, dtypes=self.dtypes,

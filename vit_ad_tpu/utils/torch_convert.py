@@ -216,30 +216,38 @@ def convert_swin(
     res = img_size // patch_size
     for si, depth in enumerate(depths):
         eff_window = min(res, window)
-        for bj in range(depth):
-            p = f"layers.{si}.blocks.{bj}"
-            qkv_w, qkv_b = _linear(sd, f"{p}.attn.qkv")
-            proj_w, proj_b = _linear(sd, f"{p}.attn.proj")
-            fc1_w, fc1_b = _linear(sd, f"{p}.mlp.fc1")
-            fc2_w, fc2_b = _linear(sd, f"{p}.mlp.fc2")
-            table = sd[f"{p}.attn.relative_position_bias_table"]
-            src_window = (table.shape[0] ** 0.5 + 1) / 2
-            table = interpolate_rel_pos_table(
-                table, int(round(src_window)), eff_window
-            )
-            params[f"layer{si}_block{bj}"] = {
-                "norm1": ln(f"{p}.norm1"),
-                "norm2": ln(f"{p}.norm2"),
-                "attn": {
-                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
-                    "proj": {"kernel": proj_w, "bias": proj_b},
-                    "relative_position_bias_table": table,
-                },
-                "mlp": {
-                    "fc1": {"kernel": fc1_w, "bias": fc1_b},
-                    "fc2": {"kernel": fc2_w, "bias": fc2_b},
-                },
+
+        def block_leaves(bj):
+            pfx = f"layers.{si}.blocks.{bj}"
+            table = sd[f"{pfx}.attn.relative_position_bias_table"]
+            src_window = int(round((table.shape[0] ** 0.5 + 1) / 2))
+            return {
+                "norm1_scale": sd[f"{pfx}.norm1.weight"],
+                "norm1_bias": sd[f"{pfx}.norm1.bias"],
+                "qkv_kernel": sd[f"{pfx}.attn.qkv.weight"].T,
+                "qkv_bias": sd[f"{pfx}.attn.qkv.bias"],
+                "bias_table": interpolate_rel_pos_table(
+                    table, src_window, eff_window
+                ),
+                "proj_kernel": sd[f"{pfx}.attn.proj.weight"].T,
+                "proj_bias": sd[f"{pfx}.attn.proj.bias"],
+                "norm2_scale": sd[f"{pfx}.norm2.weight"],
+                "norm2_bias": sd[f"{pfx}.norm2.bias"],
+                "fc1_kernel": sd[f"{pfx}.mlp.fc1.weight"].T,
+                "fc1_bias": sd[f"{pfx}.mlp.fc1.bias"],
+                "fc2_kernel": sd[f"{pfx}.mlp.fc2.weight"].T,
+                "fc2_bias": sd[f"{pfx}.mlp.fc2.bias"],
             }
+
+        # scan-stacked (unshifted, shifted) pairs: 'a' = even blocks,
+        # 'b' = odd blocks, stacked along a leading n_pairs axis
+        stage: Dict[str, Any] = {}
+        for tag, parity in (("a", 0), ("b", 1)):
+            leaves = [block_leaves(2 * j + parity) for j in range(depth // 2)]
+            for key in leaves[0]:
+                stage[f"{tag}_{key}"] = np.stack([lv[key] for lv in leaves])
+        params[f"layer{si}"] = stage
+
         if si < len(depths) - 1:
             dp = f"layers.{si}.downsample"
             params[f"layer{si}_downsample"] = {
