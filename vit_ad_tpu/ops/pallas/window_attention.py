@@ -32,6 +32,13 @@ from vit_ad_tpu.ops.window_attention import relative_position_index
 Array = jax.Array
 
 
+def _target_platform() -> str:
+    """Platform the current trace will run on: honors an active
+    jax.default_device(...) context (default_backend() does not)."""
+    dev = jax.config.jax_default_device
+    return dev.platform if dev is not None else jax.default_backend()
+
+
 def _kernel(num_heads, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     # blocks: q/k/v/out [1, N, C] (heads packed in C, sliced in VMEM);
     # bias [H, N, N]; mask [1, N, N]. One grid cell per window, heads
@@ -114,8 +121,8 @@ def window_attention_core_pallas(
     bias = bias_table[idx].reshape(n, n, num_heads)
     bias = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)  # [H, N, N]
 
-    # CPU backend (tests, CPU-side init) can only run pallas interpreted
-    if jax.default_backend() == "cpu":
+    # CPU target (tests, CPU-side init) can only run pallas interpreted
+    if _target_platform() == "cpu":
         interpret = True
 
     if mask is None:
