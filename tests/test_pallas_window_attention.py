@@ -35,3 +35,19 @@ def test_matches_xla_core(rng, shift):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_vit_attention_matches_xla(rng):
+    from vit_ad_tpu.ops.pallas.window_attention import vit_attention_pallas
+
+    b, n, h, hd = 2, 10, 3, 8
+    q = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+    got = vit_attention_pallas(q, k, v, interpret=True)
+    attn = jax.nn.softmax(
+        jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k), axis=-1
+    )
+    want = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

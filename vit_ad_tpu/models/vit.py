@@ -40,6 +40,24 @@ def _layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array
     return y * scale + bias
 
 
+def _use_pallas_attention() -> bool:
+    """Trace-time choice, same policy as the Swin window kernel: fused Pallas
+    attention on TPU targets unless VITAD_PALLAS_VIT_ATTN=0 (or =1 to force).
+
+    The kernel is forward-only (no custom VJP yet); every framework flow
+    keeps the frozen encoder off the differentiated path (features/latents
+    are extracted outside grad), so this is safe. Set the flag to 0 before
+    taking gradients THROUGH the encoder."""
+    import os
+
+    flag = os.environ.get("VITAD_PALLAS_VIT_ATTN")
+    if flag in ("0", "1"):
+        return flag == "1"
+    from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+    return _target_platform() == "tpu"
+
+
 def _block_apply(
     x: Array, p: Dict[str, Array], num_heads: int, compute_dtype, accum_dtype
 ) -> Array:
@@ -53,11 +71,20 @@ def _block_apply(
         b, n, 3, num_heads, hd
     )
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn = jnp.einsum(
-        "bnhd,bmhd->bhnm", q * (hd**-0.5), k, preferred_element_type=accum_dtype
-    )
-    attn = jax.nn.softmax(attn.astype(accum_dtype), axis=-1).astype(compute_dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+    if _use_pallas_attention():
+        from vit_ad_tpu.ops.pallas.window_attention import vit_attention_pallas
+
+        out = vit_attention_pallas(q, k, v, accum_dtype=accum_dtype)
+        out = out.astype(compute_dtype)
+    else:
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * (hd**-0.5), k,
+            preferred_element_type=accum_dtype,
+        )
+        attn = jax.nn.softmax(attn.astype(accum_dtype), axis=-1).astype(
+            compute_dtype
+        )
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
     out = (
         jnp.einsum("bnd,de->bne", out, p["proj_kernel"].astype(compute_dtype))
         + p["proj_bias"].astype(compute_dtype)

@@ -134,3 +134,21 @@ def window_attention_core_pallas(
 
     return _call(qf, kf, vf, bias, mask_windows, num_heads, n_w,
                  interpret=interpret)
+
+
+def vit_attention_pallas(
+    q: Array, k: Array, v: Array, accum_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Array:
+    """Fused plain MHSA for the ViT/DeiT blocks: one "window" of all tokens,
+    no relative bias, no mask. q/k/v: [B, N, H, hd] → [B, N, H*hd]. Keeps the
+    [H, N, N] attention probabilities in VMEM instead of HBM."""
+    b, n, h, hd = q.shape
+    qf = q.reshape(b, n, h * hd)
+    kf = k.reshape(b, n, h * hd)
+    vf = v.reshape(b, n, h * hd)
+    if _target_platform() == "cpu":
+        interpret = True
+    zero_bias = jnp.zeros((h, n, n), jnp.float32)
+    zero_mask = jnp.zeros((1, n, n), jnp.float32)
+    return _call(qf, kf, vf, zero_bias, zero_mask, h, 1, interpret=interpret)
