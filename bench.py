@@ -31,7 +31,7 @@ import time
 import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cpu_baseline.json")
-BATCH = 64
+BATCH = 128
 WARMUP = 2
 ITERS = 10
 
