@@ -36,13 +36,9 @@ def main(argv):
     hp, data_path, train_pref, test_pref = parsed
     if not hp.model_name.startswith(("enc_", "ae_")):
         hp.model_name = f"enc_{hp.model_name}"
-    from vit_ad_tpu.registry import get_possible_models
+    from vit_ad_tpu.cli.common import validate_model_name
 
-    if hp.model_name not in get_possible_models():
-        print(
-            f"Defined model {hp.model_name!r} not known. Please specify one of "
-            f"the following model names: \n {get_possible_models()}"
-        )
+    if not validate_model_name(hp):
         return None
     data, test = build_pipelines(hp, data_path, train_pref, test_pref)
 
@@ -61,11 +57,7 @@ def main(argv):
     # resnet dispatch parity (reference startTraining_mdn.py:134-147)
     trainer = train_mdn_resnet if "res_net" in hp.model_name else train_mdn
     try:
-        try:
-            result = trainer(hp, data, test, logger=logger)
-        except KeyError as e:
-            print(f"Defined model {hp.model_name!r} not known: {e}")
-            return None
+        result = trainer(hp, data, test, logger=logger)
         print("final metrics:", result.metrics)
         from vit_ad_tpu.utils.checkpoint import save_params
 

@@ -30,13 +30,9 @@ def main(argv):
     if parsed is None:
         return
     hp, data_path, train_pref, test_pref = parsed
-    from vit_ad_tpu.registry import get_possible_models
+    from vit_ad_tpu.cli.common import validate_model_name
 
-    if hp.model_name not in get_possible_models():
-        print(
-            f"Defined model {hp.model_name!r} not known. Please specify one of "
-            f"the following model names: \n {get_possible_models()}"
-        )
+    if not validate_model_name(hp):
         return None
     data, test = build_pipelines(hp, data_path, train_pref, test_pref)
 
@@ -52,11 +48,7 @@ def main(argv):
         enable_wandb=hp.enable_wandb,
     )
     try:
-        try:
-            result = train_recon(hp, data, test, logger=logger)
-        except KeyError as e:
-            print(f"Defined model {hp.model_name!r} not known: {e}")
-            return None
+        result = train_recon(hp, data, test, logger=logger)
         print("final metrics:", result.metrics)
         from vit_ad_tpu.utils.checkpoint import save_params
 

@@ -51,3 +51,21 @@ def test_vit_attention_matches_xla(rng):
     want = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * hd)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_vit_attention_gradients(rng):
+    """The custom-VJP wrapper must be differentiable and match XLA grads."""
+    from vit_ad_tpu.ops.pallas.window_attention import (
+        _xla_plain_attention,
+        vit_attention,
+    )
+
+    b, n, h, hd = 1, 6, 2, 4
+    q = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, h, hd)).astype(np.float32))
+
+    g1 = jax.grad(lambda q_: jnp.sum(vit_attention(q_, k, v) ** 2))(q)
+    g2 = jax.grad(lambda q_: jnp.sum(_xla_plain_attention(q_, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)

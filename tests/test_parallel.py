@@ -60,3 +60,16 @@ def test_mdn_mixture_sharding(mesh):
     sh = param_shardings(params, mesh)
     assert sh["params"]["w_mu"].spec == P(None, None, "model")
     assert sh["params"]["w_pi"].spec == P(None, "model")
+
+
+def test_swin_param_sharding_rules(mesh):
+    from vit_ad_tpu.models.swin import SwinTransformer
+
+    m = SwinTransformer(img_size=16, patch_size=2, embed_dim=8, depths=(2, 2),
+                        num_heads=(2, 4), window=4, dtypes=DtypePolicy.f32())
+    params = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    sh = param_shardings(params, mesh)
+    l0 = sh["params"]["layer0"]
+    assert l0["a_qkv_kernel"].spec == P(None, None, "model")
+    assert l0["b_fc2_kernel"].spec == P(None, "model", None)
+    assert l0["a_bias_table"].spec == P()

@@ -124,3 +124,16 @@ def build_pipelines(
         validation_mode=True,
     )
     return data, test
+
+
+def validate_model_name(hp: HyperParams) -> bool:
+    """Reference-style unknown-model handling (reference ModelHelper.py:60-65):
+    print the valid keys and signal the caller to abort."""
+    names = get_possible_models()
+    if hp.model_name not in names:
+        print(
+            f"Defined model {hp.model_name!r} not known. Please specify one of "
+            f"the following model names: \n {names}"
+        )
+        return False
+    return True

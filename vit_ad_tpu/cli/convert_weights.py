@@ -53,12 +53,8 @@ def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
         from vit_ad_tpu.models.swin import esvit_swin_tiny
 
         encoder = esvit_swin_tiny(img_size)
-        # EsViT checkpoints carry a 'student' dict (reference
-        # TransformerEncoder.py:242-249)
-        if any(key.startswith("student") for key in sd):
-            sd = {k[len("student."):]: v for k, v in sd.items()
-                  if k.startswith("student.")}
-            sd = tc.strip_prefix(sd, "module.")
+        # the 'student' container and 'module.' prefix were already unwrapped
+        # by load_pth / strip_prefix (reference TransformerEncoder.py:242-256)
         inner = tc.convert_swin(sd, img_size=img_size)
         converted = {"params": inner["params"]}
     else:

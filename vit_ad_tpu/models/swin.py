@@ -57,16 +57,17 @@ def _attention_core():
     on CPU)."""
     from vit_ad_tpu.ops.pallas.window_attention import (
         _target_platform,
-        window_attention_core_pallas,
+        window_attention,
     )
 
     flag = os.environ.get("VITAD_PALLAS_WINDOW_ATTN")
-    if flag == "1":
-        return window_attention_core_pallas
     if flag == "0":
         return wa.window_attention_core
-    if _target_platform() == "tpu":
-        return window_attention_core_pallas
+    if flag == "1" or _target_platform() == "tpu":
+        # differentiable wrapper: Pallas forward, XLA-recompute backward
+        return lambda q, k, v, bt, nh, win, mask, accum_dtype=jnp.float32: (
+            window_attention(q, k, v, bt, nh, win, mask)
+        )
     return wa.window_attention_core
 
 

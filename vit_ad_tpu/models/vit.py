@@ -44,10 +44,9 @@ def _use_pallas_attention() -> bool:
     """Trace-time choice, same policy as the Swin window kernel: fused Pallas
     attention on TPU targets unless VITAD_PALLAS_VIT_ATTN=0 (or =1 to force).
 
-    The kernel is forward-only (no custom VJP yet); every framework flow
-    keeps the frozen encoder off the differentiated path (features/latents
-    are extracted outside grad), so this is safe. Set the flag to 0 before
-    taking gradients THROUGH the encoder."""
+    The Pallas forward carries a custom VJP that recomputes the backward
+    through the XLA reference core, so gradients through the encoder work
+    (e.g. recon with cache_frozen_features=False)."""
     import os
 
     flag = os.environ.get("VITAD_PALLAS_VIT_ATTN")
@@ -72,10 +71,9 @@ def _block_apply(
     )
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if _use_pallas_attention():
-        from vit_ad_tpu.ops.pallas.window_attention import vit_attention_pallas
+        from vit_ad_tpu.ops.pallas.window_attention import vit_attention
 
-        out = vit_attention_pallas(q, k, v, accum_dtype=accum_dtype)
-        out = out.astype(compute_dtype)
+        out = vit_attention(q, k, v).astype(compute_dtype)
     else:
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q * (hd**-0.5), k,

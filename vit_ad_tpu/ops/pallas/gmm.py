@@ -101,8 +101,9 @@ def gmm_log_likelihood_pallas(
         b_mu = jnp.pad(b_mu, ((0, pad_k), (0, 0)))
         k = k + pad_k
 
-    # sublane constraint: row tile must be a multiple of 8
-    row_tile = max(8, min(row_tile, ((rows + 7) // 8) * 8))
+    # sublane constraint: the row tile itself must be a multiple of 8
+    row_tile = min(row_tile, ((rows + 7) // 8) * 8)
+    row_tile = max(8, (row_tile // 8) * 8)
     pad_rows = (-rows) % row_tile
     if pad_rows:
         xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))

@@ -34,12 +34,16 @@ Array = jax.Array
 
 def _target_platform() -> str:
     """Platform the current trace will run on: honors an active
-    jax.default_device(...) context (default_backend() does not)."""
+    jax.default_device(...) context (default_backend() does not). The
+    config value may be a Device or a platform string."""
     dev = jax.config.jax_default_device
-    return dev.platform if dev is not None else jax.default_backend()
+    if dev is None:
+        return jax.default_backend()
+    return dev if isinstance(dev, str) else dev.platform
 
 
-def _kernel(num_heads, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
+def _kernel(num_heads, accum_dtype, q_ref, k_ref, v_ref, bias_ref, mask_ref,
+            out_ref):
     # blocks: q/k/v/out [1, N, C] (heads packed in C, sliced in VMEM);
     # bias [H, N, N]; mask [1, N, N]. One grid cell per window, heads
     # unrolled — fewer, fatter grid cells than a (window, head) grid.
@@ -53,24 +57,27 @@ def _kernel(num_heads, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
         scores = jnp.dot(
-            q[:, sl] * scale, k[:, sl].T, preferred_element_type=jnp.float32
+            q[:, sl] * scale, k[:, sl].T, preferred_element_type=accum_dtype
         )  # [N, N]
-        scores = scores + bias_ref[h] + mask
+        scores = scores.astype(accum_dtype) + bias_ref[h] + mask
         scores = jax.nn.softmax(scores, axis=-1)
         out_ref[0, :, sl] = jnp.dot(
-            scores.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+            scores.astype(v.dtype), v[:, sl], preferred_element_type=accum_dtype
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_w", "interpret"))
-def _call(q, k, v, bias, mask_windows, num_heads, n_w, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "n_w", "accum_dtype", "interpret")
+)
+def _call(q, k, v, bias, mask_windows, num_heads, n_w,
+          accum_dtype=jnp.float32, interpret=False):
     """q/k/v: [B_, N, C]; mask_windows: [n_w, N, N] — indexed per grid cell
     by (window_id % n_w); windows are the minor axis of the partition, so
     window b maps to mask row b % n_w. No [B_, N, N] mask in HBM."""
     b_, n, c = q.shape
     hd = c // num_heads
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads),
+        functools.partial(_kernel, num_heads, accum_dtype),
         out_shape=jax.ShapeDtypeStruct((b_, n, c), q.dtype),
         grid=(b_,),
         in_specs=[
@@ -133,7 +140,7 @@ def window_attention_core_pallas(
         n_w = mask.shape[0]
 
     return _call(qf, kf, vf, bias, mask_windows, num_heads, n_w,
-                 interpret=interpret)
+                 accum_dtype=accum_dtype, interpret=interpret)
 
 
 def vit_attention_pallas(
@@ -151,4 +158,84 @@ def vit_attention_pallas(
         interpret = True
     zero_bias = jnp.zeros((h, n, n), jnp.float32)
     zero_mask = jnp.zeros((1, n, n), jnp.float32)
-    return _call(qf, kf, vf, zero_bias, zero_mask, h, 1, interpret=interpret)
+    return _call(qf, kf, vf, zero_bias, zero_mask, h, 1,
+                 accum_dtype=accum_dtype, interpret=interpret)
+
+
+# ---- differentiable wrappers -------------------------------------------------
+#
+# The Pallas kernels are forward-only; gradients recompute through the XLA
+# reference core (jax.vjp of ops.window_attention.window_attention_core).
+# Framework flows keep frozen encoders off the differentiated path, but
+# trainable-encoder paths (e.g. recon with cache_frozen_features=False)
+# differentiate through attention — the custom VJP makes that correct with
+# the Pallas forward still in place.
+
+def _xla_plain_attention(q, k, v):
+    hd = q.shape[-1]
+    attn = jax.nn.softmax(
+        jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k,
+                   preferred_element_type=jnp.float32),
+        axis=-1,
+    ).astype(v.dtype)
+    b, n, h, _ = q.shape
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * hd)
+
+
+@jax.custom_vjp
+def vit_attention(q: Array, k: Array, v: Array) -> Array:
+    """Differentiable fused attention: Pallas forward on TPU targets (XLA on
+    CPU), XLA-recompute backward. q/k/v: [B, N, H, hd] → [B, N, H*hd]."""
+    if _target_platform() == "cpu":
+        return _xla_plain_attention(q, k, v)
+    return vit_attention_pallas(q, k, v)
+
+
+def _vit_attention_fwd(q, k, v):
+    return vit_attention(q, k, v), (q, k, v)
+
+
+def _vit_attention_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_plain_attention, q, k, v)
+    return vjp(g)
+
+
+vit_attention.defvjp(_vit_attention_fwd, _vit_attention_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def window_attention(q, k, v, bias_table, num_heads, window, mask=None):
+    """Differentiable windowed attention: Pallas forward on TPU targets (XLA
+    on CPU), XLA-recompute backward (through
+    ops.window_attention.window_attention_core). Differentiates q/k/v and
+    the relative-position bias table; mask is constant."""
+    from vit_ad_tpu.ops.window_attention import window_attention_core
+
+    if _target_platform() == "cpu":
+        return window_attention_core(q, k, v, bias_table, num_heads, window, mask)
+    return window_attention_core_pallas(
+        q, k, v, bias_table, num_heads, window, mask
+    )
+
+
+def _window_attention_fwd(q, k, v, bias_table, num_heads, window, mask=None):
+    out = window_attention(q, k, v, bias_table, num_heads, window, mask)
+    return out, (q, k, v, bias_table, mask)
+
+
+def _window_attention_bwd(num_heads, window, res, g):
+    from vit_ad_tpu.ops.window_attention import window_attention_core
+
+    q, k, v, bias_table, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, bt_: window_attention_core(
+            q_, k_, v_, bt_, num_heads, window, mask
+        ),
+        q, k, v, bias_table,
+    )
+    dq, dk, dv, dbt = vjp(g)
+    return dq, dk, dv, dbt, None
+
+
+window_attention.defvjp(_window_attention_fwd, _window_attention_bwd)

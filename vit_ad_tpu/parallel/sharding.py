@@ -33,12 +33,14 @@ def _spec_for(path: Tuple[str, ...], value: Any) -> P:
     name = "/".join(path)
     ndim = getattr(value, "ndim", 0)
     leaf = path[-1]
-    # ViT stacked-block layout ([depth, in, out] kernels, models/vit.py)
-    if leaf in ("qkv_kernel", "fc1_kernel") and ndim == 3:
+    # stacked-block layouts ([depth, in, out] kernels): ViT leaves are
+    # "qkv_kernel"...; Swin stage pairs prefix them "a_"/"b_" (models/vit.py,
+    # models/swin.py) — endswith covers both
+    if leaf.endswith(("qkv_kernel", "fc1_kernel")) and ndim == 3:
         return P(None, None, "model")  # column-parallel
-    if leaf in ("proj_kernel", "fc2_kernel") and ndim == 3:
+    if leaf.endswith(("proj_kernel", "fc2_kernel")) and ndim == 3:
         return P(None, "model", None)  # row-parallel → psum
-    if leaf in ("qkv_bias", "fc1_bias") and ndim == 2:
+    if leaf.endswith(("qkv_bias", "fc1_bias")) and ndim == 2:
         return P(None, "model")
     # Swin/NesT per-module Dense layout
     if "attn" in name and "qkv" in name and leaf == "kernel":

@@ -31,10 +31,13 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
-        sd = sd["model"]
+    # unwrap common checkpoint containers BEFORE tensor conversion — EsViT
+    # checkpoints are {'student': OrderedDict, 'teacher': ..., 'epoch': ...}
+    # (reference TransformerEncoder.py:248 reads checkpoint['student'])
+    for key in ("student", "state_dict", "model"):
+        if isinstance(sd, dict) and isinstance(sd.get(key), dict):
+            sd = sd[key]
+            break
     return state_dict_to_numpy(sd)
 
 
