@@ -41,3 +41,43 @@ class EarlyStopping:
         else:
             self.counter += 1
         return self.counter >= self.patience
+
+
+def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
+    """Shared epoch driver for every trainer: per-epoch train/valid losses,
+    history with epoch timing, images/sec logging, early stopping with
+    best-weight snapshots.
+
+    train_epoch(epoch) -> (train_loss, n_items)   [mutates trainer state]
+    valid_epoch()      -> valid_loss
+    snapshot()         -> params pytree for best-weight retention
+
+    Returns (history, epochs_ran, stopper)."""
+    import time
+
+    import numpy as np  # noqa: F401  (kept for parity with callers)
+
+    stopper = EarlyStopping(hp.patience)
+    history = {"train_loss": [], "valid_loss": [], "epoch_time": []}
+    epochs_ran = 0
+    for epoch in range(hp.epochs):
+        t0 = time.perf_counter()
+        train_loss, n_items = train_epoch(epoch)
+        valid_loss = valid_epoch()
+        epoch_time = time.perf_counter() - t0
+        history["train_loss"].append(train_loss)
+        history["valid_loss"].append(valid_loss)
+        history["epoch_time"].append(epoch_time)
+        epochs_ran = epoch + 1
+        if logger is not None:
+            logger.log(
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "valid_loss": valid_loss,
+                    "images_per_sec": float(n_items) / max(epoch_time, 1e-9),
+                }
+            )
+        if stopper.update(valid_loss, snapshot(), epoch):
+            break
+    return history, epochs_ran, stopper

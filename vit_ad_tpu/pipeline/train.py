@@ -24,7 +24,7 @@ from vit_ad_tpu.data.dataset import default_norm_stats
 from vit_ad_tpu.data.loader import DataPipeline
 from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
 from vit_ad_tpu.models.mdn import GaussianMDN
-from vit_ad_tpu.pipeline.early_stopping import EarlyStopping
+from vit_ad_tpu.pipeline.early_stopping import EarlyStopping, run_epochs
 from vit_ad_tpu.pipeline.features import (
     extract_features,
     feature_batches,
@@ -130,11 +130,8 @@ def train_mdn(
 
     eval_loss = jax.jit(lambda p, f, v: masked_loss(p, f, v, None))
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal rng, head_params, opt_state, feats_train
         if not hp.cache_frozen_features and epoch > 0:
             feats_train = extract_features(
                 extractor, data.train_batches(hp.prefetch)
@@ -147,30 +144,18 @@ def train_mdn(
             )
             losses.append(float(loss))
             weights.append(valid.sum())
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
             vlosses.append(float(eval_loss(head_params, feats, valid)))
             vweights.append(valid.sum())
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(valid_loss, head_params, epoch):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch, lambda: head_params, logger
+    )
 
     best_params = stopper.best_params if stopper.best_params is not None else head_params
 
@@ -255,11 +240,8 @@ def train_nf(
 
     eval_loss = jax.jit(masked_loss)
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal head_params, opt_state, feats_train
         if not hp.cache_frozen_features and epoch > 0:
             feats_train = extract_features(
                 extractor, data.train_batches(hp.prefetch)
@@ -271,30 +253,18 @@ def train_nf(
             )
             losses.append(float(loss))
             weights.append(valid.sum())
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
             vlosses.append(float(eval_loss(head_params, feats, valid)))
             vweights.append(valid.sum())
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(valid_loss, head_params, epoch):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch, lambda: head_params, logger
+    )
 
     best_params = stopper.best_params if stopper.best_params is not None else head_params
 
@@ -477,11 +447,8 @@ def train_recon(
         )
         return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal params, batch_stats, opt_state
         losses, weights = [], []
         offset = 0
         for batch in data.train_batches(hp.prefetch):
@@ -504,8 +471,9 @@ def train_recon(
                 )
             losses.append(float(loss))
             weights.append(float(np.sum(batch.valid)))
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
@@ -513,24 +481,12 @@ def train_recon(
                 float(valid_loss_fn(params, batch_stats, batch.images, valid))
             )
             vweights.append(float(np.sum(batch.valid)))
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(valid_loss, {"params": params, "batch_stats": batch_stats}, epoch):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch,
+        lambda: {"params": params, "batch_stats": batch_stats}, logger,
+    )
 
     best = (
         stopper.best_params
@@ -659,11 +615,8 @@ def train_mdn_resnet(
         lambda p, im, v: loss_fn(p, im, v, jax.random.key(0))
     )
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal rng, params, opt_state
         losses, weights = [], []
         for batch in data.train_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
@@ -673,31 +626,19 @@ def train_mdn_resnet(
             )
             losses.append(float(loss))
             weights.append(float(np.sum(batch.valid)))
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
             vlosses.append(float(eval_loss(params, batch.images, valid)))
             vweights.append(float(np.sum(batch.valid)))
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(valid_loss, params, epoch):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch, lambda: params, logger
+    )
 
     best = stopper.best_params if stopper.best_params is not None else params
 
@@ -810,11 +751,8 @@ def train_nf_resnet(
 
     eval_loss = jax.jit(loss_fn)
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal params, opt_state
         losses, weights = [], []
         for batch in data.train_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
@@ -823,31 +761,19 @@ def train_nf_resnet(
             )
             losses.append(float(loss))
             weights.append(float(np.sum(batch.valid)))
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
             vlosses.append(float(eval_loss(params, batch.images, valid)))
             vweights.append(float(np.sum(batch.valid)))
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(valid_loss, params, epoch):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch, lambda: params, logger
+    )
 
     best = stopper.best_params if stopper.best_params is not None else params
 
@@ -957,11 +883,8 @@ def train_vae(
         kl_i = -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
         return mse + jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    stopper = EarlyStopping(hp.patience)
-    history: Dict[str, List[float]] = {"train_loss": [], "valid_loss": [], "epoch_time": []}
-    epochs_ran = 0
-    for epoch in range(hp.epochs):
-        t0 = time.perf_counter()
+    def train_epoch(epoch):
+        nonlocal rng, params, batch_stats, opt_state
         losses, weights = [], []
         for batch in data.train_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
@@ -971,8 +894,10 @@ def train_vae(
             )
             losses.append(float(loss))
             weights.append(float(np.sum(batch.valid)))
-        train_loss = float(np.average(losses, weights=weights))
+        return float(np.average(losses, weights=weights)), float(np.sum(weights))
 
+    def valid_epoch():
+        nonlocal rng
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
@@ -981,26 +906,12 @@ def train_vae(
                 float(valid_loss_fn(params, batch_stats, batch.images, valid, k))
             )
             vweights.append(float(np.sum(batch.valid)))
-        valid_loss = float(np.average(vlosses, weights=vweights))
+        return float(np.average(vlosses, weights=vweights))
 
-        epoch_time = time.perf_counter() - t0
-        history["train_loss"].append(train_loss)
-        history["valid_loss"].append(valid_loss)
-        history["epoch_time"].append(epoch_time)
-        epochs_ran = epoch + 1
-        if logger is not None:
-            logger.log(
-                {
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "valid_loss": valid_loss,
-                    "images_per_sec": float(np.sum(weights)) / max(epoch_time, 1e-9),
-                }
-            )
-        if stopper.update(
-            valid_loss, {"params": params, "batch_stats": batch_stats}, epoch
-        ):
-            break
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch,
+        lambda: {"params": params, "batch_stats": batch_stats}, logger,
+    )
 
     best = (
         stopper.best_params
