@@ -38,7 +38,11 @@ Array = jax.Array
 
 
 class NestBlock(nn.Module):
-    """Pre-LN transformer block over [B*nBlocks, N, C] block tokens."""
+    """Pre-LN transformer block over [B*nBlocks, N, C] block tokens.
+
+    NesT's non-overlapping block attention is an unshifted window attention,
+    so it rides the same fused-Pallas-on-TPU path as the ViT blocks
+    (models/vit.py _use_pallas_attention)."""
 
     dim: int
     num_heads: int
@@ -53,13 +57,20 @@ class NestBlock(nn.Module):
                        param_dtype=self.dtypes.param_dtype, name="qkv")(y)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, c // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (c // self.num_heads) ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=self.dtypes.accum_dtype)
-        attn = jax.nn.softmax(attn.astype(self.dtypes.accum_dtype), axis=-1)
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn.astype(self.dtypes.compute_dtype), v
-        ).reshape(b_, n, c)
+        from vit_ad_tpu.models.vit import _use_pallas_attention
+
+        if _use_pallas_attention():
+            from vit_ad_tpu.ops.pallas.window_attention import vit_attention
+
+            out = vit_attention(q, k, v).astype(self.dtypes.compute_dtype)
+        else:
+            scale = (c // self.num_heads) ** -0.5
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                              preferred_element_type=self.dtypes.accum_dtype)
+            attn = jax.nn.softmax(attn.astype(self.dtypes.accum_dtype), axis=-1)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn.astype(self.dtypes.compute_dtype), v
+            ).reshape(b_, n, c)
         x = x + nn.Dense(c, dtype=self.dtypes.compute_dtype,
                          param_dtype=self.dtypes.param_dtype, name="proj")(out)
         y = LayerNorm(dtypes=self.dtypes, name="norm2")(x)
