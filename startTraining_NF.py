@@ -8,6 +8,7 @@ startTraining_NF.py:26-39).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from vit_ad_tpu.cli.common import MVTEC_BASE, build_pipelines, parse_args
@@ -59,11 +60,13 @@ def main(argv):
     # resnet dispatch parity (reference startTraining_NF.py:139-152)
     trainer = train_nf_resnet if "res_net" in hp.model_name else train_nf
     try:
-        result = trainer(hp, data, test, logger=logger)
+        result = trainer(hp, data, test, logger=logger,
+                         figures_dir=os.path.join(logger.dir, "figures"))
         print("final metrics:", result.metrics)
         from vit_ad_tpu.utils.checkpoint import save_params
 
         ckpt = save_params(logger.dir, "best_params", result.head_params)
+        logger.log_artifact(ckpt)
         print("checkpoint:", ckpt)
         return result
     finally:

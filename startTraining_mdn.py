@@ -7,6 +7,7 @@ ng 150, BTAD base — reference startTraining_mdn.py:26-38).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from vit_ad_tpu.cli.common import BTAD_BASE, build_pipelines, parse_args
@@ -57,11 +58,13 @@ def main(argv):
     # resnet dispatch parity (reference startTraining_mdn.py:134-147)
     trainer = train_mdn_resnet if "res_net" in hp.model_name else train_mdn
     try:
-        result = trainer(hp, data, test, logger=logger)
+        result = trainer(hp, data, test, logger=logger,
+                         figures_dir=os.path.join(logger.dir, "figures"))
         print("final metrics:", result.metrics)
         from vit_ad_tpu.utils.checkpoint import save_params
 
         ckpt = save_params(logger.dir, "best_params", result.head_params)
+        logger.log_artifact(ckpt)
         print("checkpoint:", ckpt)
         return result
     finally:

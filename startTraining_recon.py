@@ -7,6 +7,7 @@ reference startTraining_recon.py:27-38).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from vit_ad_tpu.cli.common import MVTEC_BASE, build_pipelines, parse_args
@@ -48,11 +49,13 @@ def main(argv):
         enable_wandb=hp.enable_wandb,
     )
     try:
-        result = train_recon(hp, data, test, logger=logger)
+        result = train_recon(hp, data, test, logger=logger,
+                         figures_dir=os.path.join(logger.dir, "figures"))
         print("final metrics:", result.metrics)
         from vit_ad_tpu.utils.checkpoint import save_params
 
         ckpt = save_params(logger.dir, "best_params", result.head_params)
+        logger.log_artifact(ckpt)
         print("checkpoint:", ckpt)
         return result
     finally:

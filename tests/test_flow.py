@@ -8,7 +8,6 @@ import pytest
 from vit_ad_tpu.config import DtypePolicy
 from vit_ad_tpu.models.flow import (
     _GLOBAL_SCALE_INIT,
-    FlowStep,
     NormalizingFlow,
     patch_tokens_to_map,
 )
@@ -73,15 +72,16 @@ def test_loss_and_anomaly_map_semantics(rng):
     assert am.min() >= -1e-5 and am.max() <= 1.0 + 1e-5
 
 
-def test_flow_step_odd_channels(rng):
-    """C odd → split1 = C - C//2 > split2; must still invert exactly."""
-    step = FlowStep(channels=5, kernel=1, hidden_ratio=1.0, dtypes=DtypePolicy.f32())
-    x = jnp.asarray(rng.normal(size=(1, 3, 3, 5)).astype(np.float32))
-    params = step.init(jax.random.key(3), x)
-    y, ld = step.apply(params, x)
-    x_rec, ld_inv = step.apply(params, y, method=FlowStep.inverse)
-    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=1e-5, atol=1e-6)
-    assert float(ld[0]) == pytest.approx(float(ld_inv[0]), rel=1e-5)
+def test_flow_odd_channels(rng):
+    """C odd → split1 = C - C//2 > split2; the production scan path (plus the
+    unscanned tail step, steps=3) must still invert exactly."""
+    flow = _flow(c=5, img=8, patches=9, steps=3, ratio=1.0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 3, 5)).astype(np.float32))
+    params = flow.init(jax.random.key(3), x)
+    z, ld = flow.apply(params, x, method=NormalizingFlow.transform)
+    x_rec = flow.apply(params, z, method=NormalizingFlow.inverse)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=1e-4, atol=1e-5)
+    assert ld.shape == (2,)
 
 
 def test_patch_tokens_to_map():

@@ -54,3 +54,28 @@ def test_noise_decreases_ssim(rng):
     small = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
     big = np.clip(x + rng.normal(0, 0.4, x.shape), 0, 1).astype(np.float32)
     assert float(ssim(x, big)) < float(ssim(x, small)) < 1.0
+
+
+def test_per_image_ssim_masks_padding(rng):
+    """ssim_per_image is independent across batch rows, so a masked mean over
+    the real rows ignores padded duplicates entirely (the padded-static-batch
+    SSIM objective in train_recon relies on this)."""
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.ops.ssim import ssim_per_image
+
+    x = jnp.asarray(rng.random((3, 16, 16, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 16, 16, 3)).astype(np.float32))
+    valid = jnp.asarray([1.0, 1.0, 0.0])
+
+    per = ssim_per_image(x, y)
+    assert per.shape == (3,)
+    assert float(ssim(x, y)) == pytest.approx(float(per.mean()), abs=1e-6)
+
+    masked = float(jnp.sum(per * valid) / jnp.sum(valid))
+    # garbage in the padding row must not move the masked mean
+    x2 = x.at[2].set(0.0)
+    per2 = ssim_per_image(x2, y)
+    masked2 = float(jnp.sum(per2 * valid) / jnp.sum(valid))
+    assert masked == pytest.approx(masked2, abs=1e-7)
+    assert float(per2.mean()) != pytest.approx(float(per.mean()), abs=1e-4)

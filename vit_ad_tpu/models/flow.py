@@ -52,106 +52,6 @@ def _soft_clamp(a: Array, clamp: float) -> Array:
     return clamp * 0.636 * jnp.arctan(a)
 
 
-class CouplingSubnet(nn.Module):
-    """conv(k) → ReLU → conv(k), hidden = int(in_ch * hidden_ratio)
-    (reference NormalizingFlow.subnet_conv_fun, :61-82)."""
-
-    kernel: int
-    hidden: int
-    out_channels: int
-    dtypes: DtypePolicy = DtypePolicy()
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        k = (self.kernel, self.kernel)
-        x = nn.Conv(
-            self.hidden, k, padding="SAME",
-            dtype=self.dtypes.compute_dtype, param_dtype=self.dtypes.param_dtype,
-            name="conv1",
-        )(x)
-        x = nn.relu(x)
-        x = nn.Conv(
-            self.out_channels, k, padding="SAME",
-            dtype=self.dtypes.compute_dtype, param_dtype=self.dtypes.param_dtype,
-            name="conv2",
-        )(x)
-        return x
-
-
-class FlowStep(nn.Module):
-    """One AllInOneBlock-equivalent invertible step (NHWC)."""
-
-    channels: int
-    kernel: int
-    hidden_ratio: float
-    clamp: float = 2.0
-    perm_seed: int = 0
-    dtypes: DtypePolicy = DtypePolicy()
-
-    def setup(self) -> None:
-        c = self.channels
-        self.split1 = c - c // 2
-        self.split2 = c // 2
-        self.subnet = CouplingSubnet(
-            kernel=self.kernel,
-            hidden=int(self.split1 * self.hidden_ratio),
-            out_channels=2 * self.split2,
-            dtypes=self.dtypes,
-        )
-        self.global_scale_p = self.param(
-            "global_scale",
-            nn.initializers.constant(_GLOBAL_SCALE_INIT),
-            (c,),
-            self.dtypes.param_dtype,
-        )
-        self.global_offset = self.param(
-            "global_offset", nn.initializers.zeros, (c,), self.dtypes.param_dtype
-        )
-        # Fixed (non-learned) channel permutation, deterministic per step.
-        # NumPy RNG (not jax.random): must be concrete at trace time.
-        perm = np.random.default_rng(self.perm_seed).permutation(c)
-        self.perm = jnp.asarray(perm)
-        self.inv_perm = jnp.asarray(np.argsort(perm))
-
-    def _global_scale(self) -> Array:
-        p = self.global_scale_p.astype(jnp.float32)
-        # 0.1 * softplus_{beta=0.5}(p) = 0.2 * log(1 + exp(0.5 p))
-        return 0.2 * jnp.logaddexp(0.0, 0.5 * p)
-
-    def __call__(self, x: Array) -> Tuple[Array, Array]:
-        """x: [B,H,W,C] → (y, logdet [B])."""
-        b, h, w, _ = x.shape
-        x1 = x[..., : self.split1]
-        x2 = x[..., self.split1 :]
-        a = self.subnet(x1).astype(jnp.float32) * 0.1
-        s = _soft_clamp(a[..., : self.split2], self.clamp)
-        t = a[..., self.split2 :]
-        x2 = x2 * jnp.exp(s) + t
-        logdet = jnp.sum(s, axis=(1, 2, 3))
-
-        y = jnp.concatenate([x1, x2], axis=-1)
-        scale = self._global_scale()
-        y = y * scale + self.global_offset.astype(jnp.float32)
-        logdet = logdet + h * w * jnp.sum(jnp.log(scale))
-        y = jnp.take(y, self.perm, axis=-1)
-        return y, logdet
-
-    def inverse(self, y: Array) -> Tuple[Array, Array]:
-        """Exact inverse; returns (x, logdet of the forward map)."""
-        b, h, w, _ = y.shape
-        y = jnp.take(y, self.inv_perm, axis=-1)
-        scale = self._global_scale()
-        y = (y - self.global_offset.astype(jnp.float32)) / scale
-        x1 = y[..., : self.split1]
-        x2 = y[..., self.split1 :]
-        a = self.subnet(x1).astype(jnp.float32) * 0.1
-        s = _soft_clamp(a[..., : self.split2], self.clamp)
-        t = a[..., self.split2 :]
-        x2 = (x2 - t) * jnp.exp(-s)
-        logdet = jnp.sum(s, axis=(1, 2, 3)) + h * w * jnp.sum(jnp.log(scale))
-        return jnp.concatenate([x1, x2], axis=-1), logdet
-
-
 def _conv_same(x: Array, kernel: Array, bias: Array) -> Array:
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")

@@ -48,8 +48,11 @@ def _blur(x: Array, kernel: np.ndarray) -> Array:
     return x
 
 
-@partial(jax.jit, static_argnames=("kernel_size",))
-def ssim(
+@partial(
+    jax.jit,
+    static_argnames=("data_range", "kernel_size", "sigma", "k1", "k2"),
+)
+def ssim_per_image(
     preds: Array,
     target: Array,
     data_range: float = 1.0,
@@ -58,7 +61,7 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> Array:
-    """Mean SSIM over the batch. Inputs [B,H,W,C], float."""
+    """Per-image SSIM [B]. Inputs [B,H,W,C], float."""
     kernel = _gaussian_kernel_1d(kernel_size, sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -77,7 +80,16 @@ def ssim(
 
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
-    return jnp.mean(num / den)
+    return jnp.mean(num / den, axis=(1, 2, 3))
+
+
+def ssim(preds: Array, target: Array, data_range: float = 1.0,
+         kernel_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> Array:
+    """Mean SSIM over the batch. Inputs [B,H,W,C], float."""
+    return jnp.mean(
+        ssim_per_image(preds, target, data_range, kernel_size, sigma, k1, k2)
+    )
 
 
 def ssim_loss(preds: Array, target: Array, data_range: float = 1.0) -> Array:

@@ -52,17 +52,29 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
     valid_epoch()      -> valid_loss
     snapshot()         -> params pytree for best-weight retention
 
+    When the env var VITAD_TRACE=<dir> is set, the SECOND epoch (the first is
+    compile-dominated) is captured as a jax.profiler device trace into <dir>.
+
     Returns (history, epochs_ran, stopper)."""
+    import contextlib
+    import os
     import time
 
-    import numpy as np  # noqa: F401  (kept for parity with callers)
+    from vit_ad_tpu.utils.profiling import StepTimer, trace
 
+    trace_dir = os.environ.get("VITAD_TRACE")
+    timer = StepTimer()
     stopper = EarlyStopping(hp.patience)
     history = {"train_loss": [], "valid_loss": [], "epoch_time": []}
     epochs_ran = 0
     for epoch in range(hp.epochs):
+        trace_this = trace_dir and epoch == min(1, hp.epochs - 1)
+        ctx = trace(trace_dir) if trace_this else contextlib.nullcontext()
         t0 = time.perf_counter()
-        train_loss, n_items = train_epoch(epoch)
+        timer.start()
+        with ctx:
+            train_loss, n_items = train_epoch(epoch)
+        timer.tick(n_items)
         valid_loss = valid_epoch()
         epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)
@@ -80,4 +92,5 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
             )
         if stopper.update(valid_loss, snapshot(), epoch):
             break
+    history["train_images_per_sec"] = timer.images_per_sec
     return history, epochs_ran, stopper

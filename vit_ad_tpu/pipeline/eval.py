@@ -34,21 +34,96 @@ from vit_ad_tpu.ops.resize import interpolate_bilinear
 from vit_ad_tpu.pipeline import metrics as M
 
 
-def _collect(batches, score_fn) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _collect(
+    batches, score_fn, keep_origs: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Run a jit score_fn over test batches; returns (per-image payloads,
-    labels, masks) with padding trimmed."""
-    payloads, labels, masks = [], [], []
+    labels, masks, first `keep_origs` original uint8 images) with padding
+    trimmed."""
+    payloads, labels, masks, origs = [], [], [], []
+    kept = 0
     for batch in batches:
         out = score_fn(batch.images)
         n = int(batch.valid.sum())
         payloads.append(np.asarray(out[:n]))
         labels.append(np.asarray(batch.labels[:n]))
         masks.append(np.asarray(batch.masks[:n]))
+        if kept < keep_origs:
+            take = min(n, keep_origs - kept)
+            origs.append(np.asarray(batch.images[:take]))
+            kept += take
     return (
         np.concatenate(payloads, 0),
         np.concatenate(labels, 0),
         np.concatenate(masks, 0),
+        np.concatenate(origs, 0) if origs else None,
     )
+
+
+def save_eval_figures(
+    result: M.EvalResult,
+    metrics: Dict[str, float],
+    out_dir: str,
+    fp_threshold: float = 0.3,
+    vmax: float = 1.0,
+    logger: Any = None,
+) -> Dict[str, str]:
+    """Write the reference's six eval figure artifacts into `out_dir`
+    (reference ValidationHelper.calc_all_metrics emits heatmap / ground-truth
+    / overlay / recon grids and ROC+PR displays,
+    src/util/ValidationHelper.py:149-153,193-209 via ImageHelper.py:66-150):
+
+      heatmaps.png       FPR-thresholded anomaly-map grid (jet)
+      ground_truth.png   mask grid
+      overlay.png        heatmap over the original images
+      recons.png         reconstruction grid (recon head only)
+      roc_curve.png      image-level ROC display
+      pr_curve.png       image-level PR display
+
+    Figures are also logged to wandb when `logger` has an active run.
+    Returns {figure name: path}."""
+    import os
+
+    import matplotlib.pyplot as plt
+
+    from vit_ad_tpu.utils import images as I
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+
+    thresholded = M.create_heatmap_from_scores(
+        result.pixel_scores, result.pixel_labels, fp_threshold
+    )
+    origs = result.origs
+    if origs is not None and origs.dtype == np.uint8:
+        origs = origs.astype(np.float32) / 255.0
+    fig_heat, fig_gt, fig_overlay = I.plot_heatmaps(
+        thresholded, result.pixel_labels, originals=origs, vmax=vmax
+    )
+    figures = {"heatmaps": fig_heat, "ground_truth": fig_gt,
+               "overlay": fig_overlay}
+    if result.recons is not None:
+        figures["recons"] = I.plot_recons(result.recons)
+
+    fpr, tpr, _ = M.roc_curve(result.image_labels, result.image_scores)
+    figures["roc_curve"] = I.plot_roc_curve(
+        fpr, tpr, metrics.get("image_auroc_score", float("nan"))
+    )
+    precision, recall, _ = M.precision_recall_curve(
+        result.image_labels, result.image_scores
+    )
+    figures["pr_curve"] = I.plot_pr_curve(
+        precision, recall, metrics.get("image_prauc_score", float("nan"))
+    )
+
+    for name, fig in figures.items():
+        path = os.path.join(out_dir, f"{name}.png")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        paths[name] = path
+        if logger is not None:
+            logger.log_figure(name, path)
+    return paths
 
 
 def evaluate_mdn(
@@ -60,6 +135,8 @@ def evaluate_mdn(
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
 ) -> Dict[str, float]:
     """MDN scoring pipeline (reference ValidatorMdn.valid_loop_transformer,
     src/pipeline/ValidatorMDN.py:104-185)."""
@@ -88,9 +165,10 @@ def evaluate_mdn(
             ll = mdn.apply(mp, feats, method=GaussianMDN.log_likelihood)
         return jnp.mean(ll, axis=2)  # [B, P] per-patch mean log-likelihood
 
-    ll, labels, gt_masks = _collect(
+    ll, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: loglik_map(enc_params, mdn_params, im),
+        keep_origs=9 if figures_dir else 0,
     )
 
     # Global (whole-test-set) probability normalization — see module docstring.
@@ -111,8 +189,13 @@ def evaluate_mdn(
         image_labels=labels.astype(np.float64),
         pixel_scores=pixel_scores,
         pixel_labels=gt_masks.astype(np.float64),
+        origs=origs,
     )
-    return M.calc_all_metrics(result, hp.fp_threshold)
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          logger=logger)
+    return out
 
 
 def evaluate_nf(
@@ -124,6 +207,8 @@ def evaluate_nf(
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
 ) -> Dict[str, float]:
     """NF scoring pipeline (reference ValidatorNF.valid_loop_transformer_nf,
     src/pipeline/ValidatorNF.py:107-150): anomaly map from the flow forward;
@@ -143,9 +228,10 @@ def evaluate_nf(
         out = flow.apply(fpar, patch_tokens_to_map(feats))
         return out.anomaly_score_map  # [B, H, W]
 
-    maps, labels, gt_masks = _collect(
+    maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: anomaly_maps(enc_params, flow_params, im),
+        keep_origs=9 if figures_dir else 0,
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
@@ -154,8 +240,13 @@ def evaluate_nf(
         image_labels=labels.astype(np.float64),
         pixel_scores=maps,
         pixel_labels=gt_masks.astype(np.float64),
+        origs=origs,
     )
-    return M.calc_all_metrics(result, hp.fp_threshold)
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          logger=logger)
+    return out
 
 
 def evaluate_recon(
@@ -165,6 +256,8 @@ def evaluate_recon(
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
 ) -> Dict[str, float]:
     """Reconstruction scoring (reference ValidatorRecon.valid_loop_mse,
     src/pipeline/ValidatorRecon.py:92-136): anomaly map = channel-mean of the
@@ -179,19 +272,37 @@ def evaluate_recon(
         err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
         return jnp.mean(err, axis=-1)  # [B, H, W]
 
-    maps, labels, gt_masks = _collect(
+    maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: error_maps(variables, im),
+        keep_origs=9 if figures_dir else 0,
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+
+    recons = None
+    if figures_dir and origs is not None:
+        @jax.jit
+        def recon_fn(v, images_u8):
+            x = preprocess(images_u8, mean_j, std_j)
+            return model.apply(v, x, train=False).reconstruction
+
+        recons = np.asarray(recon_fn(variables, jnp.asarray(origs)))
 
     result = M.EvalResult(
         image_scores=image_scores,
         image_labels=labels.astype(np.float64),
         pixel_scores=maps,
         pixel_labels=gt_masks.astype(np.float64),
+        origs=origs,
+        recons=recons,
     )
-    return M.calc_all_metrics(result, hp.fp_threshold)
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        # the reference renders recon heatmaps with vmax=0.15
+        # (ValidatorRecon.calc_all_metrics, src/pipeline/ValidatorRecon.py:60-90)
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          vmax=0.15, logger=logger)
+    return out
 
 
 def evaluate_mdn_resnet(
@@ -204,6 +315,8 @@ def evaluate_mdn_resnet(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     stages=(2, 3),
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
 ) -> Dict[str, float]:
     """Multi-stage MDN scoring (reference ValidatorMdn.valid_loop_resnet,
     src/pipeline/ValidatorMDN.py:186-273): per-stage probability maps are
@@ -235,15 +348,22 @@ def evaluate_mdn_resnet(
             outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
         return tuple(outs)
 
-    payloads, labels, masks = [], [], []
+    payloads, labels, masks, origs = [], [], [], []
+    kept = 0
+    keep_origs = 9 if figures_dir else 0
     for batch in test_data.test_batches(hp.prefetch):
         outs = stage_logliks(enc_variables, list(mdn_params), batch.images)
         n = int(batch.valid.sum())
         payloads.append([np.asarray(o[:n]) for o in outs])
         labels.append(np.asarray(batch.labels[:n]))
         masks.append(np.asarray(batch.masks[:n]))
+        if kept < keep_origs:
+            take = min(n, keep_origs - kept)
+            origs.append(np.asarray(batch.images[:take]))
+            kept += take
     labels = np.concatenate(labels, 0)
     gt_masks = np.concatenate(masks, 0)
+    origs = np.concatenate(origs, 0) if origs else None
 
     stage_anomalies = []
     for si in range(len(stages)):
@@ -265,8 +385,13 @@ def evaluate_mdn_resnet(
         image_labels=labels.astype(np.float64),
         pixel_scores=pixel_scores,
         pixel_labels=gt_masks.astype(np.float64),
+        origs=origs,
     )
-    return M.calc_all_metrics(result, hp.fp_threshold)
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          logger=logger)
+    return out
 
 
 def evaluate_nf_resnet(
@@ -279,6 +404,8 @@ def evaluate_nf_resnet(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     stages=(0, 1, 2),
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
 ) -> Dict[str, float]:
     """Multi-stage NF scoring (reference ValidatorNF.valid_loop_resnet_nf,
     src/pipeline/ValidatorNF.py:152-219): mean of the three stage anomaly
@@ -300,9 +427,10 @@ def evaluate_nf_resnet(
             stage_maps.append(out.anomaly_score_map)
         return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
 
-    maps, labels, gt_masks = _collect(
+    maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: anomaly_maps(enc_variables, list(flow_params), im),
+        keep_origs=9 if figures_dir else 0,
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
@@ -311,5 +439,10 @@ def evaluate_nf_resnet(
         image_labels=labels.astype(np.float64),
         pixel_scores=maps,
         pixel_labels=gt_masks.astype(np.float64),
+        origs=origs,
     )
-    return M.calc_all_metrics(result, hp.fp_threshold)
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          logger=logger)
+    return out

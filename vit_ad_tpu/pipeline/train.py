@@ -73,6 +73,7 @@ def train_mdn(
     encoder: Optional[nn.Module] = None,
     enc_params: Any = None,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train the GMM/MDN head on frozen-encoder features.
 
@@ -162,7 +163,8 @@ def train_mdn(
     metrics: Dict[str, float] = {}
     if test_data is not None:
         metrics = evaluate_mdn(
-            encoder, enc_params, mdn, best_params, test_data, hp, mean, std
+            encoder, enc_params, mdn, best_params, test_data, hp, mean, std,
+            figures_dir=figures_dir, logger=logger,
         )
         if logger is not None:
             logger.log({**metrics, "stage": "eval"})
@@ -187,6 +189,7 @@ def train_nf(
     encoder: Optional[nn.Module] = None,
     enc_params: Any = None,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train the normalizing-flow head on frozen-encoder features.
 
@@ -271,7 +274,8 @@ def train_nf(
     metrics: Dict[str, float] = {}
     if test_data is not None:
         metrics = evaluate_nf(
-            encoder, enc_params, flow, best_params, test_data, hp, mean, std
+            encoder, enc_params, flow, best_params, test_data, hp, mean, std,
+            figures_dir=figures_dir, logger=logger,
         )
         if logger is not None:
             logger.log({**metrics, "stage": "eval"})
@@ -310,6 +314,7 @@ def train_recon(
     model: Optional[nn.Module] = None,
     use_ssim: bool = False,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train a reconstruction auto-encoder.
 
@@ -321,7 +326,7 @@ def train_recon(
     import optax
 
     from vit_ad_tpu.data.loader import preprocess
-    from vit_ad_tpu.ops.ssim import ssim
+    from vit_ad_tpu.ops.ssim import ssim_per_image
     from vit_ad_tpu.pipeline.eval import evaluate_recon
 
     rng = jax.random.key(hp.seed)
@@ -388,9 +393,12 @@ def train_recon(
         )
         loss = jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         if use_ssim:
-            loss = hp.mse_weight * loss + hp.ssim_weight * (
-                1.0 - ssim(recon, x.astype(jnp.float32), data_range=1.0)
-            )
+            # per-image SSIM, masked-mean over the real rows only: the final
+            # batch is padded to the static size by duplicating rows, and an
+            # unmasked batch mean would bias the objective toward those
+            s = ssim_per_image(recon, x.astype(jnp.float32), data_range=1.0)
+            s_mean = jnp.sum(s * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            loss = hp.mse_weight * loss + hp.ssim_weight * (1.0 - s_mean)
         return loss, updates["batch_stats"]
 
     @jax.jit
@@ -496,7 +504,8 @@ def train_recon(
 
     metrics: Dict[str, float] = {}
     if test_data is not None:
-        metrics = evaluate_recon(model, best, test_data, hp, mean, std)
+        metrics = evaluate_recon(model, best, test_data, hp, mean, std,
+                                 figures_dir=figures_dir, logger=logger)
         if logger is not None:
             logger.log({**metrics, "stage": "eval"})
 
@@ -534,6 +543,7 @@ def train_mdn_resnet(
     encoder: Optional[nn.Module] = None,
     enc_variables: Any = None,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """MDN over ResNet stages 2-3: two GMDNs, one per stage map, summed NLL
     (reference LearnerMDN.learn_mdn_resnet, src/pipeline/LearnerMDN.py:242-419;
@@ -650,6 +660,7 @@ def train_mdn_resnet(
             mdns,
             best["heads"],
             test_data, hp, mean, std, stages=stages,
+            figures_dir=figures_dir, logger=logger,
         )
         if logger is not None:
             logger.log({**metrics, "block_index": str(list(stages)), "stage": "eval"})
@@ -674,6 +685,7 @@ def train_nf_resnet(
     encoder: Optional[nn.Module] = None,
     enc_variables: Any = None,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """NF over ResNet stages 1-3: three flows, one per stage map, summed NLL
     (reference LearnerNF.train_with_resnet, src/pipeline/LearnerNF.py:237-381;
@@ -785,6 +797,7 @@ def train_nf_resnet(
             flows,
             best["heads"],
             test_data, hp, mean, std, stages=stages,
+            figures_dir=figures_dir, logger=logger,
         )
         if logger is not None:
             logger.log({**metrics, "stage": "eval"})
@@ -808,6 +821,7 @@ def train_vae(
     test_data: Optional[DataPipeline] = None,
     model: Optional[nn.Module] = None,
     logger: Any = None,
+    figures_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train the variational auto-encoder: loss = MSE + KL (reference
     LearnerRecon.learn_vae, src/pipeline/LearnerRecon.py:165-276 — dead code
@@ -945,19 +959,26 @@ def train_vae(
             from vit_ad_tpu.pipeline.eval import _collect
             from vit_ad_tpu.pipeline import metrics as M
 
-            maps, labels, gt = _collect(
-                test.test_batches(hp.prefetch), lambda im: error_maps(variables, im)
+            maps, labels, gt, origs = _collect(
+                test.test_batches(hp.prefetch),
+                lambda im: error_maps(variables, im),
+                keep_origs=9 if figures_dir else 0,
             )
             image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
-            return M.calc_all_metrics(
-                M.EvalResult(
-                    image_scores=image_scores,
-                    image_labels=labels.astype(np.float64),
-                    pixel_scores=maps,
-                    pixel_labels=gt.astype(np.float64),
-                ),
-                hp.fp_threshold,
+            result = M.EvalResult(
+                image_scores=image_scores,
+                image_labels=labels.astype(np.float64),
+                pixel_scores=maps,
+                pixel_labels=gt.astype(np.float64),
+                origs=origs,
             )
+            out = M.calc_all_metrics(result, hp.fp_threshold)
+            if figures_dir:
+                from vit_ad_tpu.pipeline.eval import save_eval_figures
+
+                save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                                  vmax=0.15, logger=logger)
+            return out
 
         metrics = eval_maps(best, test_data, hp, mean, std)
         if logger is not None:

@@ -106,6 +106,38 @@ def plot_loss_curves(history: Dict[str, List[float]]) -> plt.Figure:
     return fig
 
 
+def plot_roc_curve(
+    fpr: np.ndarray, tpr: np.ndarray, auc: float, title: str = "ROC"
+) -> plt.Figure:
+    """ROC display (reference ValidationHelper.calc_auroc uses sklearn's
+    RocCurveDisplay, src/util/ValidationHelper.py:42-67)."""
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot(fpr, tpr, label=f"AUC = {auc:.4f}")
+    ax.plot([0, 1], [0, 1], "--", color="gray", linewidth=0.8)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.set_title(title)
+    ax.legend(loc="lower right")
+    fig.tight_layout()
+    return fig
+
+
+def plot_pr_curve(
+    precision: np.ndarray, recall: np.ndarray, auc: float,
+    title: str = "precision-recall",
+) -> plt.Figure:
+    """PR display (reference ValidationHelper.py:180-183 uses
+    PrecisionRecallDisplay)."""
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot(recall, precision, label=f"PR-AUC = {auc:.4f}")
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_title(title)
+    ax.legend(loc="lower left")
+    fig.tight_layout()
+    return fig
+
+
 def plot_dataset_distribution(
     counts: Dict[str, int], title: str = "dataset distribution"
 ) -> plt.Figure:

@@ -72,6 +72,30 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics)
 
+    def log_figure(self, name: str, path: str) -> None:
+        """Register a saved figure with the wandb run when enabled (reference
+        logs eval figures via wandb.log, src/util/ValidationHelper.py:193-209);
+        local-only runs already have the file on disk."""
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log({name: wandb.Image(path)})
+            except Exception:
+                pass
+
+    def log_artifact(self, path: str) -> None:
+        """Attach a file (e.g. a best-weights checkpoint) to the wandb run
+        (reference uploads every improved checkpoint,
+        src/util/TrainingsHelper.py:112-122)."""
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                wandb.save(path, base_path=os.path.dirname(path))
+            except Exception:
+                pass
+
     def finish(self) -> None:
         self._jsonl.close()
         if self._wandb is not None:
