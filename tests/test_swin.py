@@ -49,7 +49,7 @@ class TWindowAttention(tnn.Module):
         rel[:, :, 0] += ws - 1
         rel[:, :, 1] += ws - 1
         rel[:, :, 0] *= 2 * ws - 1
-        self.register_buffer("rpi", rel.sum(-1))
+        self.register_buffer("relative_position_index", rel.sum(-1))
 
     def forward(self, x, mask=None):
         B_, N, C = x.shape
@@ -58,7 +58,7 @@ class TWindowAttention(tnn.Module):
         )
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = (q * (C // self.heads) ** -0.5) @ k.transpose(-2, -1)
-        bias = self.relative_position_bias_table[self.rpi.view(-1)].view(
+        bias = self.relative_position_bias_table[self.relative_position_index.view(-1)].view(
             N, N, -1
         ).permute(2, 0, 1)
         attn = attn + bias.unsqueeze(0)
@@ -94,9 +94,9 @@ class TBlock(tnn.Module):
             mw = t_window_partition(img_mask, ws).squeeze(-1)
             am = mw.unsqueeze(1) - mw.unsqueeze(2)
             am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
-            self.register_buffer("mask", am)
+            self.register_buffer("attn_mask", am)
         else:
-            self.mask = None
+            self.attn_mask = None
 
     def forward(self, x):
         H, W = self.res
@@ -106,7 +106,7 @@ class TBlock(tnn.Module):
         if self.shift > 0:
             x = torch.roll(x, (-self.shift, -self.shift), (1, 2))
         win = t_window_partition(x, self.ws)
-        win = self.attn(win, self.mask)
+        win = self.attn(win, self.attn_mask)
         x = t_window_reverse(win, self.ws, H, W)
         if self.shift > 0:
             x = torch.roll(x, (self.shift, self.shift), (1, 2))

@@ -57,8 +57,26 @@ def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
         # by load_pth / strip_prefix (reference TransformerEncoder.py:242-256)
         inner = tc.convert_swin(sd, img_size=img_size)
         converted = {"params": inner["params"]}
+    elif arch == "nest":
+        from vit_ad_tpu.models.nest import nest_tiny
+
+        encoder = nest_tiny(img_size)
+        converted = tc.convert_nest(sd)
+    elif arch == "efficientformer":
+        from vit_ad_tpu.models.efficientformer import efficientformer_l3
+
+        encoder = efficientformer_l3(img_size)
+        converted = tc.convert_efficientformer(sd)
+    elif arch == "efficientnet":
+        from vit_ad_tpu.models.efficientnet import EfficientNetEncoder
+
+        encoder = EfficientNetEncoder(img_size=img_size)
+        converted = tc.convert_efficientnet(sd)
     else:
-        raise SystemExit(f"unknown arch {arch!r} (deit|vit|resnet50|esvit)")
+        raise SystemExit(
+            f"unknown arch {arch!r} "
+            "(deit|vit|resnet50|esvit|nest|efficientformer|efficientnet)"
+        )
 
     base = encoder.init(
         jax.random.key(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
@@ -85,7 +103,8 @@ def load_encoder_params(arch_dir: str, encoder, img_size: int = 224):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--arch", required=True,
-                    choices=["deit", "vit", "resnet50", "esvit"])
+                    choices=["deit", "vit", "resnet50", "esvit", "nest",
+                             "efficientformer", "efficientnet"])
     ap.add_argument("--src", required=True, help="torch .pth checkpoint")
     ap.add_argument("--dst", required=True, help="output checkpoint directory")
     ap.add_argument("--img-size", type=int, default=224)

@@ -73,33 +73,64 @@ class Meta4D(nn.Module):
         return x + ls2.astype(x.dtype) * y
 
 
+def _abs_rel_pos_index(resolution: int) -> "np.ndarray":
+    """[N, N] indices into the (resolution²)-entry attention-bias table:
+    idx = |dy| * resolution + |dx| (timm efficientformer.Attention — LeViT
+    -style absolute-offset biases)."""
+    import numpy as np
+
+    pos = np.stack(
+        np.meshgrid(np.arange(resolution), np.arange(resolution), indexing="ij")
+    ).reshape(2, -1)
+    rel = np.abs(pos[:, :, None] - pos[:, None, :])
+    return (rel[0] * resolution + rel[1]).astype(np.int32)
+
+
 class Meta3D(nn.Module):
-    """Pre-LN attention block over flattened tokens (the "3D" block)."""
+    """Pre-LN attention block over flattened tokens (the "3D" block).
+
+    Faithful to timm `efficientformer_l3`'s Attention so pretrained weights
+    convert exactly: asymmetric qkv (q,k get key_dim=32 per head, v gets
+    attn_ratio*key_dim=128), learned per-head attention biases indexed by
+    absolute relative offset, proj from the v width back to dim."""
 
     dim: int
     num_heads: int = 8
+    key_dim: int = 32
+    attn_ratio: int = 4
     mlp_ratio: float = 4.0
     dtypes: DtypePolicy = DtypePolicy()
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, n, c = x.shape
+        resolution = int(round(n ** 0.5))
+        heads, kd = self.num_heads, self.key_dim
+        d = self.attn_ratio * kd  # per-head v width
         ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-5),
                          (c,), self.dtypes.param_dtype)
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-5),
                          (c,), self.dtypes.param_dtype)
+        biases = self.param(
+            "attention_biases", nn.initializers.zeros,
+            (heads, resolution * resolution), self.dtypes.param_dtype,
+        )
         y = LayerNorm(dtypes=self.dtypes, name="norm1")(x)
-        qkv = nn.Dense(3 * c, dtype=self.dtypes.compute_dtype,
+        qkv = nn.Dense(heads * (2 * kd + d), dtype=self.dtypes.compute_dtype,
                        param_dtype=self.dtypes.param_dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (c // self.num_heads) ** -0.5
+        qkv = qkv.reshape(b, n, heads, 2 * kd + d)
+        q, k, v = qkv[..., :kd], qkv[..., kd:2 * kd], qkv[..., 2 * kd:]
+        scale = kd ** -0.5
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                           preferred_element_type=self.dtypes.accum_dtype)
-        attn = jax.nn.softmax(attn.astype(self.dtypes.accum_dtype), axis=-1)
+        idx = _abs_rel_pos_index(resolution)
+        attn = attn.astype(self.dtypes.accum_dtype) + biases.astype(
+            self.dtypes.accum_dtype
+        )[:, idx]
+        attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum(
             "bhnm,bmhd->bnhd", attn.astype(self.dtypes.compute_dtype), v
-        ).reshape(b, n, c)
+        ).reshape(b, n, heads * d)
         x = x + ls1.astype(x.dtype) * nn.Dense(
             c, dtype=self.dtypes.compute_dtype,
             param_dtype=self.dtypes.param_dtype, name="proj",
@@ -115,6 +146,9 @@ class EfficientFormer(nn.Module):
     dims: Sequence[int] = (64, 128, 320, 512)
     depths: Sequence[int] = (4, 4, 12, 6)
     vit_num: int = 4
+    num_heads: int = 8
+    key_dim: int = 32
+    attn_ratio: int = 4
     dtypes: DtypePolicy = DtypePolicy()
 
     @property
@@ -150,11 +184,18 @@ class EfficientFormer(nn.Module):
                 _, h, w, c = x.shape
                 tokens = x.reshape(b, h * w, c)
                 for bi in range(depth - n_3d, depth):
-                    tokens = Meta3D(dim=dim, dtypes=self.dtypes,
+                    tokens = Meta3D(dim=dim, num_heads=self.num_heads,
+                                    key_dim=self.key_dim,
+                                    attn_ratio=self.attn_ratio,
+                                    dtypes=self.dtypes,
                                     name=f"stage{si}_block{bi}")(tokens)
                 x = tokens.reshape(b, h, w, c)
 
         tokens = x.reshape(b, -1, self.dims[-1])
+        # final LayerNorm: timm's forward_features applies self.norm before
+        # returning (the reference consumes forward_features output,
+        # src/classes/transformer/TransformerEncoder.py:108-113)
+        tokens = LayerNorm(dtypes=self.dtypes, name="norm")(tokens)
         return EncoderOutput(
             patch_embedding=tokens, latent=jnp.mean(tokens, axis=1)
         )

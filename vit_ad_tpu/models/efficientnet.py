@@ -80,6 +80,7 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     se_ratio: float = 0.25
+    widese: bool = True
     dtypes: DtypePolicy = DtypePolicy()
 
     @nn.compact
@@ -94,8 +95,11 @@ class MBConv(nn.Module):
             mid, kernel=self.kernel, stride=self.stride, groups=mid,
             dtypes=self.dtypes, name="depthwise",
         )(h, train)
-        # squeeze-excite
-        se_ch = max(1, int(self.in_ch * self.se_ratio))
+        # squeeze-excite; "widese" sizes the squeeze from the EXPANDED width
+        # (NVIDIA's efficientnet_widese variants — the reference loads
+        # nvidia_efficientnet_widese_b4, src/classes/CnnEncoder.py:110-120)
+        se_base = mid if self.widese else self.in_ch
+        se_ch = max(1, int(se_base * self.se_ratio))
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
         s = nn.Conv(se_ch, (1, 1), dtype=cd, param_dtype=self.dtypes.param_dtype,
                     name="se_reduce")(s)

@@ -20,6 +20,52 @@ from typing import Any, Dict, Mapping, Tuple
 import numpy as np
 
 
+class StrictStateDict:
+    """Wraps a source state dict and tracks key consumption.
+
+    Every converter must account for EVERY source key — either by reading it
+    or by explicitly dropping it (`drop`) — so a layout drift in the upstream
+    checkpoint fails loudly instead of silently leaving weights at random
+    init (VERDICT round-1 item 2). `finish()` raises on unconsumed keys."""
+
+    def __init__(self, sd: Mapping[str, np.ndarray]) -> None:
+        self._sd = dict(sd)
+        self._consumed: set = set()
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        if key not in self._sd:
+            raise KeyError(
+                f"source checkpoint is missing expected key {key!r}"
+            )
+        self._consumed.add(key)
+        return self._sd[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._sd
+
+    def keys(self):
+        return self._sd.keys()
+
+    def drop(self, *prefixes: str, suffix: str = "") -> None:
+        """Explicitly discard keys by prefix (e.g. classifier heads) or
+        suffix (e.g. '.num_batches_tracked' buffers)."""
+        for k in self._sd:
+            if (prefixes and any(k.startswith(p) for p in prefixes)) or (
+                suffix and k.endswith(suffix)
+            ):
+                self._consumed.add(k)
+
+    def finish(self) -> None:
+        left = sorted(set(self._sd) - self._consumed)
+        if left:
+            preview = ", ".join(left[:12])
+            raise ValueError(
+                f"{len(left)} source keys were not consumed by the converter "
+                f"(layout drift?): {preview}"
+                + ("..." if len(left) > 12 else "")
+            )
+
+
 def state_dict_to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Detach a torch state dict to numpy (caller must have torch)."""
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()}
@@ -70,7 +116,10 @@ def convert_vit(
     """timm ViT/DeiT state dict → ViTEncoder params.
 
     Handles both `dist_token` (deit distilled) and plain cls-token models.
-    Returns the {'params': ...} variables dict."""
+    Returns the {'params': ...} variables dict. Strict: every source key must
+    be consumed or explicitly dropped (classifier heads)."""
+    sd = StrictStateDict(sd)
+    sd.drop("head.", "head_dist.", "pre_logits.", suffix="num_batches_tracked")
     params: Dict[str, Any] = {}
 
     kw, kb = _conv(sd, "patch_embed.proj")
@@ -103,6 +152,7 @@ def convert_vit(
     })
     params["norm_scale"] = sd["norm.weight"]
     params["norm_bias"] = sd["norm.bias"]
+    sd.finish()
     return {"params": params}
 
 
@@ -110,6 +160,8 @@ def convert_resnet50(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision ResNet-50 state dict → ResNetEncoder trunk variables
     ({'params', 'batch_stats'}). Stage LayerNorms stay at their fresh init
     (they are trainable additions, reference CnnEncoder.py:150-158)."""
+    sd = StrictStateDict(sd)
+    sd.drop("fc.", suffix="num_batches_tracked")
     layers = (3, 4, 6, 3)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -141,7 +193,226 @@ def convert_resnet50(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             params[dst] = p
             stats[dst] = s
 
+    sd.finish()
     return {"params": {"trunk": params}, "batch_stats": {"trunk": stats}}
+
+
+def convert_nest(
+    sd: Dict[str, np.ndarray], depths=(2, 2, 8), num_heads=(3, 6, 12)
+) -> Dict[str, Any]:
+    """timm `jx_nest_tiny` state dict → NesT params (reference loads it
+    pretrained, src/classes/transformer/TransformerEncoder.py:57).
+
+    timm layout (timm/models/nest.py): `patch_embed.proj` conv,
+    `levels.{i}.pos_embed` [1, blocks, seq, D],
+    `levels.{i}.pool.{conv,norm}` (levels 1..; the pool runs at the START of
+    a timm level — our ConvPool `pool{i-1}` at the END of the previous level
+    is the same weight), `levels.{i}.transformer_encoder.{j}.*` pre-LN blocks
+    with fused qkv, root `norm`. Strict: every key consumed or dropped.
+
+    timm quirk handled here: nest's Attention merges heads as (head_dim,
+    heads) — `(attn @ v).permute(0, 2, 3, 4, 1).reshape(...)` — i.e. the
+    proj input channel layout is transposed vs the standard ViT (heads,
+    head_dim). Our NestBlock uses the standard order, so the proj kernel's
+    input rows are permuted accordingly."""
+    sd = StrictStateDict(sd)
+    sd.drop("head.", suffix="num_batches_tracked")
+
+    def ln(p):
+        # our LayerNorm wrapper nests flax's nn.LayerNorm as LayerNorm_0
+        return {"LayerNorm_0": _ln(sd, p)}
+
+    kw, kb = _conv(sd, "patch_embed.proj")
+    params: Dict[str, Any] = {"patch_embed": {"kernel": kw, "bias": kb}}
+
+    for li, depth in enumerate(depths):
+        params[f"pos_embed_{li}"] = sd[f"levels.{li}.pos_embed"]
+        if li > 0:
+            pool = f"levels.{li}.pool"
+            pw, pb = _conv(sd, f"{pool}.conv")
+            params[f"pool{li - 1}"] = {
+                "conv": {"kernel": pw, "bias": pb},
+                "norm": ln(f"{pool}.norm"),
+            }
+        for bj in range(depth):
+            b = f"levels.{li}.transformer_encoder.{bj}"
+            proj_k = sd[f"{b}.attn.proj.weight"].T  # [C_in, C_out]
+            c = proj_k.shape[0]
+            heads = num_heads[li]
+            hd = c // heads
+            # torch rows are (hd, heads)-ordered; ours are (heads, hd)
+            proj_k = proj_k.reshape(hd, heads, c).transpose(1, 0, 2).reshape(c, c)
+            params[f"level{li}_block{bj}"] = {
+                "norm1": ln(f"{b}.norm1"),
+                "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T,
+                        "bias": sd[f"{b}.attn.qkv.bias"]},
+                "proj": {"kernel": proj_k,
+                         "bias": sd[f"{b}.attn.proj.bias"]},
+                "norm2": ln(f"{b}.norm2"),
+                "mlp": {
+                    "fc1": {"kernel": sd[f"{b}.mlp.fc1.weight"].T,
+                            "bias": sd[f"{b}.mlp.fc1.bias"]},
+                    "fc2": {"kernel": sd[f"{b}.mlp.fc2.weight"].T,
+                            "bias": sd[f"{b}.mlp.fc2.bias"]},
+                },
+            }
+    params["norm"] = ln("norm")
+    sd.finish()
+    return {"params": params}
+
+
+def _bn(sd, name):
+    """torch BatchNorm → (params, batch_stats)."""
+    return (
+        {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]},
+        {"mean": sd[f"{name}.running_mean"], "var": sd[f"{name}.running_var"]},
+    )
+
+
+def convert_efficientformer(
+    sd: Dict[str, np.ndarray], depths=(4, 4, 12, 6), vit_num: int = 4
+) -> Dict[str, Any]:
+    """timm `efficientformer_l3` state dict → EfficientFormer variables
+    (reference loads it pretrained,
+    src/classes/transformer/TransformerEncoder.py:92).
+
+    timm layout (timm/models/efficientformer.py): `stem.conv1/norm1/conv2/
+    norm2`, `stages.{i}.downsample.{conv,norm}` (i>=1), blocks are
+    MetaBlock2d (pool mixer + ConvMlpWithNorm fc1/norm1/fc2/norm2) until the
+    last `vit_num` of the final stage, where a parameter-less `Flat` module
+    occupies one Sequential slot and MetaBlock1d (norm1 / token_mixer
+    Attention / norm2 / mlp) follow — so torch block indices shift by one
+    after the Flat. attention_bias_idxs buffers are recomputed, heads are
+    dropped. Strict: every key consumed or dropped."""
+    sd = StrictStateDict(sd)
+    sd.drop("head.", "head_dist.", "dist_head.",
+            suffix="num_batches_tracked")
+    sd.drop(suffix="attention_bias_idxs")
+
+    def ln(p):
+        return {"LayerNorm_0": _ln(sd, p)}
+
+    def conv_bn(dst_p, dst_s, src_conv, src_bn):
+        w, b = _conv(sd, src_conv)
+        conv = {"kernel": w}
+        if b is not None:
+            conv["bias"] = b
+        p, s = _bn(sd, src_bn)
+        dst_p["conv"] = conv
+        dst_p["bn"] = p
+        dst_s["bn"] = s
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, (dst, cs, bs) in enumerate(
+        [("stem1", "stem.conv1", "stem.norm1"),
+         ("stem2", "stem.conv2", "stem.norm2")]
+    ):
+        params[dst], stats[dst] = {}, {}
+        conv_bn(params[dst], stats[dst], cs, bs)
+
+    for si, depth in enumerate(depths):
+        if si > 0:
+            dst = f"downsample{si}"
+            params[dst], stats[dst] = {}, {}
+            conv_bn(params[dst], stats[dst],
+                    f"stages.{si}.downsample.conv",
+                    f"stages.{si}.downsample.norm")
+        n_3d = vit_num if si == len(depths) - 1 else 0
+        for bj in range(depth):
+            # Flat occupies one torch Sequential slot before the 1d blocks
+            tj = bj if bj < depth - n_3d else bj + 1
+            src = f"stages.{si}.blocks.{tj}"
+            dst = f"stage{si}_block{bj}"
+            p: Dict[str, Any] = {
+                "layer_scale_1": sd[f"{src}.layer_scale_1"],
+                "layer_scale_2": sd[f"{src}.layer_scale_2"],
+            }
+            if bj < depth - n_3d:  # MetaBlock2d
+                s: Dict[str, Any] = {"mlp_fc1": {}, "mlp_fc2": {}}
+                p["mlp_fc1"], p["mlp_fc2"] = {}, {}
+                conv_bn(p["mlp_fc1"], s["mlp_fc1"],
+                        f"{src}.mlp.fc1", f"{src}.mlp.norm1")
+                conv_bn(p["mlp_fc2"], s["mlp_fc2"],
+                        f"{src}.mlp.fc2", f"{src}.mlp.norm2")
+                stats[dst] = s
+            else:  # MetaBlock1d
+                p.update({
+                    "norm1": ln(f"{src}.norm1"),
+                    "qkv": {
+                        "kernel": sd[f"{src}.token_mixer.qkv.weight"].T,
+                        "bias": sd[f"{src}.token_mixer.qkv.bias"],
+                    },
+                    "attention_biases": sd[f"{src}.token_mixer.attention_biases"],
+                    "proj": {
+                        "kernel": sd[f"{src}.token_mixer.proj.weight"].T,
+                        "bias": sd[f"{src}.token_mixer.proj.bias"],
+                    },
+                    "norm2": ln(f"{src}.norm2"),
+                    "mlp": {
+                        "fc1": {"kernel": sd[f"{src}.mlp.fc1.weight"].T,
+                                "bias": sd[f"{src}.mlp.fc1.bias"]},
+                        "fc2": {"kernel": sd[f"{src}.mlp.fc2.weight"].T,
+                                "bias": sd[f"{src}.mlp.fc2.bias"]},
+                    },
+                })
+            params[dst] = p
+    params["norm"] = ln("norm")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_efficientnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """NVIDIA `nvidia_efficientnet_widese_b4` state dict → EfficientNetEncoder
+    variables (reference loads it from torch.hub,
+    src/classes/CnnEncoder.py:106-126).
+
+    NVIDIA layout (DeepLearningExamples ConvNets efficientnet.py):
+    `stem.{conv,bn}`, `layer{L}.block{j}.{expand,depsep,proj}.{conv,bn}` with
+    `se.{squeeze,expand}` Linear pairs (widese: squeeze width from the
+    expanded channels), `features.{conv,bn}` head, `classifier.fc` (dropped —
+    the reference only calls extract_features). SE Linears become 1x1 convs.
+    Strict: every key consumed or dropped."""
+    from vit_ad_tpu.models.efficientnet import _B0_BLOCKS, _round_repeats
+
+    sd = StrictStateDict(sd)
+    sd.drop("classifier.", suffix="num_batches_tracked")
+
+    def conv_bn(src):
+        w, _ = _conv(sd, f"{src}.conv", bias=False)
+        p, s = _bn(sd, f"{src}.bn")
+        return {"conv": {"kernel": w}, "bn": p}, {"bn": s}
+
+    def se_linear_to_conv(src):
+        w = sd[f"{src}.weight"]  # [out, in]
+        return {
+            "kernel": w.T.reshape(1, 1, w.shape[1], w.shape[0]),
+            "bias": sd[f"{src}.bias"],
+        }
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem"], stats["stem"] = conv_bn("stem")
+
+    bi = 0
+    for li, (expand, _ch, reps, _stride, _k) in enumerate(_B0_BLOCKS):
+        for r in range(_round_repeats(reps)):
+            src = f"layer{li + 1}.block{r}"
+            dst = f"block{bi}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            if expand != 1:
+                p["expand"], s["expand"] = conv_bn(f"{src}.expand")
+            p["depthwise"], s["depthwise"] = conv_bn(f"{src}.depsep")
+            p["se_reduce"] = se_linear_to_conv(f"{src}.se.squeeze")
+            p["se_expand"] = se_linear_to_conv(f"{src}.se.expand")
+            p["project"], s["project"] = conv_bn(f"{src}.proj")
+            params[dst], stats[dst] = p, s
+            bi += 1
+
+    params["head"], stats["head"] = conv_bn("features")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
 
 
 def merge_variables(base: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
@@ -202,9 +473,12 @@ def convert_swin(
     Strips the `module.` prefix and `head.*` keys first if present (reference
     EsViT surgery, TransformerEncoder.py:242-256) and interpolates
     relative-position bias tables for stages whose resolution clamps the
-    window (reference :258-263)."""
-    sd = strip_prefix(sd, "module.")
-    sd = {k: v for k, v in sd.items() if not k.startswith("head")}
+    window (reference :258-263). Strict: every source key must be consumed or
+    explicitly dropped (head, index/mask buffers we recompute)."""
+    sd = StrictStateDict(strip_prefix(sd, "module."))
+    sd.drop("head", suffix="num_batches_tracked")
+    sd.drop(suffix="relative_position_index")
+    sd.drop(suffix="attn_mask")
 
     def ln(p):
         return {"LayerNorm_0": _ln(sd, p)}
@@ -258,4 +532,5 @@ def convert_swin(
                 "reduction": {"kernel": sd[f"{dp}.reduction.weight"].T},
             }
             res //= 2
+    sd.finish()
     return {"params": {"esvit": params}}
