@@ -183,14 +183,109 @@ def _validate_resnet_run(hp, arch, ckpt, test, mean, std):
     )
 
 
+def parse_pth_filename(filename: str, arch: str):
+    """Reference filename convention (reference validation_loop.py:38-41,
+    92-95,163-166,212-215): MDN files lead with the gaussian count, every
+    file ends with the data class; 'nut'/'metal' tails mean metal_nut.
+    Returns (num_gaussians | None, dataclass)."""
+    stem = os.path.basename(filename)
+    stem = stem[:-4] if stem.endswith(".pth") else stem
+    dataclass = stem.split("_")[-1]
+    if dataclass in ("nut", "metal"):
+        dataclass = "metal_nut"
+    num_gaussians = None
+    if arch == "mdn":
+        num_gaussians = int(stem.split("_")[0])
+    return num_gaussians, dataclass
+
+
+def validate_pth(
+    pth_path: str,
+    model_name: str,
+    arch: str,
+    data_root: str,
+    test_pref: str = "test",
+    img_size: int = 224,
+    hidden_ratio: float = 0.16,
+    flow_steps: int = 20,
+):
+    """Re-evaluate a reference-format torch `.pth` head checkpoint
+    (reference validation_loop.validate_mdn/:35, validate_nf/:161): parse
+    num_gaussians/dataclass from the filename, convert the torch state dict,
+    rebuild encoder+head, run the matching validator."""
+    import jax
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.registry import get_model
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    num_gaussians, dataclass = parse_pth_filename(pth_path, arch)
+    base = os.path.join(data_root, dataclass) if data_root else dataclass
+    hp = HyperParams(
+        model_name=model_name, architecture=arch, img_size=img_size,
+        hidden_ratio=hidden_ratio, flow_steps=flow_steps,
+        num_gaussians=num_gaussians or 150, data_class=dataclass,
+    )
+    encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+    enc_params = default_encoder_params(encoder, hp)
+    mean, std = default_norm_stats()
+    test = DataPipeline(
+        batch_size=hp.batch_size, base_path=base, data_path=test_pref,
+        img_size=hp.img_size, validation_mode=True,
+    )
+    sd = tc.load_pth(pth_path)
+
+    if arch == "mdn":
+        from vit_ad_tpu.models.mdn import GaussianMDN
+        from vit_ad_tpu.pipeline.eval import evaluate_mdn
+
+        d = encoder.embed_dim
+        mdn = GaussianMDN(features=d, num_gaussians=hp.num_gaussians)
+        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, d)))
+        head = tc.merge_variables(target, tc.convert_mdn_head(sd))
+        return evaluate_mdn(encoder, enc_params, mdn, head, test, hp, mean, std)
+
+    if arch == "nf":
+        from vit_ad_tpu.models.flow import NormalizingFlow
+        from vit_ad_tpu.pipeline.eval import evaluate_nf
+
+        converted, perms = tc.convert_nf_head(sd, hp.flow_steps)
+        p = encoder.num_patches
+        flow = NormalizingFlow(
+            num_channels=encoder.embed_dim, img_size=hp.img_size,
+            num_patches=p, hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps, perms=perms, dtypes=hp.dtypes,
+        )
+        side = int(np.sqrt(p))
+        target = flow.init(
+            jax.random.key(0), jnp.zeros((1, side, side, encoder.embed_dim))
+        )
+        head = tc.merge_variables(target, converted)
+        return evaluate_nf(encoder, enc_params, flow, head, test, hp, mean, std)
+
+    raise ValueError(f"legacy .pth re-evaluation supports mdn|nf, got {arch!r}")
+
+
 def main(argv):
     runs_dir = "runs"
     data_root = ""
     test_pref = "test"
-    opts, _ = getopt.getopt(argv, "hr:d:t:")
+    model_name = "enc_deit"
+    arch = ""
+    flow_steps = 20
+    hidden_ratio = 0.16
+    opts, _ = getopt.getopt(argv, "hr:d:t:m:a:f:")
     for opt, arg in opts:
         if opt == "-h":
-            print("validation_loop.py -r <runsDir> -d <dataRoot> -t <testPref>")
+            print(
+                "validation_loop.py -r <runsDir> -d <dataRoot> -t <testPref>\n"
+                "  legacy torch weights: point -r at a directory of reference-"
+                "format .pth files and pass -a <mdn|nf> [-m <encoder>] "
+                "[-f <flowSteps>]"
+            )
             return
         if opt == "-r":
             runs_dir = arg
@@ -198,10 +293,31 @@ def main(argv):
             data_root = arg
         elif opt == "-t":
             test_pref = arg
+        elif opt == "-m":
+            model_name = arg
+        elif opt == "-a":
+            arch = arg
+        elif opt == "-f":
+            flow_steps = int(arg)
 
     import csv
 
     rows = []
+    pths = sorted(glob.glob(os.path.join(runs_dir, "*.pth")))
+    if pths:
+        if not arch:
+            print("found .pth weights — pass -a <mdn|nf> to re-evaluate them")
+            return
+        for pth in pths:
+            try:
+                metrics = validate_pth(
+                    pth, model_name, arch, data_root, test_pref,
+                    flow_steps=flow_steps, hidden_ratio=hidden_ratio,
+                )
+                rows.append({"Name": os.path.basename(pth), **metrics})
+                print(pth, metrics)
+            except Exception as e:
+                print(f"{pth}: {type(e).__name__}: {e}")
     for run_dir in sorted(glob.glob(os.path.join(runs_dir, "*"))):
         if not os.path.exists(os.path.join(run_dir, "config.json")):
             continue

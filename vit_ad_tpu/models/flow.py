@@ -29,7 +29,7 @@ the correctness tests (tests/test_flow.py).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +127,11 @@ class NormalizingFlow(nn.Module):
     hidden_ratio: float = 1.0
     flow_steps: int = 8
     clamp: float = 2.0
+    # explicit per-step channel permutations (tuple of C-int tuples), e.g.
+    # the ones baked into a converted FrEIA checkpoint
+    # (utils/torch_convert.convert_nf_head); None → deterministic per-step
+    # NumPy-seeded permutations
+    perms: Optional[Tuple[Tuple[int, ...], ...]] = None
     dtypes: DtypePolicy = DtypePolicy()
 
     @property
@@ -177,6 +182,11 @@ class NormalizingFlow(nn.Module):
         return {**conv_params("a", 3), **conv_params("b", 1)}
 
     def _perms(self, n_steps: int) -> np.ndarray:
+        if self.perms is not None:
+            assert len(self.perms) == n_steps, (
+                f"perms has {len(self.perms)} entries, need {n_steps}"
+            )
+            return np.asarray(self.perms, dtype=np.int32)
         c = self.num_channels
         return np.stack(
             [np.random.default_rng(i).permutation(c) for i in range(n_steps)]

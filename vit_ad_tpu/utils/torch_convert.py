@@ -415,6 +415,78 @@ def convert_efficientnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_mdn_head(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference GaussianMixtureDensityNetwork state dict → GaussianMDN params
+    (reference src/classes/MixtureDensityNetwork.py:117-171: pi D→K,
+    sigma/mu D→D*K Linears whose outputs reshape to (..., D, K) row-major —
+    so weight.T.reshape(D, D, K) lands each (feature e, gaussian k) column in
+    our [D_in, D_out, K] layout exactly)."""
+    sd = StrictStateDict(sd)
+    w_sigma = sd["sigma.weight"].T  # [D, D*K]
+    d = w_sigma.shape[0]
+    k = w_sigma.shape[1] // d
+    params = {
+        "w_pi": sd["pi.weight"].T,
+        "b_pi": sd["pi.bias"],
+        "w_sigma": w_sigma.reshape(d, d, k),
+        "b_sigma": sd["sigma.bias"].reshape(d, k),
+        "w_mu": sd["mu.weight"].T.reshape(d, d, k),
+        "b_mu": sd["mu.bias"].reshape(d, k),
+    }
+    sd.finish()
+    return {"params": params}
+
+
+def convert_nf_head(
+    sd: Dict[str, np.ndarray], flow_steps: int
+) -> Tuple[Dict[str, Any], Tuple[Tuple[int, ...], ...]]:
+    """Reference NormalizingFlow (FrEIA SequenceINN of AllInOneBlocks) state
+    dict → our scan-stacked NormalizingFlow params + the fixed channel
+    permutations baked into the checkpoint.
+
+    FrEIA AllInOneBlock layout (reference src/classes/NormalizingFlow.py:84-116
+    builds them with permute_soft=False): per block `nf.module_list.{i}.`
+    holds `subnet.{0,2}.{weight,bias}` (conv-ReLU-conv), `global_scale` /
+    `global_offset` [1,C,1,1], and non-trainable `w_perm` / `w_perm_inv`
+    [C,C,1,1] permutation matrices. The unused `layer_norm` member
+    (reference :43-45) is dropped. Our forward permutes out[i] = y[perm[i]],
+    matching FrEIA's w_perm @ y with perm[i] = argmax_j w_perm[i, j].
+
+    Returns (variables, perms) — construct NormalizingFlow(perms=perms)."""
+    sd = StrictStateDict(strip_prefix(sd, "nf."))
+    sd.drop("layer_norm.", suffix="num_batches_tracked")
+    sd.drop(suffix="w_perm_inv")
+
+    def block(i):
+        p = f"module_list.{i}"
+        k1, b1 = _conv(sd, f"{p}.subnet.0")
+        k2, b2 = _conv(sd, f"{p}.subnet.2")
+        wp = sd[f"{p}.w_perm"]
+        w_perm = wp.reshape(wp.shape[0], wp.shape[1])  # [C,C,1,1] → [C,C]
+        perm = tuple(int(j) for j in np.argmax(w_perm, axis=1))
+        return {
+            "conv1_kernel": k1, "conv1_bias": b1,
+            "conv2_kernel": k2, "conv2_bias": b2,
+            "global_scale": sd[f"{p}.global_scale"].reshape(-1),
+            "global_offset": sd[f"{p}.global_offset"].reshape(-1),
+        }, perm
+
+    blocks, perms = zip(*(block(i) for i in range(flow_steps)))
+    n_pairs = flow_steps // 2
+    params: Dict[str, Any] = {}
+    for tag, parity in (("a", 0), ("b", 1)):
+        if n_pairs:
+            for leaf in blocks[0]:
+                params[f"{tag}_{leaf}"] = np.stack(
+                    [blocks[2 * j + parity][leaf] for j in range(n_pairs)]
+                )
+    if flow_steps % 2 == 1:
+        for leaf, v in blocks[-1].items():
+            params[f"t_{leaf}"] = v
+    sd.finish()
+    return {"params": params}, tuple(perms)
+
+
 def merge_variables(base: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay converted weights onto freshly-initialized variables (keeps
     params the converter does not cover, e.g. trainable stage norms), with
