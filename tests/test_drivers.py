@@ -48,3 +48,63 @@ def test_dryrun_multichip_8_devices():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_parallel_sweep_matches_sequential(tmp_path):
+    """run_sweep_parallel (per-device worker processes) must complete N
+    categories with per-run metrics identical to the sequential path
+    (VERDICT round-1 item 3)."""
+    import csv
+    import json
+    import os
+
+    from vit_ad_tpu.config import DtypePolicy, HyperParams
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.sweep import (
+        SweepRun,
+        resolve_trainer,
+        run_sweep,
+        run_sweep_parallel,
+    )
+
+    root = tmp_path / "data"
+    cats = ("bottle", "cable", "carpet")
+    for cat in cats:
+        make_mvtec_category(str(root), cat, img_size=32, n_train=8)
+
+    # enc_cnn at 32px is genuinely tiny (the workers are real subprocesses,
+    # so in-process monkeypatching cannot shrink the model)
+    hp = HyperParams(
+        model_name="enc_cnn", architecture="nf", epochs=2, patience=2,
+        batch_size=4, img_size=32, hidden_ratio=0.25, flow_steps=2,
+        dtypes=DtypePolicy.f32(),
+    )
+    runs = [SweepRun(category=c, data_root=str(root)) for c in cats]
+
+    seq_rows = run_sweep(
+        resolve_trainer("nf"), hp, runs, str(tmp_path / "seq")
+    )
+    par_rows = run_sweep_parallel(
+        "nf", hp, runs, str(tmp_path / "par"), num_workers=2, platform="cpu"
+    )
+
+    assert {r["dataclass"] for r in par_rows} == set(cats)
+    by_cat_seq = {r["dataclass"]: r for r in seq_rows}
+    for r in par_rows:
+        s = by_cat_seq[r["dataclass"]]
+        assert "error" not in r, r
+        assert r["image_auroc_score"] == pytest.approx(
+            s["image_auroc_score"], abs=1e-9
+        )
+        assert r["best_valid_loss"] == pytest.approx(
+            s["best_valid_loss"], rel=1e-6
+        )
+
+    # resume semantics: re-entry reads done.json, no retraining
+    par_rows2 = run_sweep_parallel(
+        "nf", hp, runs, str(tmp_path / "par"), num_workers=2, platform="cpu"
+    )
+    assert par_rows2 == par_rows
+    assert os.path.exists(tmp_path / "par" / "results.csv")
+    rows = list(csv.DictReader(open(tmp_path / "par" / "results.csv")))
+    assert len(rows) == len(cats)

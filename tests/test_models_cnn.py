@@ -24,8 +24,9 @@ def test_vanilla_cnn_encoder_shape():
     enc = VanillaCNNEncoder(img_size=64, dtypes=F32)
     x = jnp.zeros((2, 64, 64, 3))
     vars_ = enc.init(jax.random.key(0), x)
-    y = enc.apply(vars_, x)
-    assert y.shape == (2, 2, 2, 768)  # 64 / 2^5
+    out = enc.apply(vars_, x)
+    assert out.patch_embedding.shape == (2, 4, 768)  # (64 / 2^5)^2 tokens
+    assert out.latent.shape == (2, 768)
 
 
 def test_small_decoder_shapes():

@@ -26,15 +26,18 @@ def main(argv):
     out_dir = "sweep_results"
     model = "enc_deit"
     categories = None
+    workers = 1
 
     overrides = {}
-    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:e:b:i:p:n:l:w:")
+    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:e:b:i:p:n:l:w:j:")
     for opt, arg in opts:
         if opt == "-h":
             print("trainings_loop.py -a <arch: nf|mdn|recon> -d <dataRoot> "
                   "-o <outDir> -m <model> -c <cat1,cat2,...> "
                   "[-e epochs -b batch -i imgSize -p patience -n gaussians "
-                  "-l lr -w wd]")
+                  "-l lr -w wd -j workers]\n"
+                  "  -j N > 1 fans categories out across N devices "
+                  "(one pinned worker process per device)")
             return
         if opt == "-a":
             arch = arg
@@ -60,6 +63,8 @@ def main(argv):
             overrides["learning_rate"] = float(arg)
         elif opt == "-w":
             overrides["weight_decay"] = float(arg)
+        elif opt == "-j":
+            workers = int(arg)
 
     is_btad = "btad" in data_root
     if categories is None:
@@ -67,20 +72,14 @@ def main(argv):
     train_pref = "train/ok" if is_btad else "train/good"
 
     if arch == "nf":
-        from vit_ad_tpu.pipeline.train import train_nf as trainer
-
         hp = HyperParams(model_name=model, architecture="nf", epochs=500,
                          patience=60, learning_rate=1e-3, weight_decay=1e-5,
                          batch_size=32, hidden_ratio=0.16, flow_steps=20)
     elif arch == "mdn":
-        from vit_ad_tpu.pipeline.train import train_mdn as trainer
-
         hp = HyperParams(model_name=model, architecture="mdn", epochs=1000,
                          patience=100, learning_rate=7e-4, weight_decay=7e-4,
                          batch_size=64, num_gaussians=100)
     elif arch == "recon":
-        from vit_ad_tpu.pipeline.train import train_recon as trainer
-
         hp = HyperParams(model_name=model if model.startswith("ae_") else "ae_deit",
                          architecture="reconstruction", epochs=50, patience=30,
                          learning_rate=1e-3, weight_decay=1e-4, batch_size=64)
@@ -89,12 +88,23 @@ def main(argv):
 
     import dataclasses
 
+    # resnet multi-stage dispatch parity (reference startTraining_*:134-152)
+    if "res_net" in model and arch in ("mdn", "nf"):
+        arch = f"{arch}_resnet"
+
     hp = dataclasses.replace(hp, **overrides)
     runs = [
         SweepRun(category=c, data_root=data_root, train_pref=train_pref)
         for c in categories
     ]
-    rows = run_sweep(trainer, hp, runs, out_dir)
+    if workers > 1:
+        from vit_ad_tpu.pipeline.sweep import run_sweep_parallel
+
+        rows = run_sweep_parallel(arch, hp, runs, out_dir, workers)
+    else:
+        from vit_ad_tpu.pipeline.sweep import resolve_trainer
+
+        rows = run_sweep(resolve_trainer(arch), hp, runs, out_dir)
     ok = [r for r in rows if "image_auroc_score" in r]
     if ok:
         mean = sum(r["image_auroc_score"] for r in ok) / len(ok)

@@ -39,10 +39,13 @@ class VanillaAutoEncoder(nn.Module):
         self.decoder = SmallDecoder(img_size=self.img_size, z_space=0, dtypes=self.dtypes)
 
     def __call__(self, x: Array, train: bool = False) -> AutoEncoderOutput:
-        z = self.encoder(x, train=train)  # [B, s, s, 768]
+        out = self.encoder(x, train=train)
+        b = x.shape[0]
+        side = self.img_size // 32
+        z = out.patch_embedding.reshape(b, side, side, -1)  # [B, s, s, 768]
         recon = self.decoder(z, train=train)
         return AutoEncoderOutput(
-            latent=z.reshape(z.shape[0], -1), reconstruction=recon
+            latent=z.reshape(b, -1), reconstruction=recon
         )
 
 

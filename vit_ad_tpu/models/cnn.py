@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
 
@@ -23,8 +24,22 @@ class VanillaCNNEncoder(nn.Module):
     img_size: int = 224
     dtypes: DtypePolicy = DtypePolicy()
 
+    @property
+    def embed_dim(self) -> int:
+        return CHANNELS[-1]
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // 32) ** 2
+
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, block_index: int = 0, train: bool = False
+    ) -> EncoderOutput:
+        """Uniform encoder API (patch tokens + pooled latent; block_index is
+        accepted and ignored — no truncation point in a 5-stage CNN), so the
+        MDN/NF heads can train on this backbone like any other."""
+        b = x.shape[0]
         x = x.astype(self.dtypes.compute_dtype)
         for i, ch in enumerate(CHANNELS):
             x = nn.Conv(
@@ -44,4 +59,7 @@ class VanillaCNNEncoder(nn.Module):
             x = nn.max_pool(
                 x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
             )
-        return x  # [B, img/32, img/32, 768]
+        tokens = x.reshape(b, -1, CHANNELS[-1])  # [B, (img/32)^2, 768]
+        return EncoderOutput(
+            patch_embedding=tokens, latent=jnp.mean(tokens, axis=1)
+        )

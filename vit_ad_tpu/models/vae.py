@@ -46,7 +46,7 @@ class VariationalAutoEncoder(nn.Module):
         )
 
     def encode(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
-        z = self.encoder(x, train=train)
+        z = self.encoder(x, train=train).patch_embedding
         z = z.reshape(z.shape[0], -1)
         mu = self.fc_mu(z)
         # ELU+1+1e-15 positivity on the variance head (reference :46-54)

@@ -10,9 +10,10 @@ list, fully sequential, no crash recovery) with a declarative runner:
     failure-detection gap)
   * results accumulate into one CSV with the reference's metric names, so
     the output is directly comparable to csv_results_*
-  * category fan-out across chips: with a multi-device mesh, independent
-    categories can be dispatched per device (data axis) since per-category
-    training is embarrassingly parallel.
+  * category fan-out across chips (`run_sweep_parallel`): independent
+    categories dispatch to per-device worker processes (TPU_VISIBLE_DEVICES
+    pinning on pods; own single-device backends on CPU), with the same
+    done.json resume semantics and identical per-run results.
 """
 
 from __future__ import annotations
@@ -51,6 +52,58 @@ class SweepRun:
         return "_".join(str(p) for p in parts)
 
 
+def _execute_run(
+    trainer: Callable,
+    base_hp: HyperParams,
+    run: SweepRun,
+    out_dir: str,
+    resume: bool = True,
+) -> Dict[str, Any]:
+    """One idempotent sweep run: skip if done.json exists, else train,
+    crash-isolate, and persist the metric row."""
+    run_dir = os.path.join(out_dir, run.name)
+    done_path = os.path.join(run_dir, "done.json")
+    if resume and os.path.exists(done_path):
+        with open(done_path) as f:
+            return json.load(f)
+    os.makedirs(run_dir, exist_ok=True)
+    hp = dataclasses.replace(base_hp, **run.overrides)
+    hp.data_class = run.category
+    base = os.path.join(run.data_root, run.category)
+    try:
+        data = DataPipeline(
+            batch_size=hp.batch_size, base_path=base,
+            data_path=run.train_pref, img_size=hp.img_size,
+            amount_data=hp.amount_data,
+        )
+        test = DataPipeline(
+            batch_size=hp.batch_size, base_path=base,
+            data_path=run.test_pref, img_size=hp.img_size,
+            validation_mode=True,
+        )
+        result = trainer(hp, data, test)
+        row = {
+            "Name": run.name,
+            "dataclass": run.category,
+            "model": hp.model_name,
+            "epochs_ran": result.epochs_ran,
+            "best_valid_loss": result.best_valid_loss,
+            **result.metrics,
+        }
+    except Exception as e:  # crash isolation: the sweep continues
+        row = {
+            "Name": run.name,
+            "dataclass": run.category,
+            "model": hp.model_name,
+            "error": f"{type(e).__name__}: {e}",
+        }
+        with open(os.path.join(run_dir, "traceback.txt"), "w") as f:
+            f.write(traceback.format_exc())
+    with open(done_path, "w") as f:
+        json.dump(row, f, default=float)
+    return row
+
+
 def run_sweep(
     trainer: Callable,
     base_hp: HyperParams,
@@ -63,49 +116,122 @@ def run_sweep(
     os.makedirs(out_dir, exist_ok=True)
     rows: List[Dict[str, Any]] = []
     for run in runs:
-        run_dir = os.path.join(out_dir, run.name)
-        done_path = os.path.join(run_dir, "done.json")
-        if resume and os.path.exists(done_path):
+        rows.append(_execute_run(trainer, base_hp, run, out_dir, resume))
+        _write_csv(os.path.join(out_dir, "results.csv"), rows)
+    return rows
+
+
+TRAINERS = {
+    "nf": "train_nf",
+    "mdn": "train_mdn",
+    "recon": "train_recon",
+    "vae": "train_vae",
+    "mdn_resnet": "train_mdn_resnet",
+    "nf_resnet": "train_nf_resnet",
+}
+
+
+def resolve_trainer(arch: str) -> Callable:
+    import vit_ad_tpu.pipeline.train as T
+
+    return getattr(T, TRAINERS[arch])
+
+
+def _worker_main(arch, base_hp, runs, out_dir, resume, worker_idx):
+    """Subprocess body for one fan-out worker: pin this process to its
+    device, then execute its slice of runs. Spawned with a per-worker
+    environment (set by run_sweep_parallel before fork):
+
+      * CPU / virtual mesh  — JAX_PLATFORMS=cpu; each worker process owns its
+        own single-device CPU backend (the axon plugin overrides
+        JAX_PLATFORMS at import, so re-force via jax.config)
+      * TPU pod             — TPU_VISIBLE_DEVICES=<chip> pins one chip per
+        process, the standard JAX multi-process-per-host pattern
+    """
+    import os
+
+    if os.environ.get("VITAD_SWEEP_PLATFORM") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    trainer = resolve_trainer(arch)
+    for run in runs:
+        row = _execute_run(trainer, base_hp, run, out_dir, resume)
+        print(f"[worker {worker_idx}] {run.name}: "
+              f"{row.get('image_auroc_score', row.get('error', '?'))}")
+
+
+def run_sweep_parallel(
+    arch: str,
+    base_hp: HyperParams,
+    runs: Sequence[SweepRun],
+    out_dir: str,
+    num_workers: int,
+    resume: bool = True,
+    platform: Optional[str] = None,
+) -> List[Dict[str, Any]]:
+    """Fan independent category runs out across devices — the reference's
+    sweep is strictly sequential (reference trainings_loop.py:146-190); per
+    -category training is embarrassingly parallel, so N chips train N
+    categories concurrently.
+
+    One subprocess per worker, each pinned to its own device: on TPU hosts
+    worker i sees only chip i (TPU_VISIBLE_DEVICES); on CPU each worker is
+    its own single-device backend. Work splits round-robin; done.json makes
+    re-entry resume exactly like the sequential path, and rows are collected
+    from done.json files so results are byte-identical either way."""
+    import multiprocessing as mp
+
+    os.makedirs(out_dir, exist_ok=True)
+    if platform is None:
+        platform = "cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else "tpu"
+
+    ctx = mp.get_context("spawn")
+    procs = []
+    saved_env = dict(os.environ)
+    try:
+        for i in range(num_workers):
+            slice_i = list(runs[i::num_workers])
+            if not slice_i:
+                continue
+            # env is inherited at spawn — set per-worker pinning, then restore
+            if platform == "cpu":
+                os.environ["VITAD_SWEEP_PLATFORM"] = "cpu"
+                os.environ["JAX_PLATFORMS"] = "cpu"
+                # one device per worker: the parallelism is across processes
+                os.environ["XLA_FLAGS"] = (
+                    "--xla_force_host_platform_device_count=1"
+                )
+            else:
+                os.environ["TPU_VISIBLE_DEVICES"] = str(i)
+            p = ctx.Process(
+                target=_worker_main,
+                args=(arch, base_hp, slice_i, out_dir, resume, i),
+            )
+            p.start()
+            procs.append(p)
+    finally:
+        os.environ.clear()
+        os.environ.update(saved_env)
+
+    failed = []
+    for p in procs:
+        p.join()
+        if p.exitcode != 0:
+            failed.append(p)
+
+    rows: List[Dict[str, Any]] = []
+    for run in runs:
+        done_path = os.path.join(out_dir, run.name, "done.json")
+        if os.path.exists(done_path):
             with open(done_path) as f:
                 rows.append(json.load(f))
-            continue
-        os.makedirs(run_dir, exist_ok=True)
-        hp = dataclasses.replace(base_hp, **run.overrides)
-        hp.data_class = run.category
-        base = os.path.join(run.data_root, run.category)
-        try:
-            data = DataPipeline(
-                batch_size=hp.batch_size, base_path=base,
-                data_path=run.train_pref, img_size=hp.img_size,
-                amount_data=hp.amount_data,
-            )
-            test = DataPipeline(
-                batch_size=hp.batch_size, base_path=base,
-                data_path=run.test_pref, img_size=hp.img_size,
-                validation_mode=True,
-            )
-            result = trainer(hp, data, test)
-            row = {
-                "Name": run.name,
-                "dataclass": run.category,
-                "model": hp.model_name,
-                "epochs_ran": result.epochs_ran,
-                "best_valid_loss": result.best_valid_loss,
-                **result.metrics,
-            }
-        except Exception as e:  # crash isolation: the sweep continues
-            row = {
-                "Name": run.name,
-                "dataclass": run.category,
-                "model": hp.model_name,
-                "error": f"{type(e).__name__}: {e}",
-            }
-            with open(os.path.join(run_dir, "traceback.txt"), "w") as f:
-                f.write(traceback.format_exc())
-        with open(done_path, "w") as f:
-            json.dump(row, f, default=float)
-        rows.append(row)
-        _write_csv(os.path.join(out_dir, "results.csv"), rows)
+    _write_csv(os.path.join(out_dir, "results.csv"), rows)
+    if failed:
+        raise RuntimeError(
+            f"{len(failed)} sweep workers died; completed {len(rows)}/"
+            f"{len(runs)} runs (re-run to resume the rest)"
+        )
     return rows
 
 
