@@ -48,10 +48,13 @@ def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
         m_scratch[:] = jnp.full_like(m_scratch, _NEG_BIG)
         s_scratch[:] = jnp.zeros_like(s_scratch)
 
-    x = x_ref[:]  # [T, D]
-    # component-k affine heads: [T, D] @ [D, D] on the MXU
-    mu = jnp.dot(x, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0, 0]
-    pre = jnp.dot(x, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0, 0]
+    x = x_ref[:]  # [T, D] f32
+    # component-k affine heads: [T, D] @ [D, D] on the MXU. When the weights
+    # arrive bf16 (matmul_dtype=bf16) the MXU runs at full rate with f32
+    # accumulation; all elementwise math stays f32.
+    xm = x.astype(w_mu_ref.dtype)
+    mu = jnp.dot(xm, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0, 0]
+    pre = jnp.dot(xm, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0, 0]
     sigma = jnp.where(pre > 0, pre + 1.0, jnp.exp(pre)) + 1e-15  # elu+1+eps
 
     dens = (
@@ -71,7 +74,9 @@ def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
         out_ref[:] = m_scratch[:] + jnp.log(s_scratch[:])
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("row_tile", "interpret", "matmul_dtype")
+)
 def gmm_log_likelihood_pallas(
     x: Array,          # [B, P, D] f32
     log_pi: Array,     # [B, P, K] f32 (log mixture weights, pre-softmaxed)
@@ -81,13 +86,20 @@ def gmm_log_likelihood_pallas(
     b_mu: Array,       # [K, D]
     row_tile: int = 256,
     interpret: bool = False,
+    matmul_dtype=jnp.float32,
 ) -> Array:
-    """Returns per-feature log-likelihood [B, P, D]."""
+    """Returns per-feature log-likelihood [B, P, D].
+
+    matmul_dtype=bfloat16 runs the two [T,D]@[D,D] head matmuls on the MXU in
+    bf16 with f32 accumulation (scoring is rank-based, so the small mu/sigma
+    rounding does not move AUROC); density math stays f32 either way."""
     b, p, d = x.shape
     k = log_pi.shape[-1]
     rows = b * p
     xr = x.reshape(rows, d).astype(jnp.float32)
     lpr = log_pi.reshape(rows, k).astype(jnp.float32)
+    w_sigma = w_sigma.astype(matmul_dtype)
+    w_mu = w_mu.astype(matmul_dtype)
 
     # TPU lane constraint: the minor dim of every block must be a multiple
     # of 128 → pad K with -inf-weight components (their exp contribution is
@@ -152,6 +164,7 @@ def mdn_log_likelihood_pallas(
     w_sigma: Array, b_sigma: Array,  # [D, D, K], [D, K] (param layout)
     w_mu: Array, b_mu: Array,
     interpret: bool = False,
+    matmul_dtype=jnp.float32,
 ) -> Array:
     """Convenience wrapper taking GaussianMDN's param layout (deterministic
     softmax mixture weights — the eval path)."""
