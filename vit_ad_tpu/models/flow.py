@@ -29,7 +29,7 @@ the correctness tests (tests/test_flow.py).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,37 +52,42 @@ def _soft_clamp(a: Array, clamp: float) -> Array:
     return clamp * 0.636 * jnp.arctan(a)
 
 
-def _conv_same(x: Array, kernel: Array, bias: Array) -> Array:
+def _conv_same(x: Array, kernel: Array, bias: Array, mmdt=jnp.float32) -> Array:
+    """SAME conv; with mmdt=bf16 the MXU runs the contraction at full rate
+    with f32 accumulation (inputs rounded to bf16 — inference-safe)."""
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
     return (
         jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "SAME", dimension_numbers=dn
+            x.astype(mmdt), kernel.astype(mmdt), (1, 1), "SAME",
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
         )
         + bias
     )
 
 
-def _permute_channels(y, perm_int, inverse=False):
+def _permute_channels(y, perm_int, inverse=False, mmdt=jnp.float32):
     """Channel permutation as a one-hot matmul: a gather along the minor
     (lane) dimension is pathological for the TPU compiler/runtime, while a
     [C, C] matmul rides the MXU. The one-hot matrix is built on device from
     the tiny int32 index vector (embedding it as an f32 constant would blow
     the remote-compile payload limit). forward: out[..., i] = y[..., perm[i]];
     inverse uses the transposed matrix."""
-    onehot = jax.nn.one_hot(perm_int, y.shape[-1], dtype=y.dtype)  # [C, C]
+    onehot = jax.nn.one_hot(perm_int, y.shape[-1], dtype=mmdt)  # [C, C]
     eq = "...i,ic->...c" if inverse else "...c,ic->...i"
-    return jnp.einsum(eq, y, onehot)
+    return jnp.einsum(
+        eq, y.astype(mmdt), onehot, preferred_element_type=jnp.float32
+    )
 
 
-def _step_apply(x, p, perm_int, clamp, split1, split2):
+def _step_apply(x, p, perm_int, clamp, split1, split2, mmdt=jnp.float32):
     """Functional AllInOneBlock step forward; p holds unstacked leaves."""
     h, w = x.shape[1], x.shape[2]
     x1 = x[..., :split1]
     x2 = x[..., split1:]
-    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"])
-    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"]) * 0.1
+    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"], mmdt)
+    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"], mmdt) * 0.1
     s = _soft_clamp(a[..., :split2], clamp)
     t = a[..., split2:]
     x2 = x2 * jnp.exp(s) + t
@@ -91,18 +96,18 @@ def _step_apply(x, p, perm_int, clamp, split1, split2):
     scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
     y = y * scale + p["global_offset"]
     logdet = logdet + h * w * jnp.sum(jnp.log(scale))
-    return _permute_channels(y, perm_int), logdet
+    return _permute_channels(y, perm_int, mmdt=mmdt), logdet
 
 
-def _step_inverse(y, p, perm_int, clamp, split1, split2):
+def _step_inverse(y, p, perm_int, clamp, split1, split2, mmdt=jnp.float32):
     h, w = y.shape[1], y.shape[2]
-    y = _permute_channels(y, perm_int, inverse=True)
+    y = _permute_channels(y, perm_int, inverse=True, mmdt=mmdt)
     scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
     y = (y - p["global_offset"]) / scale
     x1 = y[..., :split1]
     x2 = y[..., split1:]
-    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"])
-    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"]) * 0.1
+    a = _conv_same(x1, p["conv1_kernel"], p["conv1_bias"], mmdt)
+    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"], mmdt) * 0.1
     s = _soft_clamp(a[..., :split2], clamp)
     t = a[..., split2:]
     x2 = (x2 - t) * jnp.exp(-s)
@@ -133,6 +138,11 @@ class NormalizingFlow(nn.Module):
     # NumPy-seeded permutations
     perms: Optional[Tuple[Tuple[int, ...], ...]] = None
     dtypes: DtypePolicy = DtypePolicy()
+    # dtype the coupling convs and permutation matmuls feed the MXU with.
+    # f32 (default) keeps the flow exactly invertible for training/tests;
+    # bfloat16 (inference) runs them at full MXU rate with f32 accumulation
+    # — scores are rank-consumed (AUROC), so the rounding is benign.
+    matmul_dtype: Any = jnp.float32
 
     @property
     def feature_side(self) -> int:
@@ -199,6 +209,7 @@ class NormalizingFlow(nn.Module):
         tail = self.flow_steps % 2 == 1
         perms = self._perms(self.flow_steps)
         clamp = self.clamp
+        mmdt = self.matmul_dtype
 
         pp = self._pair_params(n_pairs) if n_pairs else None
         if tail:
@@ -219,8 +230,8 @@ class NormalizingFlow(nn.Module):
                     p, pa, pb = xs
                     a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
                     b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
-                    zz, l1 = _step_apply(zz, a_p, pa, clamp, split1, split2)
-                    zz, l2 = _step_apply(zz, b_p, pb, clamp, split1, split2)
+                    zz, l1 = _step_apply(zz, a_p, pa, clamp, split1, split2, mmdt)
+                    zz, l2 = _step_apply(zz, b_p, pb, clamp, split1, split2, mmdt)
                     return (zz, ld + l1 + l2), None
 
                 (z, logdet), _ = jax.lax.scan(
@@ -228,7 +239,8 @@ class NormalizingFlow(nn.Module):
                 )
             if tail:
                 z, lt = _step_apply(
-                    z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2
+                    z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2,
+                    mmdt,
                 )
                 logdet = logdet + lt
             return z, logdet
@@ -236,7 +248,7 @@ class NormalizingFlow(nn.Module):
         # inverse
         if tail:
             z = _step_inverse(
-                z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2
+                z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2, mmdt
             )
         if n_pairs:
             inv_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
@@ -247,8 +259,8 @@ class NormalizingFlow(nn.Module):
                 p, ia, ib = xs
                 a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
                 b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
-                zz = _step_inverse(zz, b_p, ib, clamp, split1, split2)
-                zz = _step_inverse(zz, a_p, ia, clamp, split1, split2)
+                zz = _step_inverse(zz, b_p, ib, clamp, split1, split2, mmdt)
+                zz = _step_inverse(zz, a_p, ia, clamp, split1, split2, mmdt)
                 return zz, None
 
             z, _ = jax.lax.scan(

