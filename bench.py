@@ -15,11 +15,13 @@ bench_cpu_baseline.json.
 axon-runtime notes baked in here:
   * init runs on CPU (initializing on the TPU would remote-compile the init
     graph too)
-  * encoder and flow are jitted separately — each compiles in seconds over
-    the remote-compile endpoint, while the combined program can exceed its
-    payload limit (BENCH_FUSED=1 forces the single fused graph)
-  * timing forces a device->host fetch per step: on axon,
-    block_until_ready returns before execution completes.
+  * ONE fused jit graph (uint8 -> scores) is the default; BENCH_FUSED=0
+    falls back to separately-jitted encoder/flow
+  * a device->host fetch costs a ~30 ms tunnel roundtrip, so scores are
+    accumulated on device across all timed steps and fetched ONCE (the
+    validator's real pattern: metrics consume the whole score vector at
+    the end); block_until_ready returns early on axon, so the fetch is
+    also the completion barrier.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cpu_baseline.json")
 BATCH = 128
 WARMUP = 2
-ITERS = 10
+ITERS = 20
 
 
 def _build(device, dtypes, fused: bool):
@@ -90,19 +92,19 @@ def _build(device, dtypes, fused: bool):
 
 def _throughput(score, device, batch, warmup, iters) -> float:
     import jax
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     images = jax.device_put(
         rng.integers(0, 255, size=(batch, 224, 224, 3), dtype=np.uint8), device
     )
+    stack = jax.jit(lambda xs: jnp.stack(xs))
     for _ in range(warmup):
         np.asarray(score(images))  # host fetch == real completion barrier
-    # pipelined dispatch (the validator's real pattern: batches in flight,
-    # results drained as they land) — fetch everything at the end
+    # pipelined dispatch, device-side score accumulation, ONE final fetch
     t0 = time.perf_counter()
     outs = [score(images) for _ in range(iters)]
-    for o in outs:
-        np.asarray(o)
+    np.asarray(stack(outs))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -133,7 +135,7 @@ def main() -> None:
 
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     device = accel[0] if accel else jax.devices()[0]
-    fused = os.environ.get("BENCH_FUSED") == "1"
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
     score = _build(device, DtypePolicy(), fused=fused)
     tpu_ips = _throughput(score, device, BATCH, WARMUP, ITERS)
     cpu_ips = _cpu_reference()
