@@ -53,6 +53,35 @@ def test_pallas_row_padding(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_use_pallas_gmm_default(monkeypatch):
+    """Default: on for TPU targets, off on CPU; env flag overrides both."""
+    from vit_ad_tpu.ops.pallas import gmm as pg
+
+    monkeypatch.delenv("VITAD_PALLAS_GMM", raising=False)
+    assert pg.use_pallas_gmm() is False  # test backend is CPU
+    monkeypatch.setenv("VITAD_PALLAS_GMM", "1")
+    assert pg.use_pallas_gmm() is True
+    monkeypatch.setenv("VITAD_PALLAS_GMM", "0")
+    assert pg.use_pallas_gmm() is False
+
+
+def test_pallas_matmul_dtype_forwarded(rng):
+    """bf16 matmul_dtype must reach the kernel (wrapper forwards it): in
+    interpret mode on CPU the bf16 result visibly differs from f32 while
+    staying close."""
+    b, p, d, k = 2, 8, 16, 3
+    model = GaussianMDN(features=d, num_gaussians=k)
+    x = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    pr = model.init(jax.random.key(0), x)["params"]
+    args = (x, pr["w_pi"], pr["b_pi"], pr["w_sigma"], pr["b_sigma"],
+            pr["w_mu"], pr["b_mu"])
+    f32 = np.asarray(mdn_log_likelihood_pallas(*args, interpret=True))
+    bf16 = np.asarray(mdn_log_likelihood_pallas(
+        *args, interpret=True, matmul_dtype=jnp.bfloat16))
+    assert not np.array_equal(f32, bf16)
+    np.testing.assert_allclose(f32, bf16, rtol=0.1, atol=0.1)
+
+
 def test_evaluate_mdn_pallas_flag_parity(rng, tmp_path, monkeypatch):
     """VITAD_PALLAS_GMM=1 must produce the same metrics as the XLA path."""
     from vit_ad_tpu.config import DtypePolicy, HyperParams

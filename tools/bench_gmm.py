@@ -4,7 +4,9 @@ VERDICT round-1 asked the Pallas GMM kernel to earn its place: measure
 throughput and memory at K in {100, 150}, B=128, and tune (row tiles, bf16
 matmuls with f32 accumulation). All timed variants reduce to a scalar so the
 axon tunnel fetch (~30 ms) does not pollute device timing; device time is
-measured with the launch-N/one-fetch protocol.
+measured with the launch-N/one-fetch protocol. Params travel as jit
+ARGUMENTS — the MDN weights are ~470 MB and closure captures would be
+serialized into the axon remote-compile payload.
 
 Run:  PYTHONPATH=.:/root/.axon_site python tools/bench_gmm.py
 """
@@ -48,7 +50,7 @@ def main():
 
     from vit_ad_tpu.models.mdn import GaussianMDN
     from vit_ad_tpu.ops.gmm import fused_log_likelihood
-    from vit_ad_tpu.ops.pallas.gmm import mdn_log_likelihood_pallas
+    from vit_ad_tpu.ops.pallas.gmm import gmm_log_likelihood_pallas
 
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     device = accel[0] if accel else jax.devices()[0]
@@ -57,54 +59,53 @@ def main():
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((B, P, D)).astype(np.float32), device)
 
+    @jax.jit
+    def xla_f32(x, pr):
+        return fused_log_likelihood(
+            x, pr["w_pi"], pr["b_pi"], pr["w_sigma"], pr["b_sigma"],
+            pr["w_mu"], pr["b_mu"],
+        ).sum()
+
+    def mk_pallas(mmdt, tile):
+        @jax.jit
+        def f(x, pr):
+            xf = x.astype(jnp.float32)
+            logits = jnp.einsum(
+                "bpd,dk->bpk", xf, pr["w_pi"].astype(jnp.float32)
+            ) + pr["b_pi"]
+            log_pi = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-15)
+            return gmm_log_likelihood_pallas(
+                xf, log_pi,
+                jnp.moveaxis(pr["w_sigma"], -1, 0),
+                jnp.moveaxis(pr["b_sigma"], -1, 0),
+                jnp.moveaxis(pr["w_mu"], -1, 0),
+                jnp.moveaxis(pr["b_mu"], -1, 0),
+                row_tile=tile, matmul_dtype=mmdt,
+            ).sum()
+        return f
+
     for K in (100, 150):
-        mdn = GaussianMDN(embedding_size=D, num_gaussians=K)
+        mdn = GaussianMDN(features=D, num_gaussians=K)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             params = mdn.init(jax.random.key(0), jnp.zeros((1, P, D), jnp.float32))
-        params = jax.device_put(params, device)
-        pr = params["params"]
+        pr = jax.device_put(params["params"], device)
         flops = 4 * B * P * D * D * K  # the 2 head matmuls fwd
 
-        def xla_f32(x):
-            return fused_log_likelihood(
-                x, pr["w_pi"], pr["b_pi"], pr["w_sigma"], pr["b_sigma"],
-                pr["w_mu"], pr["b_mu"],
-            ).sum()
-
-        variants = [("xla scan f32 (k_chunk=8)", jax.jit(xla_f32))]
+        variants = [("xla scan f32 (k_chunk=8)", xla_f32)]
         for name, mmdt, tile in (
             ("pallas f32 tile=256", jnp.float32, 256),
             ("pallas f32 tile=512", jnp.float32, 512),
             ("pallas bf16 tile=256", jnp.bfloat16, 256),
             ("pallas bf16 tile=512", jnp.bfloat16, 512),
-            ("pallas bf16 tile=1024", jnp.bfloat16, 1024),
         ):
-            def mk(mmdt=mmdt, tile=tile):
-                def f(x):
-                    from vit_ad_tpu.ops.pallas.gmm import gmm_log_likelihood_pallas
-
-                    xf = x.astype(jnp.float32)
-                    logits = jnp.einsum(
-                        "bpd,dk->bpk", xf, pr["w_pi"].astype(jnp.float32)
-                    ) + pr["b_pi"]
-                    log_pi = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-15)
-                    return gmm_log_likelihood_pallas(
-                        xf, log_pi,
-                        jnp.moveaxis(pr["w_sigma"], -1, 0),
-                        jnp.moveaxis(pr["b_sigma"], -1, 0),
-                        jnp.moveaxis(pr["w_mu"], -1, 0),
-                        jnp.moveaxis(pr["b_mu"], -1, 0),
-                        row_tile=tile, matmul_dtype=mmdt,
-                    ).sum()
-                return jax.jit(f)
-            variants.append((name, mk()))
+            variants.append((name, mk_pallas(mmdt, tile)))
 
         ref = None
         print(f"\n--- K={K}  ({flops/1e12:.1f} TFLOP/batch fwd) ---", flush=True)
         for name, fn in variants:
             try:
-                dt, s = device_time(fn, x)
+                dt, s = device_time(fn, x, pr)
             except Exception as e:
                 print(f"{name:28s} FAILED {type(e).__name__}: {str(e)[:120]}",
                       flush=True)

@@ -167,7 +167,13 @@ def mdn_log_likelihood_pallas(
     matmul_dtype=jnp.float32,
 ) -> Array:
     """Convenience wrapper taking GaussianMDN's param layout (deterministic
-    softmax mixture weights — the eval path)."""
+    softmax mixture weights — the eval path).
+
+    matmul_dtype=bf16 is the right TPU setting: JAX's default matmul
+    precision on TPU already rounds f32 matmul operands to bf16, so bf16
+    weight blocks are bitwise-identical in output (verified on hardware)
+    while halving the per-tile weight DMA — measured 95→54 ms (K=100) and
+    136→102 ms (K=150) vs the XLA scan at batch 128, D=768."""
     xf = x.astype(jnp.float32)
     logits = jnp.einsum("bpd,dk->bpk", xf, w_pi.astype(jnp.float32)) + b_pi
     log_pi = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-15)
@@ -179,4 +185,18 @@ def mdn_log_likelihood_pallas(
         jnp.moveaxis(w_mu, -1, 0).astype(jnp.float32),
         jnp.moveaxis(b_mu, -1, 0).astype(jnp.float32),
         interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
+
+
+def use_pallas_gmm() -> bool:
+    """Pallas GMM scoring is the default on TPU targets; VITAD_PALLAS_GMM=0
+    forces the XLA scan, =1 forces the kernel (interpret mode on CPU)."""
+    import os
+
+    flag = os.environ.get("VITAD_PALLAS_GMM")
+    if flag is not None:
+        return flag == "1"
+    from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+    return _target_platform() == "tpu"
