@@ -92,6 +92,18 @@ def _block_apply(
     )
     x = x + out
 
+    from vit_ad_tpu.ops.pallas.mlp import mlp_block, use_pallas_mlp
+
+    if gelu_approx and use_pallas_mlp(d, p["fc1_kernel"].shape[-1]):
+        # fused LN+fc1+gelu+fc2+residual: the [B,N,4D] gelu intermediate and
+        # the LN output never touch HBM (ops/pallas/mlp.py)
+        return mlp_block(
+            x, p["norm2_scale"], p["norm2_bias"],
+            p["fc1_kernel"].astype(compute_dtype),
+            p["fc1_bias"],
+            p["fc2_kernel"].astype(compute_dtype),
+            p["fc2_bias"],
+        )
     y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
     h = jnp.einsum("bnd,de->bne", y, p["fc1_kernel"].astype(compute_dtype))
     h = nn.gelu(h + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx)
@@ -200,6 +212,15 @@ class ViTEncoder(nn.Module):
         tokens = tokens + pos_embed.astype(cd)
 
         blocks = self._stacked_block_params()
+        # Pre-cast the matmul weights/biases to compute dtype OUTSIDE the
+        # block scan: inside the scan body the f32->bf16 cast of every
+        # sliced leaf re-runs per iteration (XLA cannot hoist it), costing
+        # a full f32 read of ~7M params per block. Norm params stay f32
+        # (their math runs in f32).
+        blocks = {
+            k: (v if k.startswith("norm") else v.astype(cd))
+            for k, v in blocks.items()
+        }
         norm_scale = self.param(
             "norm_scale", nn.initializers.ones, (self.embed_dim,),
             self.dtypes.param_dtype,
