@@ -83,14 +83,26 @@ def _build(device, dtypes, fused: bool):
     if fused:
         fused_j = jax.jit(lambda ep, fp, im: head(fp, encode(ep, im)))
         score = lambda im: fused_j(enc_params, flow_params, im)
+
+        # scan-of-batches graph: params remain explicit jit args (closure
+        # captures would be serialized into the axon compile payload)
+        def chunk(ep, fp, ims):
+            return jax.lax.scan(
+                lambda _, im: (None, head(fp, encode(ep, im))), None, ims
+            )[1]
+
+        chunk_j = jax.jit(chunk)
+        scan_score = lambda ims: chunk_j(enc_params, flow_params, ims)
     else:
         encode_j = jax.jit(encode)
         head_j = jax.jit(head)
         score = lambda im: head_j(flow_params, encode_j(enc_params, im))
-    return score
+        scan_score = None
+    return score, scan_score
 
 
-def _throughput(score, device, batch, warmup, iters) -> float:
+def _throughput(score, device, batch, warmup, iters, scan_score=None,
+                scan_chunk=5) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +113,23 @@ def _throughput(score, device, batch, warmup, iters) -> float:
     stack = jax.jit(lambda xs: jnp.stack(xs))
     for _ in range(warmup):
         np.asarray(score(images))  # host fetch == real completion barrier
+    if scan_score is not None:
+        # steady-state protocol: scan_chunk batches per dispatch via
+        # lax.scan (distinct pre-staged batches), scores stay on device,
+        # ONE final fetch — the validator's real consumption pattern
+        images_n = jax.device_put(
+            rng.integers(
+                0, 255, size=(scan_chunk, batch, 224, 224, 3), dtype=np.uint8
+            ),
+            device,
+        )
+        np.asarray(scan_score(images_n))  # warm the scan graph
+        n_chunks = max(1, iters // scan_chunk)
+        t0 = time.perf_counter()
+        outs = [scan_score(images_n) for _ in range(n_chunks)]
+        np.asarray(stack(outs))
+        dt = time.perf_counter() - t0
+        return batch * scan_chunk * n_chunks / dt
     # pipelined dispatch, device-side score accumulation, ONE final fetch
     t0 = time.perf_counter()
     outs = [score(images) for _ in range(iters)]
@@ -118,7 +147,7 @@ def _cpu_reference() -> float:
     from vit_ad_tpu.config import DtypePolicy
 
     cpu = jax.devices("cpu")[0]
-    score = _build(cpu, DtypePolicy.f32(), fused=False)
+    score, _ = _build(cpu, DtypePolicy.f32(), fused=False)
     val = _throughput(score, cpu, batch=4, warmup=1, iters=2)
     with open(CACHE, "w") as f:
         json.dump(
@@ -136,8 +165,12 @@ def main() -> None:
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     device = accel[0] if accel else jax.devices()[0]
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
-    score = _build(device, DtypePolicy(), fused=fused)
-    tpu_ips = _throughput(score, device, BATCH, WARMUP, ITERS)
+    use_scan = os.environ.get("BENCH_SCAN", "1") != "0"
+    score, scan_score = _build(device, DtypePolicy(), fused=fused)
+    tpu_ips = _throughput(
+        score, device, BATCH, WARMUP, ITERS,
+        scan_score=scan_score if use_scan else None,
+    )
     cpu_ips = _cpu_reference()
 
     print(

@@ -112,3 +112,46 @@ def test_training_reduces_nll(rng):
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 1.0
+
+
+def test_folded_forward_matches_stock_scores(rng):
+    """Permutation folding: z comes back channel-permuted, but z*z channel
+    sums and logdet — everything scoring consumes — must match `transform`
+    exactly. Covers even (pairs only) and odd (tail step) depths."""
+    for steps in (4, 5):
+        flow = _flow(steps=steps)
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+        params = flow.init(jax.random.key(0), x)
+        z, ld = flow.apply(params, x, method=NormalizingFlow.transform)
+        zf, ldf = flow.apply(
+            params, x, method=NormalizingFlow.transform_folded
+        )
+        np.testing.assert_allclose(np.asarray(ldf), np.asarray(ld),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(zf * zf, axis=-1)),
+            np.asarray(jnp.sum(z * z, axis=-1)),
+            rtol=1e-4, atol=1e-5,
+        )
+        # z is a per-position channel permutation of stock z
+        np.testing.assert_allclose(
+            np.sort(np.asarray(zf), axis=-1), np.sort(np.asarray(z), axis=-1),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_call_uses_folded_path_and_matches(rng, monkeypatch):
+    """__call__ (scoring) output must be identical with folding on or off."""
+    flow = _flow()
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    params = flow.init(jax.random.key(0), x)
+    monkeypatch.delenv("VITAD_FOLD_FLOW_PERMS", raising=False)
+    stock = flow.apply(params, x)
+    monkeypatch.setenv("VITAD_FOLD_FLOW_PERMS", "1")
+    folded = flow.apply(params, x)
+    np.testing.assert_allclose(np.asarray(folded.loss), np.asarray(stock.loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(folded.anomaly_score_map),
+        np.asarray(stock.anomaly_score_map), rtol=1e-4, atol=1e-5,
+    )

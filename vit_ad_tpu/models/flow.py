@@ -99,6 +99,80 @@ def _step_apply(x, p, perm_int, clamp, split1, split2, mmdt=jnp.float32):
     return _permute_channels(y, perm_int, mmdt=mmdt), logdet
 
 
+def _fold_before_indices(perms: np.ndarray) -> np.ndarray:
+    """Static per-step cumulative channel maps for permutation folding.
+
+    Stock step i computes s = P_i(G_i(C_i(s_prev))) with
+    (P_i y)[c] = y[perm_i[c]]. Keeping the state in ORIGINAL channel order
+    (f = Q_i^{-1} s with Q_i = P_i∘…∘P_1), the coupling/affine of step i act
+    on channels idx_i = Q_{i-1} applied to arange(C): stock channel j of the
+    step input is f[idx_i[j]]. Returns [n_steps, C] int32 idx arrays."""
+    n, c = perms.shape
+    idx = np.arange(c)
+    before = []
+    for i in range(n):
+        before.append(idx.copy())
+        idx = idx[perms[i]]
+    return np.stack(before).astype(np.int32)
+
+
+def _fold_step_params(p, idx, split1, split2, c, stacked=False):
+    """Conjugate step params by the cumulative channel map idx ([C], or
+    [P, C] with stacked=True for a whole scan stack at once): conv1 reads
+    the full C channels (rows scattered from the stock x1 block), conv2
+    emits full-C s/t planes (columns scattered to the stock x2 positions;
+    zero elsewhere → exp(0)=1, +0 = identity on x1), and the global affine
+    vectors are permuted. One-hot matmuls (built on device from the small
+    int arrays — f32 constants would bloat the compile payload) because
+    lane gathers are pathological on TPU."""
+    oh_x1 = jax.nn.one_hot(idx[..., :split1], c, dtype=jnp.float32)
+    oh_x2 = jax.nn.one_hot(idx[..., split1:], c, dtype=jnp.float32)
+    oh_all = jax.nn.one_hot(idx, c, dtype=jnp.float32)
+    k2 = p["conv2_kernel"]
+    k2s, k2t = k2[..., :split2], k2[..., split2:]
+    b2 = p["conv2_bias"]
+    b2s, b2t = b2[..., :split2], b2[..., split2:]
+    pre = "p" if stacked else ""
+    e_k1 = f"{pre}xyjh,{pre}jc->{pre}xych"
+    e_k2 = f"{pre}xyhm,{pre}mc->{pre}xyhc"
+    e_b = f"{pre}m,{pre}mc->{pre}c"
+    return {
+        "conv1_kernel": jnp.einsum(e_k1, p["conv1_kernel"], oh_x1),
+        "conv1_bias": p["conv1_bias"],
+        "conv2_kernel": jnp.concatenate(
+            [
+                jnp.einsum(e_k2, k2s, oh_x2),
+                jnp.einsum(e_k2, k2t, oh_x2),
+            ],
+            axis=-1,
+        ),
+        "conv2_bias": jnp.concatenate(
+            [
+                jnp.einsum(e_b, b2s, oh_x2),
+                jnp.einsum(e_b, b2t, oh_x2),
+            ],
+            axis=-1,
+        ),
+        "global_scale": jnp.einsum(e_b, p["global_scale"], oh_all),
+        "global_offset": jnp.einsum(e_b, p["global_offset"], oh_all),
+    }
+
+
+def _step_apply_folded(x, p, clamp, mmdt=jnp.float32):
+    """Folded step: no permutation matmul; s/t arrive as full-C planes."""
+    h, w, c = x.shape[1], x.shape[2], x.shape[3]
+    a = _conv_same(x, p["conv1_kernel"], p["conv1_bias"], mmdt)
+    a = _conv_same(jax.nn.relu(a), p["conv2_kernel"], p["conv2_bias"], mmdt) * 0.1
+    s = _soft_clamp(a[..., :c], clamp)
+    t = a[..., c:]
+    x = x * jnp.exp(s) + t
+    logdet = jnp.sum(s, axis=(1, 2, 3))
+    scale = 0.2 * jnp.logaddexp(0.0, 0.5 * p["global_scale"])
+    x = x * scale + p["global_offset"]
+    logdet = logdet + h * w * jnp.sum(jnp.log(scale))
+    return x, logdet
+
+
 def _step_inverse(y, p, perm_int, clamp, split1, split2, mmdt=jnp.float32):
     h, w = y.shape[1], y.shape[2]
     y = _permute_channels(y, perm_int, inverse=True, mmdt=mmdt)
@@ -203,7 +277,9 @@ class NormalizingFlow(nn.Module):
         ).astype(np.int32)
 
     @nn.compact
-    def _scan_transform(self, x: Array, inverse: bool = False) -> Tuple[Array, Array]:
+    def _scan_transform(
+        self, x: Array, inverse: bool = False, folded: bool = False
+    ) -> Tuple[Array, Array]:
         split1, split2, _ = self._splits
         n_pairs = self.flow_steps // 2
         tail = self.flow_steps % 2 == 1
@@ -220,6 +296,46 @@ class NormalizingFlow(nn.Module):
 
         z = x.astype(jnp.float32)
         logdet = jnp.zeros(x.shape[0], dtype=jnp.float32)
+        if folded and not inverse:
+            # permutation-folded scoring path: z stays in ORIGINAL channel
+            # order; each step's convs/affine are conjugated by the static
+            # cumulative channel map and the 20 [C,C] permutation matmuls
+            # (0.59 TFLOP/batch-128) disappear. Scores are unchanged — the
+            # loss and anomaly map only consume channel-wise sums of z²,
+            # which are permutation-invariant; the fold itself is a few
+            # one-time einsums over the (tiny) kernels per call.
+            before = _fold_before_indices(perms)
+            c = z.shape[-1]
+            if n_pairs:
+                # fold the whole stacked pair params ONCE, outside the scan
+                fa = _fold_step_params(
+                    {k[2:]: v for k, v in pp.items() if k.startswith("a_")},
+                    jnp.asarray(before[0 : 2 * n_pairs : 2]),
+                    split1, split2, c, stacked=True,
+                )
+                fb = _fold_step_params(
+                    {k[2:]: v for k, v in pp.items() if k.startswith("b_")},
+                    jnp.asarray(before[1 : 2 * n_pairs : 2]),
+                    split1, split2, c, stacked=True,
+                )
+
+                def body_folded(carry, xs):
+                    zz, ld = carry
+                    pa, pb = xs
+                    zz, l1 = _step_apply_folded(zz, pa, clamp, mmdt)
+                    zz, l2 = _step_apply_folded(zz, pb, clamp, mmdt)
+                    return (zz, ld + l1 + l2), None
+
+                (z, logdet), _ = jax.lax.scan(
+                    body_folded, (z, logdet), (fa, fb)
+                )
+            if tail:
+                ft = _fold_step_params(
+                    tail_p, jnp.asarray(before[-1]), split1, split2, c,
+                )
+                z, lt = _step_apply_folded(z, ft, clamp, mmdt)
+                logdet = logdet + lt
+            return z, logdet
         if not inverse:
             if n_pairs:
                 perm_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
@@ -289,14 +405,40 @@ class NormalizingFlow(nn.Module):
         """[B,H,W,C] → (z, logdet [B])."""
         return self._scan_transform(x, inverse=False)
 
+    def transform_folded(self, x: Array) -> Tuple[Array, Array]:
+        """Permutation-folded forward: z comes back in ORIGINAL channel
+        order (NOT invertible against `inverse`); channel-wise sums of z²
+        and logdet are identical to `transform` — sufficient for the loss
+        and anomaly scores."""
+        return self._scan_transform(x, inverse=False, folded=True)
+
     def inverse(self, z: Array) -> Array:
         x, _ = self._scan_transform(z, inverse=True)
         return x
 
+    @staticmethod
+    def _fold_scoring() -> bool:
+        """OPT-IN (VITAD_FOLD_FLOW_PERMS=1). Measured on v5e (flagship,
+        batch 128): folding LOSES — 2807 vs 3019 img/s. The [C,C]
+        permutation matmuls it deletes are already almost free in-graph
+        (XLA overlaps them with the coupling convs; deleting them saves
+        0.2 ms), while the folded convs read/emit full-C zero-padded
+        planes, doubling the coupling conv FLOPs at the same poor
+        small-conv occupancy. Kept because the fold is score-exact and
+        wins wherever matmul FLOPs are the binding constraint instead."""
+        import os
+
+        return os.environ.get("VITAD_FOLD_FLOW_PERMS") == "1"
+
     def __call__(self, x: Array) -> FlowOutput:
         """Loss + anomaly map (reference NormalizingFlow.forward, :118-145).
-        x: [B, H', W', C] feature map (NHWC)."""
-        z, logdet = self.transform(x)
+        x: [B, H', W', C] feature map (NHWC). VITAD_FOLD_FLOW_PERMS=1
+        routes scoring through the permutation-folded forward (identical
+        scores; see _fold_scoring for why it is not the default)."""
+        if self._fold_scoring():
+            z, logdet = self.transform_folded(x)
+        else:
+            z, logdet = self.transform(x)
         loss = jnp.mean(0.5 * jnp.sum(z * z, axis=(1, 2, 3)) - logdet)
         log_likelihood = -0.5 * jnp.mean(z * z, axis=-1)  # [B, H', W']
         prob = jnp.exp(log_likelihood)
