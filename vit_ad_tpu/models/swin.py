@@ -192,6 +192,19 @@ class SwinStage(nn.Module):
 
         n_pairs = self.depth // 2
         params = self._pair_params(n_pairs, window)
+        # pre-cast the matmul weights/biases to compute dtype OUTSIDE the
+        # scan (the in-body cast of each sliced leaf re-runs per iteration);
+        # norm params and the relative-position bias tables stay f32 (their
+        # math runs on the f32 attention logits / LN path)
+        cd_pre = self.dtypes.compute_dtype
+        params = {
+            k: (
+                v
+                if ("norm" in k or "bias_table" in k)
+                else v.astype(cd_pre)
+            )
+            for k, v in params.items()
+        }
         pad_h = h + (window - h % window) % window
         pad_w = w + (window - w % window) % window
         mask_np = wa.shift_attention_mask(pad_h, pad_w, window, shift)
