@@ -108,3 +108,34 @@ def test_parallel_sweep_matches_sequential(tmp_path):
     assert os.path.exists(tmp_path / "par" / "results.csv")
     rows = list(csv.DictReader(open(tmp_path / "par" / "results.csv")))
     assert len(rows) == len(cats)
+
+
+def test_sweep_resume_reruns_on_hp_change(tmp_path):
+    """A finished run is only reused when the effective hyper-parameters
+    match — changing base_hp (e.g. -e on the CLI) must re-run, not return
+    the stale row."""
+    import dataclasses
+
+    from vit_ad_tpu.config import DtypePolicy, HyperParams
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.sweep import SweepRun, resolve_trainer, run_sweep
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "bottle", img_size=32, n_train=8)
+    hp = HyperParams(
+        model_name="enc_cnn", architecture="nf", epochs=1, patience=2,
+        batch_size=4, img_size=32, hidden_ratio=0.25, flow_steps=2,
+        dtypes=DtypePolicy.f32(),
+    )
+    runs = [SweepRun(category="bottle", data_root=str(root))]
+    out = str(tmp_path / "out")
+
+    r1 = run_sweep(resolve_trainer("nf"), hp, runs, out)
+    assert r1[0]["epochs_ran"] == 1
+    # same hp: reused verbatim
+    r2 = run_sweep(resolve_trainer("nf"), hp, runs, out)
+    assert r2 == r1
+    # changed hp: re-runs with the new settings
+    hp3 = dataclasses.replace(hp, epochs=2)
+    r3 = run_sweep(resolve_trainer("nf"), hp3, runs, out)
+    assert r3[0]["epochs_ran"] == 2

@@ -63,12 +63,18 @@ def _execute_run(
     crash-isolate, and persist the metric row."""
     run_dir = os.path.join(out_dir, run.name)
     done_path = os.path.join(run_dir, "done.json")
-    if resume and os.path.exists(done_path):
-        with open(done_path) as f:
-            return json.load(f)
-    os.makedirs(run_dir, exist_ok=True)
     hp = dataclasses.replace(base_hp, **run.overrides)
     hp.data_class = run.category
+    hp_stamp = json.dumps(hp.to_log_dict(), sort_keys=True, default=str)
+    if resume and os.path.exists(done_path):
+        with open(done_path) as f:
+            row = json.load(f)
+        # only reuse a finished run if it was produced with the SAME
+        # effective hyper-parameters — base_hp changes (e.g. a different
+        # -e/-l on the CLI) must re-run, not silently return stale metrics
+        if row.get("_hp") == hp_stamp:
+            return row
+    os.makedirs(run_dir, exist_ok=True)
     base = os.path.join(run.data_root, run.category)
     try:
         data = DataPipeline(
@@ -89,6 +95,7 @@ def _execute_run(
             "epochs_ran": result.epochs_ran,
             "best_valid_loss": result.best_valid_loss,
             **result.metrics,
+            "_hp": hp_stamp,
         }
     except Exception as e:  # crash isolation: the sweep continues
         row = {
@@ -239,7 +246,7 @@ def _write_csv(path: str, rows: List[Dict[str, Any]]) -> None:
     keys: List[str] = []
     for r in rows:
         for k in r:
-            if k not in keys:
+            if k not in keys and not k.startswith("_"):
                 keys.append(k)
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
