@@ -50,6 +50,19 @@ def test_dryrun_multichip_8_devices():
     g.dryrun_multichip(8)  # asserts finite loss internally
 
 
+def test_entry_traces():
+    """entry() must stay jit-traceable with its example args (the driver
+    compile-checks it single-chip); eval_shape avoids the full compile."""
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss, amap = jax.eval_shape(fn, *args)
+    assert amap.shape == (8, 224, 224)
+    assert loss.shape == ()
+
+
 def test_parallel_sweep_matches_sequential(tmp_path):
     """run_sweep_parallel (per-device worker processes) must complete N
     categories with per-run metrics identical to the sequential path
