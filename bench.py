@@ -111,8 +111,11 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
         rng.integers(0, 255, size=(batch, 224, 224, 3), dtype=np.uint8), device
     )
     stack = jax.jit(lambda xs: jnp.stack(xs))
-    for _ in range(warmup):
-        np.asarray(score(images))  # host fetch == real completion barrier
+    if scan_score is None:
+        # only the per-batch graph is timed — don't pay the (remote) compile
+        # of a graph the scan protocol would never use, and vice versa
+        for _ in range(warmup):
+            np.asarray(score(images))  # host fetch == real completion barrier
     if scan_score is not None:
         # steady-state protocol: scan_chunk batches per dispatch via
         # lax.scan (distinct pre-staged batches), scores stay on device,
@@ -123,7 +126,8 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
             ),
             device,
         )
-        np.asarray(scan_score(images_n))  # warm the scan graph
+        for _ in range(max(1, warmup)):  # warm the scan graph
+            np.asarray(scan_score(images_n))
         n_chunks = max(1, iters // scan_chunk)
         t0 = time.perf_counter()
         outs = [scan_score(images_n) for _ in range(n_chunks)]

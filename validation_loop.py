@@ -304,10 +304,11 @@ def main(argv):
 
     rows = []
     pths = sorted(glob.glob(os.path.join(runs_dir, "*.pth")))
+    if pths and not arch:
+        # don't abort: run-directory re-evaluation below must still happen
+        print("found .pth weights — pass -a <mdn|nf> to re-evaluate them too")
+        pths = []
     if pths:
-        if not arch:
-            print("found .pth weights — pass -a <mdn|nf> to re-evaluate them")
-            return
         for pth in pths:
             try:
                 metrics = validate_pth(

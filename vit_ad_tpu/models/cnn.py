@@ -30,7 +30,13 @@ class VanillaCNNEncoder(nn.Module):
 
     @property
     def num_patches(self) -> int:
-        return (self.img_size // 32) ** 2
+        # each stage's MaxPool(3, stride 2, pad 1) gives ceil(n/2) — (img//32)²
+        # is only correct for img_size divisible by 32 (e.g. 100px → 4² grid,
+        # not 3²)
+        side = self.img_size
+        for _ in CHANNELS:
+            side = -(-side // 2)
+        return side * side
 
     @nn.compact
     def __call__(

@@ -74,7 +74,11 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
         timer.start()
         with ctx:
             train_loss, n_items = train_epoch(epoch)
-        timer.tick(n_items)
+        if epoch > 0 or hp.epochs == 1:
+            # epoch 0 is jit-compile-dominated; folding it into the
+            # steady-state throughput metric understates img/s (see PERF.md
+            # first-measurement pollution)
+            timer.tick(n_items)
         valid_loss = valid_epoch()
         epoch_time = time.perf_counter() - t0
         history["train_loss"].append(train_loss)

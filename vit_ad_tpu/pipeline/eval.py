@@ -36,24 +36,35 @@ from vit_ad_tpu.pipeline import metrics as M
 
 def _collect(
     batches, score_fn, keep_origs: int = 0
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+) -> Tuple[Any, np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Run a jit score_fn over test batches; returns (per-image payloads,
     labels, masks, first `keep_origs` original uint8 images) with padding
-    trimmed."""
+    trimmed. A score_fn returning a tuple (e.g. per-stage outputs) yields a
+    tuple of concatenated payload arrays."""
     payloads, labels, masks, origs = [], [], [], []
     kept = 0
     for batch in batches:
         out = score_fn(batch.images)
         n = int(batch.valid.sum())
-        payloads.append(np.asarray(out[:n]))
+        if isinstance(out, tuple):
+            payloads.append([np.asarray(o[:n]) for o in out])
+        else:
+            payloads.append(np.asarray(out[:n]))
         labels.append(np.asarray(batch.labels[:n]))
         masks.append(np.asarray(batch.masks[:n]))
         if kept < keep_origs:
             take = min(n, keep_origs - kept)
             origs.append(np.asarray(batch.images[:take]))
             kept += take
+    if payloads and isinstance(payloads[0], list):
+        cat = tuple(
+            np.concatenate([p[i] for p in payloads], 0)
+            for i in range(len(payloads[0]))
+        )
+    else:
+        cat = np.concatenate(payloads, 0)
     return (
-        np.concatenate(payloads, 0),
+        cat,
         np.concatenate(labels, 0),
         np.concatenate(masks, 0),
         np.concatenate(origs, 0) if origs else None,
@@ -140,11 +151,15 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
     # VMEM fit: double-buffered [1,D,D] mu+sigma blocks + row tile + scratch.
     # Empirical calibration on v5e: D=768 f32 row_tile=256 compiles (~14 MB),
     # row_tile=512 does not — so budget 14 MB. ResNet stage-3 heads (D=2048)
-    # fall back to the XLA scan.
+    # fall back to the XLA scan — UNLESS VITAD_PALLAS_GMM=1 explicitly forces
+    # the kernel ("force" must mean force, so A/B measurements are attributed
+    # to the right path; an oversized head then fails loudly at compile).
+    import os
+
     d = feats.shape[-1]
     wbytes = 2 if hp.dtypes.compute_dtype == jnp.bfloat16 else 4
     est = 2 * 2 * d * d * wbytes + 4 * 256 * d * 4
-    fits = est <= 14 * 1024 * 1024
+    fits = est <= 14 * 1024 * 1024 or os.environ.get("VITAD_PALLAS_GMM") == "1"
     if not (use_pallas_gmm() and fits):
         return mdn.apply(variables, feats, method=GaussianMDN.log_likelihood)
     pr = variables["params"]
@@ -363,26 +378,15 @@ def evaluate_mdn_resnet(
             outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
         return tuple(outs)
 
-    payloads, labels, masks, origs = [], [], [], []
-    kept = 0
-    keep_origs = 9 if figures_dir else 0
-    for batch in test_data.test_batches(hp.prefetch):
-        outs = stage_logliks(enc_variables, list(mdn_params), batch.images)
-        n = int(batch.valid.sum())
-        payloads.append([np.asarray(o[:n]) for o in outs])
-        labels.append(np.asarray(batch.labels[:n]))
-        masks.append(np.asarray(batch.masks[:n]))
-        if kept < keep_origs:
-            take = min(n, keep_origs - kept)
-            origs.append(np.asarray(batch.images[:take]))
-            kept += take
-    labels = np.concatenate(labels, 0)
-    gt_masks = np.concatenate(masks, 0)
-    origs = np.concatenate(origs, 0) if origs else None
+    stage_lls, labels, gt_masks, origs = _collect(
+        test_data.test_batches(hp.prefetch),
+        lambda im: stage_logliks(enc_variables, list(mdn_params), im),
+        keep_origs=9 if figures_dir else 0,
+    )
 
     stage_anomalies = []
     for si in range(len(stages)):
-        ll = np.concatenate([p[si] for p in payloads], 0)  # [N, h*w]
+        ll = stage_lls[si]  # [N, h*w]
         prob = np.exp(ll - ll.max())
         side = int(round(np.sqrt(prob.shape[1])))
         up = np.asarray(

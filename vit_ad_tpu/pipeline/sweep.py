@@ -52,6 +52,16 @@ class SweepRun:
         return "_".join(str(p) for p in parts)
 
 
+def _effective_hp(base_hp: HyperParams, run: "SweepRun") -> HyperParams:
+    hp = dataclasses.replace(base_hp, **run.overrides)
+    hp.data_class = run.category
+    return hp
+
+
+def _hp_stamp(hp: HyperParams) -> str:
+    return json.dumps(hp.to_log_dict(), sort_keys=True, default=str)
+
+
 def _execute_run(
     trainer: Callable,
     base_hp: HyperParams,
@@ -63,9 +73,8 @@ def _execute_run(
     crash-isolate, and persist the metric row."""
     run_dir = os.path.join(out_dir, run.name)
     done_path = os.path.join(run_dir, "done.json")
-    hp = dataclasses.replace(base_hp, **run.overrides)
-    hp.data_class = run.category
-    hp_stamp = json.dumps(hp.to_log_dict(), sort_keys=True, default=str)
+    hp = _effective_hp(base_hp, run)
+    hp_stamp = _hp_stamp(hp)
     if resume and os.path.exists(done_path):
         with open(done_path) as f:
             row = json.load(f)
@@ -98,6 +107,9 @@ def _execute_run(
             "_hp": hp_stamp,
         }
     except Exception as e:  # crash isolation: the sweep continues
+        # note: no _hp stamp on error rows — resume retries failed runs
+        # instead of skipping them forever, and run_sweep_parallel's
+        # collection pass treats them as not-completed
         row = {
             "Name": run.name,
             "dataclass": run.category,
@@ -232,7 +244,11 @@ def run_sweep_parallel(
         done_path = os.path.join(out_dir, run.name, "done.json")
         if os.path.exists(done_path):
             with open(done_path) as f:
-                rows.append(json.load(f))
+                row = json.load(f)
+            # same stamp check as _execute_run: a crashed worker must not
+            # surface stale rows from an older sweep with different settings
+            if row.get("_hp") == _hp_stamp(_effective_hp(base_hp, run)):
+                rows.append(row)
     _write_csv(os.path.join(out_dir, "results.csv"), rows)
     if failed:
         raise RuntimeError(
