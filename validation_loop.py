@@ -266,7 +266,23 @@ def validate_pth(
         head = tc.merge_variables(target, converted)
         return evaluate_nf(encoder, enc_params, flow, head, test, hp, mean, std)
 
-    raise ValueError(f"legacy .pth re-evaluation supports mdn|nf, got {arch!r}")
+    if arch == "recon":
+        from vit_ad_tpu.pipeline.eval import evaluate_recon
+
+        # reference recon .pth = the whole AutoEncoder state dict (frozen
+        # encoder + trained decoder, reference TrainingsHelper.py:112-122)
+        model = get_model(hp.model_name, hp.img_size, hp.dtypes)
+        target = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+            train=True,
+        )
+        variables = tc.merge_variables(target, tc.convert_transformer_ae(sd))
+        return evaluate_recon(model, variables, test, hp, mean, std)
+
+    raise ValueError(
+        f"legacy .pth re-evaluation supports mdn|nf|recon, got {arch!r}"
+    )
 
 
 def main(argv):
@@ -283,7 +299,7 @@ def main(argv):
             print(
                 "validation_loop.py -r <runsDir> -d <dataRoot> -t <testPref>\n"
                 "  legacy torch weights: point -r at a directory of reference-"
-                "format .pth files and pass -a <mdn|nf> [-m <encoder>] "
+                "format .pth files and pass -a <mdn|nf|recon> [-m <model>] "
                 "[-f <flowSteps>]"
             )
             return
@@ -306,7 +322,7 @@ def main(argv):
     pths = sorted(glob.glob(os.path.join(runs_dir, "*.pth")))
     if pths and not arch:
         # don't abort: run-directory re-evaluation below must still happen
-        print("found .pth weights — pass -a <mdn|nf> to re-evaluate them too")
+        print("found .pth weights — pass -a <mdn|nf|recon> to re-evaluate them too")
         pths = []
     if pths:
         for pth in pths:

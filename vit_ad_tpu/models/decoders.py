@@ -50,8 +50,9 @@ class SmallDecoder(nn.Module):
             x = x.reshape(x.shape[0], s, s, 768)
         x = x.astype(cd)
         for i, ch in enumerate(DECODER_CHANNELS):
+            # torch ConvTranspose2d(3, s2, p1, op1) ≡ ((1,2),(1,2)) here
             x = nn.ConvTranspose(
-                ch, (3, 3), strides=(2, 2), padding="SAME",
+                ch, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
                 dtype=cd, param_dtype=pd, name=f"recon_conv{i + 1}",
             )(x)
             x = nn.BatchNorm(
@@ -88,8 +89,8 @@ class ResNetDecoder(nn.Module):
         )(x, train=train)
         x = _upsample_nearest(x, self.img_size // 2)
         x = nn.ConvTranspose(
-            3, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=cd, param_dtype=pd, name="de_conv1",
+            3, (7, 7), strides=(2, 2), padding=((3, 4), (3, 4)),
+            use_bias=False, dtype=cd, param_dtype=pd, name="de_conv1",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -11,10 +11,13 @@ Deviations (documented):
     upsampling — index scatter defeats TPU tiling, and the reference itself
     uses this substitution in DecoderResNetVariableEmbeddingSize
     (CnnDecoder.py:158-196).
-  * torch ConvTranspose2d(k3, s2, p1, op1) becomes flax ConvTranspose with
-    SAME padding (identical output shapes; decoders train from scratch so
-    kernel-level weight parity is not required).
   * `img_size` is a parameter instead of the reference's hardcoded 224.
+
+Transposed convs use the torch-exact padding: ConvTranspose2d(k, s,
+padding=p, output_padding=op) ≡ flax ConvTranspose(k, s, padding=
+((p, p+op), (p, p+op))) with the kernel transposed to [kh, kw, in, out] and
+spatially flipped (verified to 4e-6; utils/torch_convert._convt) — so
+reference-trained decoder weights convert bit-faithfully.
 """
 
 from __future__ import annotations
@@ -65,8 +68,11 @@ class ReverseBottleneck(nn.Module):
         out = nn.ConvTranspose(self.planes, (1, 1), dtype=cd, param_dtype=pd,
                                use_bias=False, name="conv3")(x)
         out = nn.relu(bn("bn3")(out).astype(cd))
+        # torch conv3x3(stride, p=1, op=stride-1): ((1,2)) when upsampling,
+        # symmetric ((1,1)) at stride 1 (reference ReverseResNet.py:10-29)
+        pad2 = ((1, self.stride), (1, self.stride))
         out = nn.ConvTranspose(
-            self.planes, (3, 3), strides=(self.stride,) * 2, padding="SAME",
+            self.planes, (3, 3), strides=(self.stride,) * 2, padding=pad2,
             dtype=cd, param_dtype=pd, use_bias=False, name="conv2",
         )(out)
         out = nn.relu(bn("bn2")(out).astype(cd))
@@ -74,10 +80,11 @@ class ReverseBottleneck(nn.Module):
                                param_dtype=pd, use_bias=False, name="conv1")(out)
         out = bn("bn1")(out).astype(cd)
         if self.upsample_identity:
+            # torch conv1x1(stride, p=0, op=stride-1) → ((0, stride-1))
             identity = nn.ConvTranspose(
                 self.out_channels, (1, 1), strides=(self.stride,) * 2,
-                padding="SAME", dtype=cd, param_dtype=pd, use_bias=False,
-                name="upsample_conv",
+                padding=((0, self.stride - 1),) * 2, dtype=cd, param_dtype=pd,
+                use_bias=False, name="upsample_conv",
             )(x)
             identity = bn("upsample_bn")(identity).astype(cd)
         return nn.relu(out + identity)
@@ -120,9 +127,10 @@ class ReverseResNet(nn.Module):
 
         # unpool-equivalent: img/4 → img/2 (reference uses MaxUnpool2d, :218)
         x = _upsample_nearest(x, self.img_size // 2)
+        # torch de_conv1: k7 s2 p3 op1 (reference :128-130) → ((3,4),(3,4))
         x = nn.ConvTranspose(
-            3, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=cd, param_dtype=pd, name="de_conv1",
+            3, (7, 7), strides=(2, 2), padding=((3, 4), (3, 4)),
+            use_bias=False, dtype=cd, param_dtype=pd, name="de_conv1",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

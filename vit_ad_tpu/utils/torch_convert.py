@@ -606,3 +606,150 @@ def convert_swin(
             res //= 2
     sd.finish()
     return {"params": {"esvit": params}}
+
+
+def _convt(sd, name, bias=True):
+    """torch ConvTranspose2d weight [in, out, kh, kw] → flax ConvTranspose
+    kernel [kh, kw, in, out], spatially flipped. Together with padding
+    ((p, p+output_padding),)*2 on the flax side this reproduces
+    ConvTranspose2d(k, s, p, output_padding) to float tolerance (verified
+    for k3/s2/p1/op1, k7/s2/p3/op1, k1, and the stride-1 cases)."""
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 0, 1))[::-1, ::-1].copy()
+    if bias and f"{name}.bias" in sd:
+        return w, sd[f"{name}.bias"]
+    return w, None
+
+
+def convert_small_decoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference DecoderVanillaCNN / DecoderCNNLinEnd state dict →
+    SmallDecoder variables (reference src/classes/CnnDecoder.py:16-155).
+
+    The reference registers each ConvTranspose both as an attribute
+    (`recon_convN`) and inside `decoder_cnn` (duplicate keys — dropped);
+    BatchNorms exist only under `decoder_cnn.{1,4,7,10,13}`. The optional
+    z-space MLP's second Linear feeds a channel-FIRST unflatten (768, s, s)
+    while SmallDecoder reshapes channel-last — its columns are permuted."""
+    sd = StrictStateDict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if "decoder_lin.0.weight" in sd:
+        w, b = _linear(sd, "decoder_lin.0")
+        params["fc1"] = {"kernel": w, "bias": b}
+        w, b = _linear(sd, "decoder_lin.2")  # [z2, 768*s*s] transposed
+        s = int(round(np.sqrt(w.shape[1] // 768)))
+        w = (
+            w.reshape(w.shape[0], 768, s, s)
+            .transpose(0, 2, 3, 1)
+            .reshape(w.shape[0], -1)
+        )
+        b = b.reshape(768, s, s).transpose(1, 2, 0).reshape(-1)
+        params["fc2"] = {"kernel": w, "bias": b}
+    for i in range(5):
+        k, b = _convt(sd, f"recon_conv{i + 1}")
+        params[f"recon_conv{i + 1}"] = {"kernel": k, "bias": b}
+        bnp, bns = _bn(sd, f"decoder_cnn.{3 * i + 1}")
+        params[f"bn{i + 1}"] = bnp
+        stats[f"bn{i + 1}"] = bns
+    if "linear_end.weight" in sd:  # DecoderCNNLinEnd (CnnDecoder.py:120-155)
+        w, b = _conv(sd, "linear_end")
+        params["linear_end"] = {"kernel": w, "bias": b}
+        sd.drop("decoder_cnn.14.")
+    sd.drop(
+        "decoder_cnn.0.", "decoder_cnn.3.", "decoder_cnn.6.",
+        "decoder_cnn.9.", "decoder_cnn.12.", suffix="num_batches_tracked",
+    )
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_reverse_trunk(sd, params, stats) -> None:
+    """Reference ReverseResNet layer1..4 bottlenecks → ReverseResNetTrunk
+    leaves (reference src/classes/resnet/ReverseResNet.py:46-215; layer
+    ordering layer4→1, last block of each Sequential carries the channel
+    change + upsample identity)."""
+    from vit_ad_tpu.models.reverse_resnet import LAYERS
+
+    for lnum, blocks in ((4, LAYERS[3]), (3, LAYERS[2]), (2, LAYERS[1]),
+                         (1, LAYERS[0])):
+        for i in range(blocks):
+            t = f"layer{lnum}.{i}"
+            p: Dict[str, Any] = {}
+            st: Dict[str, Any] = {}
+            for c in ("conv1", "conv2", "conv3"):
+                k, _ = _convt(sd, f"{t}.{c}", bias=False)
+                p[c] = {"kernel": k}
+            for bnn in ("bn1", "bn2", "bn3"):
+                bp, bs = _bn(sd, f"{t}.{bnn}")
+                p[bnn] = bp
+                st[bnn] = bs
+            if f"{t}.upsample.0.weight" in sd:
+                k, _ = _convt(sd, f"{t}.upsample.0", bias=False)
+                p["upsample_conv"] = {"kernel": k}
+                bp, bs = _bn(sd, f"{t}.upsample.1")
+                p["upsample_bn"] = bp
+                st["upsample_bn"] = bs
+            params[f"layer{lnum}_{i}"] = p
+            stats[f"layer{lnum}_{i}"] = st
+
+
+def convert_resnet_decoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference DecoderResNetVariableEmbeddingSize state dict →
+    ResNetDecoder variables (reference src/classes/CnnDecoder.py:158-196:
+    fc1/fc2 Sequentials, inherited ReverseResNet trunk + de_conv1 + bn1)."""
+    sd = StrictStateDict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    w, b = _linear(sd, "fc1.0")
+    params["fc1"] = {"kernel": w, "bias": b}
+    w, b = _linear(sd, "fc2.0")
+    params["fc2"] = {"kernel": w, "bias": b}
+    tp: Dict[str, Any] = {}
+    ts: Dict[str, Any] = {}
+    _convert_reverse_trunk(sd, tp, ts)
+    params["trunk"] = tp
+    stats["trunk"] = ts
+    k, _ = _convt(sd, "de_conv1", bias=False)
+    params["de_conv1"] = {"kernel": k}
+    bp, bs = _bn(sd, "bn1")
+    params["bn1"] = bp
+    stats["bn1"] = bs
+    sd.drop(suffix="num_batches_tracked")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_transformer_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full reference TransformerAutoEncoder state dict (frozen timm encoder
+    under `encoder.model.`, decoder under `decoder.`) →
+    TransformerAutoEncoder variables. Decoder kind is sniffed from the keys
+    (fc1.0 → resnet decoder, recon_conv1 → small decoder); encoder depth and
+    prefix-token count are inferred from the keys."""
+    enc_sd = {
+        k[len("encoder.model."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.model.")
+    }
+    dec_sd = {
+        k[len("decoder."):]: v
+        for k, v in sd.items()
+        if k.startswith("decoder.")
+    }
+    leftover = [
+        k for k in sd
+        if not (k.startswith("encoder.model.") or k.startswith("decoder."))
+    ]
+    if leftover:
+        raise ValueError(f"unexpected AE keys: {leftover[:8]}")
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in enc_sd if k.startswith("blocks.")
+    )
+    n_prefix = 2 if ("dist_token" in enc_sd or "distillation_token" in enc_sd) else 1
+    enc = convert_vit(enc_sd, depth=depth, num_prefix_tokens=n_prefix)
+    if "fc1.0.weight" in dec_sd:
+        dec = convert_resnet_decoder(dec_sd)
+    else:
+        dec = convert_small_decoder(dec_sd)
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec["params"]},
+        "batch_stats": {"decoder": dec.get("batch_stats", {})},
+    }
