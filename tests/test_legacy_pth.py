@@ -197,3 +197,22 @@ def test_validation_loop_accepts_reference_pth(tmp_path, rng):
         vit_ad_tpu.registry.get_model = orig
     assert "image_auroc_score" in metrics
     assert 0.0 <= metrics["image_auroc_score"] <= 1.0
+
+
+def test_validate_pth_resnet_mdn_two_files(tmp_path, rng):
+    """The reference's two-file ResNet-MDN legacy convention re-evaluates
+    (one torch GMM state dict per stage, channels 1024/2048)."""
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    import validation_loop as vl
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "widget", img_size=64, n_train=4,
+                        n_test_good=2, n_test_defect=2)
+    torch.manual_seed(3)
+    p2 = tmp_path / "3_gaussians_s2_widget.pth"
+    p3 = tmp_path / "3_gaussians_s3_widget.pth"
+    torch.save(TorchGMDN(1024, 3).state_dict(), p2)
+    torch.save(TorchGMDN(2048, 3).state_dict(), p3)
+    metrics = vl.validate_pth_resnet_mdn(str(p2), str(p3), str(root),
+                                         img_size=64)
+    assert 0.0 <= metrics["image_auroc_score"] <= 1.0

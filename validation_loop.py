@@ -285,6 +285,59 @@ def validate_pth(
     )
 
 
+def validate_pth_resnet_mdn(
+    pth_stage2: str,
+    pth_stage3: str,
+    data_root: str,
+    test_pref: str = "test",
+    img_size: int = 224,
+):
+    """Re-evaluate the reference's two-file ResNet-MDN legacy checkpoints
+    (reference validation_loop.validate_mdn_resnet:87-160 pairs one .pth per
+    stage GMM positionally; stage channels 1024/2048 = res_net stages 2,3)."""
+    import jax
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, ResNetEncoder
+    from vit_ad_tpu.pipeline.eval import evaluate_mdn_resnet
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    num_gaussians, dataclass = parse_pth_filename(pth_stage2, "mdn")
+    hp = HyperParams(
+        model_name="res_net", architecture="mdn", img_size=img_size,
+        num_gaussians=num_gaussians or 150, data_class=dataclass,
+    )
+    base = os.path.join(data_root, dataclass) if data_root else dataclass
+    test = DataPipeline(
+        batch_size=hp.batch_size, base_path=base, data_path=test_pref,
+        img_size=hp.img_size, validation_mode=True,
+    )
+    encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    enc_variables = encoder.init(
+        jax.random.split(jax.random.key(hp.seed))[1],
+        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+    )
+    stages = (2, 3)
+    mdns, heads = [], []
+    for i, pth in zip(stages, (pth_stage2, pth_stage3)):
+        d = STAGE_CHANNELS[i]
+        mdn = GaussianMDN(features=d, num_gaussians=hp.num_gaussians)
+        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, d)))
+        head = tc.merge_variables(
+            target, tc.convert_mdn_head(tc.load_pth(pth))
+        )
+        mdns.append(mdn)
+        heads.append(head)
+    mean, std = default_norm_stats()
+    return evaluate_mdn_resnet(
+        encoder, enc_variables, mdns, heads, test, hp, mean, std,
+        stages=stages,
+    )
+
+
 def main(argv):
     runs_dir = "runs"
     data_root = ""
