@@ -213,3 +213,72 @@ def test_validate_pth_recon_roundtrip(tmp_path, rng):
         vit_ad_tpu.registry.get_model = orig
     assert "image_auroc_score" in metrics
     assert 0.0 <= metrics["image_auroc_score"] <= 1.0
+
+
+@pytest.mark.slow
+def test_resnet_ae_convert_golden(rng):
+    """Full reference AutoEncoderResNet state dict (torchvision-layout
+    ResNet-50 encoder + stage norms + ReverseResNet decoder) converts and
+    reproduces the torch cnns-only reconstruction."""
+    from test_torch_convert import TorchResNet50
+    from vit_ad_tpu.models.autoencoder import ResNetAutoEncoder
+    from vit_ad_tpu.utils.torch_convert import convert_recon_ae
+
+    img = 64
+
+    class TorchResNetEncoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.res_net = TorchResNet50()
+            chans, scales = (256, 512, 1024, 2048), (4, 8, 16, 32)
+            self.norms = tnn.ModuleList(
+                tnn.LayerNorm([c, img // s, img // s]) for c, s in zip(chans, scales)
+            )
+
+    class TorchResNetAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = TorchResNetEncoder()
+            self.decoder = TorchReverseResNet()
+
+    class TorchReverseResNet(tnn.Module):
+        """Reference ReverseResNet root layout (cnns-only forward)."""
+
+        def __init__(self):
+            super().__init__()
+            self.layer4 = _make_layer(512, 3, 2, 1, 1024)
+            self.layer3 = _make_layer(256, 4, 2, 1, 512)
+            self.layer2 = _make_layer(128, 6, 2, 1, 256)
+            self.layer1 = _make_layer(64, 3, 1, 0, 64)
+            self.de_conv1 = tnn.ConvTranspose2d(64, 3, 7, stride=2, padding=3,
+                                                output_padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(3)
+
+        def forward(self, z):  # z: [B, 2048]
+            x = z[:, :, None, None]
+            x = tnn.functional.interpolate(x, size=img // 32, mode="nearest")
+            x = self.layer1(self.layer2(self.layer3(self.layer4(x))))
+            x = tnn.functional.interpolate(x, size=img // 2, mode="nearest")
+            return torch.tanh(self.bn1(self.de_conv1(x)))
+
+    torch.manual_seed(11)
+    t = TorchResNetAE().eval()
+    _randomize(t, seed=11)
+    x = rng.normal(size=(1, 3, img, img)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        feats = t.encoder.res_net(torch.from_numpy(x))
+        z = feats[-1].mean(dim=(2, 3))  # pooled stage-4 latent
+        want = t.decoder(z).numpy()
+
+    ae = ResNetAutoEncoder(img_size=img, dtypes=DtypePolicy.f32())
+    target = ae.init(jax.random.key(0), jnp.zeros((1, img, img, 3)),
+                     train=True)
+    conv = convert_recon_ae(state_dict_to_numpy(t.state_dict()))
+    assert jax.tree.map(jnp.shape, conv["params"]) == jax.tree.map(
+        jnp.shape, target["params"]
+    )
+    out = ae.apply(conv, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(out.reconstruction).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.latent), z.numpy(),
+                               rtol=1e-4, atol=1e-4)

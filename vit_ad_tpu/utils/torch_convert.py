@@ -753,3 +753,88 @@ def convert_transformer_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "params": {"encoder": enc["params"], "decoder": dec["params"]},
         "batch_stats": {"decoder": dec.get("batch_stats", {})},
     }
+
+
+def convert_resnet_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ResNetEncoder state dict → our ResNetEncoder variables:
+    torchvision-layout trunk under `res_net.`, trainable FastFlow stage
+    LayerNorms under `norms.{i}` with torch [C, H, W] affine shapes
+    (reference src/classes/CnnEncoder.py:128-158) → our NHWC [H, W, C]."""
+    trunk_sd = {
+        k[len("res_net."):]: v for k, v in sd.items()
+        if k.startswith("res_net.")
+    }
+    enc = convert_resnet50(trunk_sd)
+    params, stats = enc["params"], enc["batch_stats"]
+    consumed = {k for k in sd if k.startswith("res_net.")}
+    for i in range(4):
+        wk, bk = f"norms.{i}.weight", f"norms.{i}.bias"
+        if wk not in sd:
+            break
+        params[f"norm{i}_scale"] = np.transpose(sd[wk], (1, 2, 0))
+        params[f"norm{i}_bias"] = np.transpose(sd[bk], (1, 2, 0))
+        consumed |= {wk, bk}
+    left = sorted(set(sd) - consumed)
+    if left:
+        raise ValueError(f"unexpected ResNetEncoder keys: {left[:8]}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_reverse_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ReverseResNet state dict → our ReverseResNet variables
+    (full decoder: trunk layers + de_conv1 + bn1)."""
+    sd = StrictStateDict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _convert_reverse_trunk(sd, params, stats)
+    k, _ = _convt(sd, "de_conv1", bias=False)
+    params["de_conv1"] = {"kernel": k}
+    bp, bs = _bn(sd, "bn1")
+    params["bn1"] = bp
+    stats["bn1"] = bs
+    sd.drop(suffix="num_batches_tracked")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_recon_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Any reference recon AutoEncoder state dict → matching AE variables.
+
+    Dispatches on the encoder keys: `encoder.model.` (timm transformer AEs)
+    or `encoder.res_net.` (AutoEncoderResNet[SmallDecoder],
+    reference CnnAutoEncoder.py:111-154); the decoder kind is sniffed from
+    the decoder keys. The reference base AE registers torchmetrics SSIM and
+    MSELoss modules (`ssim.`, `mse.`) whose state, when present, carries no
+    weights — dropped."""
+    sd = {
+        k: v for k, v in sd.items()
+        if not (k.startswith("ssim.") or k.startswith("mse."))
+    }
+    if any(k.startswith("encoder.model.") for k in sd):
+        return convert_transformer_ae(sd)
+    enc_sd = {
+        k[len("encoder."):]: v for k, v in sd.items()
+        if k.startswith("encoder.")
+    }
+    dec_sd = {
+        k[len("decoder."):]: v for k, v in sd.items()
+        if k.startswith("decoder.")
+    }
+    leftover = [
+        k for k in sd
+        if not (k.startswith("encoder.") or k.startswith("decoder."))
+    ]
+    if leftover:
+        raise ValueError(f"unexpected AE keys: {leftover[:8]}")
+    enc = convert_resnet_encoder(enc_sd)
+    if "de_conv1.weight" in dec_sd:
+        dec = convert_reverse_resnet(dec_sd)
+    else:
+        dec = convert_small_decoder(dec_sd)
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec["params"]},
+        "batch_stats": {
+            "encoder": enc["batch_stats"],
+            "decoder": dec.get("batch_stats", {}),
+        },
+    }
