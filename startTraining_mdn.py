@@ -61,6 +61,9 @@ def main(argv):
         result = trainer(hp, data, test, logger=logger,
                          figures_dir=os.path.join(logger.dir, "figures"))
         print("final metrics:", result.metrics)
+        from vit_ad_tpu.cli.common import save_loss_curves
+
+        save_loss_curves(logger, result.history)
         from vit_ad_tpu.utils.checkpoint import save_params
 
         ckpt = save_params(logger.dir, "best_params", result.head_params)

@@ -9,6 +9,7 @@ csv_results_* exports). Edit the CONFIG block or pass --data/--arch.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 
 from vit_ad_tpu.config import HyperParams
@@ -109,6 +110,24 @@ def main(argv):
     if ok:
         mean = sum(r["image_auroc_score"] for r in ok) / len(ok)
         print(f"mean image AUROC over {len(ok)} categories: {mean:.4f}")
+    # per-category training-image counts, reference ImageHelper's dataset
+    # distribution plot (src/util/ImageHelper.py:225-306)
+    try:
+        from vit_ad_tpu.data.files import join_to_file_list
+        from vit_ad_tpu.utils import images as I
+
+        counts = {
+            c: len(join_to_file_list(
+                os.path.join(data_root, c), train_pref, shuffle=False))
+            for c in categories
+        }
+        fig = I.plot_dataset_distribution(counts, title=f"{arch} sweep data")
+        fig.savefig(os.path.join(out_dir, "dataset_distribution.png"), dpi=100)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    except Exception as e:  # plotting must never fail the sweep
+        print(f"distribution plot skipped: {type(e).__name__}: {e}")
     print(f"results: {out_dir}/results.csv")
 
 

@@ -137,3 +137,21 @@ def validate_model_name(hp: HyperParams) -> bool:
         )
         return False
     return True
+
+
+def save_loss_curves(logger, history) -> Optional[str]:
+    """Save the run's train/valid loss curves into the run dir and register
+    the figure with the logger (reference plots loss curves from json,
+    src/util/ImageHelper.py:152-222)."""
+    if not history.get("train_loss"):
+        return None
+    from vit_ad_tpu.utils import images as I
+
+    fig = I.plot_loss_curves(history)
+    path = f"{logger.dir}/loss_curves.png"
+    fig.savefig(path, dpi=100)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    logger.log_figure("loss_curves", path)
+    return path
