@@ -612,7 +612,13 @@ def train_mdn_resnet(
         return out
 
     def loss_fn(params, images_u8, valid, step_rng):
-        inputs = stage_inputs(params["encoder"], images_u8)
+        # the conv trunk is frozen (reference: requires_grad=False on every
+        # res_net weight) — stop_gradient keeps XLA from building the trunk
+        # backward and materializing its grad buffers; only the FastFlow
+        # stage norms differentiate inside the encoder
+        enc_p = dict(params["encoder"])
+        enc_p["trunk"] = jax.lax.stop_gradient(enc_p["trunk"])
+        inputs = stage_inputs(enc_p, images_u8)
         total = 0.0
         rngs = jax.random.split(step_rng, len(inputs))
         for feats, hp_, mdn, r in zip(inputs, params["heads"], mdns, rngs):
@@ -623,7 +629,11 @@ def train_mdn_resnet(
             )
         return total
 
-    @jax.jit
+    # donation is ESSENTIAL here: the two mixture heads carry [D, D, K]
+    # weight tensors (~3.4 GB params + ~6.7 GB Adam state at K=50), and
+    # without donated buffers the updated copies double the footprint —
+    # measured RESOURCE_EXHAUSTED on the 16 GB v5e at batch 8
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, images_u8, valid, step_rng):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, images_u8, valid, step_rng
@@ -677,7 +687,9 @@ def train_mdn_resnet(
 
     return TrainResult(
         head_params=best,
-        encoder_params=enc_variables,
+        # NOT enc_variables: its param buffers were donated by train_step;
+        # the best-snapshot copy (+ unchanged batch_stats) is the live one
+        encoder_params={"params": best["encoder"], **enc_stats},
         history=history,
         metrics=metrics,
         epochs_ran=epochs_ran,
@@ -749,9 +761,12 @@ def train_nf_resnet(
     opt_state = tx.init(params)
 
     def loss_fn(params, images_u8, valid):
+        # frozen conv trunk: no trunk backward (see train_mdn_resnet)
+        enc_p = dict(params["encoder"])
+        enc_p["trunk"] = jax.lax.stop_gradient(enc_p["trunk"])
         x = preprocess(images_u8, mean_j, std_j)
         maps = encoder.apply(
-            {"params": params["encoder"], **enc_stats}, x, train=False,
+            {"params": enc_p, **enc_stats}, x, train=False,
             method=ResNetEncoder.stage_features,
         )
         total = 0.0
@@ -765,7 +780,7 @@ def train_nf_resnet(
             )
         return total
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, images_u8, valid):
         loss, grads = jax.value_and_grad(loss_fn)(params, images_u8, valid)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -814,7 +829,9 @@ def train_nf_resnet(
 
     return TrainResult(
         head_params=best,
-        encoder_params=enc_variables,
+        # NOT enc_variables: its param buffers were donated by train_step;
+        # the best-snapshot copy (+ unchanged batch_stats) is the live one
+        encoder_params={"params": best["encoder"], **enc_stats},
         history=history,
         metrics=metrics,
         epochs_ran=epochs_ran,
