@@ -1,0 +1,159 @@
+"""In-run multi-device training through the REAL trainers (round-2 VERDICT
+item 1): the same train_* functions every CLI/sweep run calls, with a mesh
+requested via hp.mesh, must reproduce the single-device results — GSPMD
+sharding is an execution detail, not a semantic change."""
+
+import numpy as np
+import pytest
+
+from vit_ad_tpu.config import DtypePolicy, HyperParams, MeshConfig
+from vit_ad_tpu.data.loader import DataPipeline
+from vit_ad_tpu.data.synthetic import make_mvtec_category
+from vit_ad_tpu.models.vit import ViTEncoder
+
+
+@pytest.fixture(scope="module")
+def category(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mvtec_mesh")
+    make_mvtec_category(
+        str(root), "cat", img_size=32, n_train=24, n_test_good=6,
+        n_test_defect=6,
+    )
+    return str(root)
+
+
+def _tiny_encoder():
+    return ViTEncoder(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        num_prefix_tokens=2, dtypes=DtypePolicy.f32(),
+    )
+
+
+def _hp(arch, mesh=None, **kw):
+    base = dict(
+        architecture=arch, epochs=4, patience=4, learning_rate=1e-3,
+        weight_decay=1e-5, batch_size=8, img_size=32, seed=24,
+        dtypes=DtypePolicy.f32(),
+    )
+    base.update(kw)
+    hp = HyperParams(**base)
+    if mesh is not None:
+        hp.mesh = mesh
+    return hp
+
+
+def _pipelines(category):
+    data = DataPipeline(
+        batch_size=8, base_path=category, data_path="train/good", img_size=32
+    )
+    test = DataPipeline(
+        batch_size=8, base_path=f"{category}/cat", data_path="test",
+        img_size=32, validation_mode=True,
+    )
+    return data, test
+
+
+def _assert_parity(single, meshed):
+    np.testing.assert_allclose(
+        meshed.history["train_loss"], single.history["train_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        meshed.history["valid_loss"], single.history["valid_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    a0 = single.metrics["image_auroc_score"]
+    a1 = meshed.metrics["image_auroc_score"]
+    assert abs(a0 - a1) < 0.05, (a0, a1)
+
+
+def test_train_nf_mesh_matches_single(category):
+    """train_nf on a 4x2 (data, model) mesh ≡ single device: per-epoch
+    losses and final AUROC (DP gradient all-reduce + TP attention/MLP
+    sharding are semantics-preserving)."""
+    from vit_ad_tpu.pipeline.train import train_nf
+
+    data, test = _pipelines(category)
+    kw = dict(hidden_ratio=1.0, flow_steps=2)
+    single = train_nf(_hp("nf", **kw), data, test, encoder=_tiny_encoder())
+    meshed = train_nf(
+        _hp("nf", mesh=MeshConfig(data=4, model=2), **kw),
+        data, test, encoder=_tiny_encoder(),
+    )
+    _assert_parity(single, meshed)
+
+
+def test_train_mdn_mesh_matches_single(category):
+    """train_mdn with the mixture axis sharded over 'model' and the batch
+    over 'data' ≡ single device."""
+    from vit_ad_tpu.pipeline.train import train_mdn
+
+    data, test = _pipelines(category)
+    kw = dict(num_gaussians=8)
+    single = train_mdn(_hp("mdn", **kw), data, test, encoder=_tiny_encoder())
+    meshed = train_mdn(
+        _hp("mdn", mesh=MeshConfig(data=4, model=2), **kw),
+        data, test, encoder=_tiny_encoder(),
+    )
+    _assert_parity(single, meshed)
+
+
+def test_train_recon_mesh_runs(category):
+    """Pure-DP recon training (vanilla CNN AE, cross-device BatchNorm via
+    GSPMD) descends and matches the single-device loss trajectory."""
+    from vit_ad_tpu.pipeline.train import train_recon
+
+    data, test = _pipelines(category)
+    kw = dict(model_name="ae_cnn", epochs=3, patience=3)
+    single = train_recon(_hp("reconstruction", **kw), data, None)
+    meshed = train_recon(
+        _hp("reconstruction", mesh=MeshConfig(data=8, model=1), **kw),
+        data, None,
+    )
+    np.testing.assert_allclose(
+        meshed.history["train_loss"], single.history["train_loss"],
+        rtol=5e-3, atol=1e-4,
+    )
+    assert meshed.history["train_loss"][-1] < meshed.history["train_loss"][0]
+
+
+def test_mesh_config_parse():
+    assert MeshConfig.parse("4x2") == MeshConfig(data=4, model=2)
+    assert MeshConfig.parse("8") == MeshConfig(data=8, model=1)
+    assert MeshConfig.parse("auto") == MeshConfig(data=-1, model=1)
+    assert not MeshConfig().requested
+    assert MeshConfig.parse("2x1").requested
+    assert MeshConfig.parse("auto").requested
+
+
+def test_cli_mesh_flag():
+    from vit_ad_tpu.cli.common import parse_args
+
+    hp = HyperParams()
+    out = parse_args(
+        ["--mesh", "4x2", "-b", "16"], hp, "data/mvtec/hazelnut",
+        "train/good", "test",
+    )
+    assert out is not None
+    assert out[0].mesh == MeshConfig(data=4, model=2)
+    assert out[0].batch_size == 16
+
+
+def test_batch_not_divisible_raises():
+    from vit_ad_tpu.parallel.context import MeshContext
+
+    hp = HyperParams(batch_size=6)
+    hp.mesh = MeshConfig(data=4, model=2)
+    mc = MeshContext.from_hp(hp)
+    with pytest.raises(ValueError, match="not divisible"):
+        mc.check_batch(hp.batch_size)
+
+
+def test_block_index_warns_on_non_vit():
+    from vit_ad_tpu.cli.common import parse_args
+
+    with pytest.warns(UserWarning, match="block"):
+        parse_args(
+            ["-s", "7", "-m", "enc_esvit"], HyperParams(),
+            "data/mvtec/hazelnut", "train/good", "test",
+        )

@@ -24,5 +24,17 @@ TPU-first framework:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("VITAD_PLATFORM"):
+    # Uniform platform override for the CLIs: some PJRT plugins (e.g. the
+    # axon TPU tunnel) register via sitecustomize and trample JAX_PLATFORMS,
+    # so an env-var the library applies post-import is the only reliable way
+    # to force e.g. a virtual CPU mesh for CLI runs (tests do the same in
+    # conftest.py).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VITAD_PLATFORM"])
+
 from vit_ad_tpu.config import HyperParams, ValidationConfig  # noqa: F401
 from vit_ad_tpu.registry import MODEL_DICT, get_model, get_possible_models  # noqa: F401

@@ -53,19 +53,28 @@ def parse_args(
     """Parse reference-style flags into (hp, data_path, train_pref,
     test_pref); returns None if -h printed help."""
     shortopts = "hm:p:e:a:l:w:b:s:d:i:v:t:" + extra_short
-    opts, _ = getopt.getopt(argv, shortopts, ["centering"])
+    opts, _ = getopt.getopt(argv, shortopts, ["centering", "mesh="])
     for opt, arg in opts:
         if opt == "-h":
             print(
                 "usage: -m <modelType> -p <patience> -e <#epochs> -a <amountOfData>"
                 " -l <learnRate> -w <weightDecay> -b <batchSize> -d <dataPath>"
                 " -t <trainPref> -i <imageSize> -v <validPref> --centering"
+                " --mesh <DxM|auto>"
                 + usage_extra
             )
             print(f"Possible model values are: \n {get_possible_models()}")
             return None
         if opt == "--centering":
             hp.centering = True
+        elif opt == "--mesh":
+            # in-run multi-device training: shard the batch over D devices
+            # ("data") and params over M ("model", tensor parallel). New
+            # capability vs the reference (SURVEY.md §2.8); see
+            # vit_ad_tpu/parallel/. 'auto' = all devices on the data axis.
+            from vit_ad_tpu.config import MeshConfig
+
+            hp.mesh = MeshConfig.parse(arg)
         elif opt == "-p":
             hp.patience = int(arg)
         elif opt == "-e":
@@ -100,6 +109,20 @@ def parse_args(
             # reference src/pipeline/LearnerNF.py:18; its getopt already
             # accepted an unused "s:")
             hp.block_index = int(arg)
+    if hp.block_index and hp.model_name not in ("enc_deit", "enc_vit"):
+        # Only the ViT family implements truncated-depth extraction (the
+        # reference's BLOCK_INDEX_DEIT trick is DeiT-only, reference
+        # src/pipeline/LearnerNF.py:18); other backbones silently ignore
+        # block_index — surface that instead of differing silently.
+        import warnings
+
+        warnings.warn(
+            f"-s {hp.block_index} has no effect on {hp.model_name!r}: block "
+            "truncation is implemented for enc_deit/enc_vit only (parity "
+            "with the reference's DeiT-only BLOCK_INDEX trick); the full-"
+            "depth features will be used",
+            stacklevel=2,
+        )
     hp.base_path = data_path
     hp.train_pref = train_pref
     hp.dataset, hp.data_class = derive_dataset_names(data_path)

@@ -37,11 +37,29 @@ class DtypePolicy:
 class MeshConfig:
     """Logical device mesh. `data` shards the batch, `model` shards params
     (tensor parallelism) for backbones too large for one chip's HBM. Sizes of
-    -1 mean "use all remaining devices"."""
+    -1 mean "use all remaining devices". The default (1, 1) disables mesh
+    execution — trainers run plain single-device jit."""
 
-    data: int = -1
+    data: int = 1
     model: int = 1
     axis_names: Sequence[str] = ("data", "model")
+
+    @property
+    def requested(self) -> bool:
+        """True when any axis asks for more than one device (or 'all')."""
+        return self.data != 1 or self.model != 1
+
+    @staticmethod
+    def parse(spec: str) -> "MeshConfig":
+        """Parse a CLI mesh spec: 'DxM' (e.g. '4x2'), a bare data size
+        ('8'), or 'auto' (all devices on the data axis)."""
+        spec = spec.strip().lower()
+        if spec in ("auto", "all"):
+            return MeshConfig(data=-1, model=1)
+        if "x" in spec:
+            d, m = spec.split("x", 1)
+            return MeshConfig(data=int(d), model=int(m))
+        return MeshConfig(data=int(spec), model=1)
 
 
 @dataclasses.dataclass

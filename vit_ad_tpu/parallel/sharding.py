@@ -19,10 +19,9 @@ Batches shard over "data". Optimizer states inherit param shardings.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import flax
@@ -76,26 +75,6 @@ def shard_variables(variables: Any, mesh: Mesh) -> Any:
     return jax.tree.map(jax.device_put, variables, sh)
 
 
-def make_sharded_train_step(
-    loss_fn: Callable[[Any, jax.Array], jax.Array],
-    tx,
-    mesh: Mesh,
-) -> Callable:
-    """jit a (params, opt_state, batch) → (params, opt_state, loss) step with
-    batch sharded over "data" and params/optimizer under the TP rules. XLA
-    emits the gradient all-reduce over the data axis and the TP collectives
-    over the model axis automatically."""
-    batch_sh = NamedSharding(mesh, P("data"))
-
-    @jax.jit
-    def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return new_params, new_opt, loss
-
-    def run(params, opt_state, batch):
-        batch = jax.device_put(batch, batch_sh)
-        return step(params, opt_state, batch)
-
-    return run
+# Trainers consume these rules through parallel/context.MeshContext — the
+# product-level entry point wired into every pipeline/train.py trainer and
+# the --mesh CLI flag.

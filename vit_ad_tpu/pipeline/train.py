@@ -24,6 +24,7 @@ from vit_ad_tpu.data.dataset import default_norm_stats
 from vit_ad_tpu.data.loader import DataPipeline
 from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
 from vit_ad_tpu.models.mdn import GaussianMDN
+from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.pipeline.early_stopping import EarlyStopping, run_epochs
 from vit_ad_tpu.pipeline.features import (
     extract_features,
@@ -78,6 +79,24 @@ def _norm_stats(hp: HyperParams, data: DataPipeline):
     return default_norm_stats()
 
 
+def _shard(mc: Optional[MeshContext], *arrays):
+    """Shard batch arrays over the mesh data axis, or pass through when no
+    mesh is requested — lets every trainer loop stay one code path."""
+    if mc is None:
+        return arrays if len(arrays) != 1 else arrays[0]
+    return mc.shard_batch(*arrays)
+
+
+def _mesh_setup(hp: HyperParams) -> Optional[MeshContext]:
+    """The trainers' mesh entry point: None (single-device, the default) or
+    a validated MeshContext. New capability vs the reference (SURVEY.md
+    §2.8 — the reference is strictly single-GPU); see parallel/context.py."""
+    mc = MeshContext.from_hp(hp)
+    if mc is not None:
+        mc.check_batch(hp.batch_size)
+    return mc
+
+
 def train_mdn(
     hp: HyperParams,
     data: DataPipeline,
@@ -102,9 +121,15 @@ def train_mdn(
         enc_params = default_encoder_params(encoder, hp)
 
     mean, std = _norm_stats(hp, data)
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        enc_params = mc.shard_params(enc_params)
     extractor = make_feature_extractor(
         encoder, enc_params, hp.block_index, mean, std
     )
+    if mc is not None:
+        _extract = extractor
+        extractor = lambda im: _extract(mc.shard_batch(im))  # noqa: E731
 
     # Feature cache: encoder is frozen → extract once, not once per epoch
     # (the reference recomputes every epoch, LearnerMDN.py:151).
@@ -123,6 +148,10 @@ def train_mdn(
 
         centers = kmeans_cluster_centers(feats_train, hp.num_gaussians)
         head_params = seed_mdn_mu_bias(head_params, centers)
+    if mc is not None:
+        # mixture-parallel head placement; tx.init below inherits the
+        # shardings via computation-follows-data
+        head_params = mc.shard_params(head_params)
     tx = torch_adam(hp.learning_rate, hp.weight_decay)
     opt_state = tx.init(head_params)
 
@@ -152,18 +181,22 @@ def train_mdn(
         losses, weights = [], []
         for feats, valid in feature_batches(feats_train, hp.batch_size):
             rng, k = jax.random.split(rng)
+            w = valid.sum()
+            feats, valid = _shard(mc, feats, valid)
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid, k
             )
             losses.append(loss)
-            weights.append(valid.sum())
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
+            w = valid.sum()
+            feats, valid = _shard(mc, feats, valid)
             vlosses.append(eval_loss(head_params, feats, valid))
-            vweights.append(valid.sum())
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
@@ -220,9 +253,15 @@ def train_nf(
         enc_params = default_encoder_params(encoder, hp)
 
     mean, std = _norm_stats(hp, data)
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        enc_params = mc.shard_params(enc_params)
     extractor = make_feature_extractor(
         encoder, enc_params, hp.block_index, mean, std
     )
+    if mc is not None:
+        _extract = extractor
+        extractor = lambda im: _extract(mc.shard_batch(im))  # noqa: E731
     feats_train = extract_features(extractor, data.train_batches(hp.prefetch))
     feats_valid = extract_features(extractor, data.valid_batches(hp.prefetch))
     n, p, embed_dim = feats_train.shape
@@ -238,6 +277,8 @@ def train_nf(
     rng, k = jax.random.split(rng)
     side = int(np.sqrt(p))
     head_params = flow.init(k, jnp.zeros((1, side, side, embed_dim)))
+    if mc is not None:
+        head_params = mc.shard_params(head_params)
     tx = torch_adam(hp.learning_rate, hp.weight_decay)
     opt_state = tx.init(head_params)
 
@@ -263,18 +304,22 @@ def train_nf(
             )
         losses, weights = [], []
         for feats, valid in feature_batches(feats_train, hp.batch_size):
+            w = valid.sum()
+            feats, valid = _shard(mc, feats, valid)
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid
             )
             losses.append(loss)
-            weights.append(valid.sum())
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
         for feats, valid in feature_batches(feats_valid, hp.batch_size):
+            w = valid.sum()
+            feats, valid = _shard(mc, feats, valid)
             vlosses.append(eval_loss(head_params, feats, valid))
-            vweights.append(valid.sum())
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
@@ -354,6 +399,13 @@ def train_recon(
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        # CNN decoders/AEs match no TP rule → params replicate; the win here
+        # is pure DP (batch over "data"), incl. cross-device BN stats via
+        # GSPMD's all-reduce on the batch mean
+        params = mc.shard_params(params)
+        batch_stats = mc.replicate(batch_stats)
 
     # Vanilla CNN AE trains end-to-end; pretrained-encoder AEs train the
     # decoder only (reference freezes encoder weights via requires_grad).
@@ -451,7 +503,7 @@ def train_recon(
 
         chunks = []
         for batch in data.train_batches(hp.prefetch):
-            z = _latent(params, batch_stats, batch.images)
+            z = _latent(params, batch_stats, _shard(mc, batch.images))
             chunks.append(np.asarray(z[: int(batch.valid.sum())]))
         latents_train = np.concatenate(chunks, 0)
 
@@ -473,6 +525,7 @@ def train_recon(
         offset = 0
         for batch in data.train_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
+            images, valid = _shard(mc, batch.images, valid)
             if latents_train is not None:
                 n_valid = int(batch.valid.sum())
                 z = latents_train[offset : offset + n_valid]
@@ -482,12 +535,12 @@ def train_recon(
                         [z, np.repeat(z[-1:], batch.images.shape[0] - n_valid, 0)]
                     )
                 params, batch_stats, opt_state, loss = train_step_cached(
-                    params, batch_stats, opt_state, batch.images, valid,
-                    jnp.asarray(z),
+                    params, batch_stats, opt_state, images, valid,
+                    _shard(mc, jnp.asarray(z)),
                 )
             else:
                 params, batch_stats, opt_state, loss = train_step(
-                    params, batch_stats, opt_state, batch.images, valid
+                    params, batch_stats, opt_state, images, valid
                 )
             losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
@@ -497,7 +550,8 @@ def train_recon(
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(valid_loss_fn(params, batch_stats, batch.images, valid))
+            images, valid = _shard(mc, batch.images, valid)
+            vlosses.append(valid_loss_fn(params, batch_stats, images, valid))
             vweights.append(float(np.sum(batch.valid)))
         return _weighted_mean(vlosses, vweights)
 
@@ -588,6 +642,12 @@ def train_mdn_resnet(
     # joint params: heads + encoder (trunk frozen via mask)
     params = {"heads": head_params, "encoder": enc_variables["params"]}
     enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        # heads shard mixture-parallel (w_mu/w_sigma K-axis over "model" —
+        # the [D,D,K] tensors are the HBM hogs here); trunk replicates
+        params = mc.shard_params(params)
+        enc_stats = mc.replicate(enc_stats)
     base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
     labels = {
         "heads": jax.tree.map(lambda _: "train", head_params),
@@ -651,8 +711,9 @@ def train_mdn_resnet(
         for batch in data.train_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
             valid = jnp.asarray(batch.valid, jnp.float32)
+            images, valid = _shard(mc, batch.images, valid)
             params, opt_state, loss = train_step(
-                params, opt_state, batch.images, valid, k
+                params, opt_state, images, valid, k
             )
             losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
@@ -662,7 +723,8 @@ def train_mdn_resnet(
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(eval_loss(params, batch.images, valid))
+            images, valid = _shard(mc, batch.images, valid)
+            vlosses.append(eval_loss(params, images, valid))
             vweights.append(float(np.sum(batch.valid)))
         return _weighted_mean(vlosses, vweights)
 
@@ -750,6 +812,10 @@ def train_nf_resnet(
 
     params = {"heads": head_params, "encoder": enc_variables["params"]}
     enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        params = mc.shard_params(params)
+        enc_stats = mc.replicate(enc_stats)
     base_tx = torch_adam(hp.learning_rate, hp.weight_decay)
     labels = {
         "heads": jax.tree.map(lambda _: "train", head_params),
@@ -793,8 +859,9 @@ def train_nf_resnet(
         losses, weights = [], []
         for batch in data.train_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
+            images, valid = _shard(mc, batch.images, valid)
             params, opt_state, loss = train_step(
-                params, opt_state, batch.images, valid
+                params, opt_state, images, valid
             )
             losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
@@ -804,7 +871,8 @@ def train_nf_resnet(
         vlosses, vweights = [], []
         for batch in data.valid_batches(hp.prefetch):
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(eval_loss(params, batch.images, valid))
+            images, valid = _shard(mc, batch.images, valid)
+            vlosses.append(eval_loss(params, images, valid))
             vweights.append(float(np.sum(batch.valid)))
         return _weighted_mean(vlosses, vweights)
 
@@ -871,6 +939,10 @@ def train_vae(
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    mc = _mesh_setup(hp)
+    if mc is not None:
+        params = mc.shard_params(params)
+        batch_stats = mc.replicate(batch_stats)
     tx = torch_adam(hp.learning_rate, hp.weight_decay)
     opt_state = tx.init(params)
 
@@ -930,8 +1002,9 @@ def train_vae(
         for batch in data.train_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
             valid = jnp.asarray(batch.valid, jnp.float32)
+            images, valid = _shard(mc, batch.images, valid)
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, batch.images, valid, k
+                params, batch_stats, opt_state, images, valid, k
             )
             losses.append(loss)
             weights.append(float(np.sum(batch.valid)))
@@ -943,7 +1016,8 @@ def train_vae(
         for batch in data.valid_batches(hp.prefetch):
             rng, k = jax.random.split(rng)
             valid = jnp.asarray(batch.valid, jnp.float32)
-            vlosses.append(valid_loss_fn(params, batch_stats, batch.images, valid, k))
+            images, valid = _shard(mc, batch.images, valid)
+            vlosses.append(valid_loss_fn(params, batch_stats, images, valid, k))
             vweights.append(float(np.sum(batch.valid)))
         return _weighted_mean(vlosses, vweights)
 
