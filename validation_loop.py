@@ -183,6 +183,37 @@ def _validate_resnet_run(hp, arch, ckpt, test, mean, std):
     )
 
 
+def load_encoder_checkpoint(encoder, model_name: str, encoder_ckpt: str,
+                            img_size: int, target):
+    """Resolve an encoder checkpoint for legacy-.pth re-evaluation.
+
+    The reference evaluates its heads against ImageNet/EsViT-pretrained
+    trunks downloaded at model build (reference CnnEncoder.py:140-145,
+    TransformerEncoder.py:57,134); without pretrained trunk weights a
+    re-evaluated reference head is meaningless. Accepts either
+      * a torch ``.pth`` in the upstream layout (timm / torchvision / EsViT
+        release) — converted through the strict converter for the model, or
+      * an orbax checkpoint directory written by
+        ``python -m vit_ad_tpu.cli.convert_weights``.
+    """
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    if encoder_ckpt.endswith(".pth"):
+        from vit_ad_tpu.cli.convert_weights import MODEL_ARCH, convert_state_dict
+
+        if model_name not in MODEL_ARCH:
+            raise ValueError(
+                f"no torch converter registered for {model_name!r}; "
+                f"known: {sorted(MODEL_ARCH)}"
+            )
+        sd = tc.strip_prefix(tc.load_pth(encoder_ckpt), "module.")
+        _, converted = convert_state_dict(MODEL_ARCH[model_name], sd, img_size)
+        return tc.merge_variables(target, converted)
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    return load_params(os.path.abspath(encoder_ckpt), target)
+
+
 def parse_pth_filename(filename: str, arch: str):
     """Reference filename convention (reference validation_loop.py:38-41,
     92-95,163-166,212-215): MDN files lead with the gaussian count, every
@@ -208,11 +239,19 @@ def validate_pth(
     img_size: int = 224,
     hidden_ratio: float = 0.16,
     flow_steps: int = 20,
+    encoder_ckpt: str = "",
 ):
     """Re-evaluate a reference-format torch `.pth` head checkpoint
     (reference validation_loop.validate_mdn/:35, validate_nf/:161): parse
     num_gaussians/dataclass from the filename, convert the torch state dict,
-    rebuild encoder+head, run the matching validator."""
+    rebuild encoder+head, run the matching validator.
+
+    `encoder_ckpt` supplies the pretrained trunk the head was trained
+    against (upstream torch `.pth` or a convert_weights orbax dir — see
+    load_encoder_checkpoint). Without it the encoder is the deterministic
+    seed-random init: fine for heads trained by THIS framework against the
+    same seed, meaningless for reference-trained heads (a warning is
+    printed)."""
     import jax
 
     from vit_ad_tpu.config import HyperParams
@@ -231,6 +270,16 @@ def validate_pth(
     )
     encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
     enc_params = default_encoder_params(encoder, hp)
+    if encoder_ckpt:
+        enc_params = load_encoder_checkpoint(
+            encoder, hp.model_name, encoder_ckpt, hp.img_size, enc_params
+        )
+    else:
+        print(
+            "validate_pth: no encoder checkpoint given (-E) — evaluating "
+            "against the seed-random trunk; reference-trained heads need "
+            "their pretrained trunk weights for meaningful scores"
+        )
     mean, std = default_norm_stats()
     test = DataPipeline(
         batch_size=hp.batch_size, base_path=base, data_path=test_pref,
@@ -291,10 +340,16 @@ def validate_pth_resnet_mdn(
     data_root: str,
     test_pref: str = "test",
     img_size: int = 224,
+    encoder_ckpt: str = "",
 ):
     """Re-evaluate the reference's two-file ResNet-MDN legacy checkpoints
     (reference validation_loop.validate_mdn_resnet:87-160 pairs one .pth per
-    stage GMM positionally; stage channels 1024/2048 = res_net stages 2,3)."""
+    stage GMM positionally; stage channels 1024/2048 = res_net stages 2,3).
+
+    `encoder_ckpt` should point at ImageNet resnet50 weights (torchvision
+    .pth or a convert_weights orbax dir): the reference's GMMs were trained
+    on a frozen ImageNet-pretrained trunk (reference CnnEncoder.py:140-145),
+    so without it the evaluation runs against a random trunk (warned)."""
     import jax
 
     from vit_ad_tpu.config import HyperParams
@@ -320,6 +375,16 @@ def validate_pth_resnet_mdn(
         jax.random.split(jax.random.key(hp.seed))[1],
         jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
     )
+    if encoder_ckpt:
+        enc_variables = load_encoder_checkpoint(
+            encoder, "res_net", encoder_ckpt, hp.img_size, enc_variables
+        )
+    else:
+        print(
+            "validate_pth_resnet_mdn: no encoder checkpoint given (-E) — "
+            "evaluating against a random resnet50 trunk; the reference's "
+            "GMM heads were trained on ImageNet-pretrained features"
+        )
     stages = (2, 3)
     mdns, heads = [], []
     for i, pth in zip(stages, (pth_stage2, pth_stage3)):
@@ -346,14 +411,18 @@ def main(argv):
     arch = ""
     flow_steps = 20
     hidden_ratio = 0.16
-    opts, _ = getopt.getopt(argv, "hr:d:t:m:a:f:")
+    encoder_ckpt = ""
+    opts, _ = getopt.getopt(argv, "hr:d:t:m:a:f:E:")
     for opt, arg in opts:
         if opt == "-h":
             print(
                 "validation_loop.py -r <runsDir> -d <dataRoot> -t <testPref>\n"
                 "  legacy torch weights: point -r at a directory of reference-"
                 "format .pth files and pass -a <mdn|nf|recon> [-m <model>] "
-                "[-f <flowSteps>]"
+                "[-f <flowSteps>] [-E <encoderCkpt>]\n"
+                "  -E: pretrained trunk the heads were trained against "
+                "(torch .pth or convert_weights orbax dir); without it legacy "
+                "heads evaluate against a random trunk"
             )
             return
         if opt == "-r":
@@ -368,6 +437,8 @@ def main(argv):
             arch = arg
         elif opt == "-f":
             flow_steps = int(arg)
+        elif opt == "-E":
+            encoder_ckpt = arg
 
     import csv
 
@@ -383,6 +454,7 @@ def main(argv):
                 metrics = validate_pth(
                     pth, model_name, arch, data_root, test_pref,
                     flow_steps=flow_steps, hidden_ratio=hidden_ratio,
+                    encoder_ckpt=encoder_ckpt,
                 )
                 rows.append({"Name": os.path.basename(pth), **metrics})
                 print(pth, metrics)

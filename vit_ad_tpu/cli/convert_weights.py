@@ -19,16 +19,25 @@ import argparse
 import sys
 
 
-def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
-    import jax
-    import jax.numpy as jnp
+# registry model key → converter arch (validation_loop and scripts use this
+# to pick the right converter for an encoder checkpoint)
+MODEL_ARCH = {
+    "enc_deit": "deit",
+    "enc_vit": "vit",
+    "enc_esvit": "esvit",
+    "enc_nest": "nest",
+    "enc_eff_former": "efficientformer",
+    "enc_eff_net": "efficientnet",
+    "enc_res_net": "resnet50",
+    "res_net": "resnet50",
+}
 
-    from vit_ad_tpu.config import DtypePolicy
+
+def convert_state_dict(arch: str, sd, img_size: int = 224):
+    """Dispatch a torch state dict to the matching strict converter.
+    Returns (encoder_module, converted_variables) — the caller merges into
+    the encoder's init tree."""
     from vit_ad_tpu.utils import torch_convert as tc
-    from vit_ad_tpu.utils.checkpoint import save_params
-
-    sd = tc.load_pth(src)
-    sd = tc.strip_prefix(sd, "module.")
 
     if arch in ("deit", "vit"):
         from vit_ad_tpu.models.vit import (
@@ -77,6 +86,19 @@ def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
             f"unknown arch {arch!r} "
             "(deit|vit|resnet50|esvit|nest|efficientformer|efficientnet)"
         )
+    return encoder, converted
+
+
+def convert(arch: str, src: str, dst: str, img_size: int = 224) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.utils import torch_convert as tc
+    from vit_ad_tpu.utils.checkpoint import save_params
+
+    sd = tc.load_pth(src)
+    sd = tc.strip_prefix(sd, "module.")
+    encoder, converted = convert_state_dict(arch, sd, img_size)
 
     base = encoder.init(
         jax.random.key(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)

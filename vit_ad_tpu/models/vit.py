@@ -230,11 +230,20 @@ class ViTEncoder(nn.Module):
             self.dtypes.param_dtype,
         )
         num_heads, accum = self.num_heads, self.dtypes.accum_dtype
-        gelu_approx = (
-            self.gelu_tanh
-            if self.gelu_tanh is not None
-            else cd == jnp.bfloat16
-        )
+        # VITAD_EXACT_GELU=1 pins exact erf even under bf16 so score shifts
+        # stay attributable when comparing against torch/timm references
+        # (documented perf tradeoff: ~9 ms/batch-128 of VPU transcendentals
+        # on v5e; see README "Numerics" and the gelu_tanh field note above).
+        import os
+
+        if os.environ.get("VITAD_EXACT_GELU"):
+            gelu_approx = False
+        else:
+            gelu_approx = (
+                self.gelu_tanh
+                if self.gelu_tanh is not None
+                else cd == jnp.bfloat16
+            )
 
         if block_index != 0:
             # FastFlow truncation: final norm after every block

@@ -74,6 +74,8 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
         timer.start()
         with ctx:
             train_loss, n_items = train_epoch(epoch)
+        if epoch == 0:
+            history["_epoch0_items"] = n_items
         if epoch > 0 or hp.epochs == 1:
             # epoch 0 is jit-compile-dominated; folding it into the
             # steady-state throughput metric understates img/s (see PERF.md
@@ -96,5 +98,19 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
             )
         if stopper.update(valid_loss, snapshot(), epoch):
             break
-    history["train_images_per_sec"] = timer.images_per_sec
+    if timer.steps == 0 and history["epoch_time"]:
+        # Training ended after epoch 0 (patience 0, single early stop, …) so
+        # the compile-skipping tick above never fired: fall back to the only
+        # measured epoch rather than reporting 0.0. Compile time is folded
+        # in — still strictly more informative than zero.
+        n0 = history.get("_epoch0_items", 0.0)
+        if n0:
+            history["train_images_per_sec"] = n0 / max(
+                history["epoch_time"][0], 1e-9
+            )
+        else:
+            history["train_images_per_sec"] = 0.0
+    else:
+        history["train_images_per_sec"] = timer.images_per_sec
+    history.pop("_epoch0_items", None)
     return history, epochs_ran, stopper

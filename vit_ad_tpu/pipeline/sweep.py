@@ -58,8 +58,19 @@ def _effective_hp(base_hp: HyperParams, run: "SweepRun") -> HyperParams:
     return hp
 
 
-def _hp_stamp(hp: HyperParams) -> str:
-    return json.dumps(hp.to_log_dict(), sort_keys=True, default=str)
+def _hp_stamp(hp: HyperParams, run: Optional["SweepRun"] = None) -> str:
+    """Stamp of everything that determines a run's result. to_log_dict pops
+    'dtypes'/'mesh', and the data location lives on the SweepRun — include
+    them explicitly so resuming after a dtype-policy change or against a
+    different dataset root re-runs instead of reusing stale done.json rows
+    (round-2 ADVICE)."""
+    d = hp.to_log_dict()
+    d["_dtypes"] = str(hp.dtypes)
+    if run is not None:
+        d["_data_root"] = run.data_root
+        d["_train_pref"] = run.train_pref
+        d["_test_pref"] = run.test_pref
+    return json.dumps(d, sort_keys=True, default=str)
 
 
 def _execute_run(
@@ -74,7 +85,7 @@ def _execute_run(
     run_dir = os.path.join(out_dir, run.name)
     done_path = os.path.join(run_dir, "done.json")
     hp = _effective_hp(base_hp, run)
-    hp_stamp = _hp_stamp(hp)
+    hp_stamp = _hp_stamp(hp, run)
     if resume and os.path.exists(done_path):
         with open(done_path) as f:
             row = json.load(f)
@@ -247,7 +258,7 @@ def run_sweep_parallel(
                 row = json.load(f)
             # same stamp check as _execute_run: a crashed worker must not
             # surface stale rows from an older sweep with different settings
-            if row.get("_hp") == _hp_stamp(_effective_hp(base_hp, run)):
+            if row.get("_hp") == _hp_stamp(_effective_hp(base_hp, run), run):
                 rows.append(row)
     _write_csv(os.path.join(out_dir, "results.csv"), rows)
     if failed:
