@@ -240,6 +240,7 @@ def validate_pth(
     hidden_ratio: float = 0.16,
     flow_steps: int = 20,
     encoder_ckpt: str = "",
+    dtypes=None,
 ):
     """Re-evaluate a reference-format torch `.pth` head checkpoint
     (reference validation_loop.validate_mdn/:35, validate_nf/:161): parse
@@ -268,6 +269,10 @@ def validate_pth(
         hidden_ratio=hidden_ratio, flow_steps=flow_steps,
         num_gaussians=num_gaussians or 150, data_class=dataclass,
     )
+    if dtypes is not None:
+        # e.g. DtypePolicy.f32() for bit-tight cross-framework comparisons
+        # (tests/test_cross_framework.py); default stays the bf16 TPU policy
+        hp.dtypes = dtypes
     encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
     enc_params = default_encoder_params(encoder, hp)
     if encoder_ckpt:
