@@ -142,6 +142,98 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
     return batch * iters / dt
 
 
+def build_model_score(name: str, device, dtypes, batch: int, img: int = 224):
+    """Generic scan-of-batches scorer for ANY registry key (enc_* or ae_*):
+    uint8 images → forward → scalar reduction on device (nothing big ever
+    crosses the tunnel). Returns (scan_score, per_batch_score)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.registry import get_model
+
+    model = get_model(name, img, dtypes)
+    is_ae = name.startswith("ae_")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        k = jax.random.key(0)
+        if is_ae:
+            variables = model.init(
+                k, jnp.zeros((1, img, img, 3), jnp.float32), train=True
+            )
+        else:
+            variables = model.init(k, jnp.zeros((1, img, img, 3), jnp.float32))
+        mean, std = default_norm_stats()
+        mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+    variables = jax.device_put(variables, device)
+    mean_j = jax.device_put(mean_j, device)
+    std_j = jax.device_put(std_j, device)
+
+    def fwd(v, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        if is_ae:
+            out = model.apply(v, x, train=False)
+            err = jnp.square(
+                out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)
+            )
+            return jnp.mean(err, axis=(1, 2, 3))  # [B] anomaly scores
+        out = model.apply(v, x)
+        return jnp.sum(out.patch_embedding.astype(jnp.float32), axis=(1, 2))
+
+    def chunk(v, ims):
+        return jax.lax.scan(lambda _, im: (None, fwd(v, im)), None, ims)[1]
+
+    chunk_j = jax.jit(chunk)
+    fwd_j = jax.jit(fwd)
+    return (lambda ims: chunk_j(variables, ims)), (lambda im: fwd_j(variables, im))
+
+
+def _backbone_flops(name: str):
+    """flops/img from tools/backbone_flops.json (written by
+    `tools/bench_backbones.py --flops` on the CPU backend)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        "backbone_flops.json",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        table = json.load(f)
+    return table.get(name)
+
+
+V5E_BF16_PEAK = 197e12  # TFLOPS, bf16 MXU peak per v5e chip
+
+
+def bench_backbone(name: str, batch: int = None, iters: int = ITERS) -> dict:
+    """Measure one registry key on the accelerator; returns the result dict
+    (img/s + MFU when the FLOP table is present)."""
+    import jax
+
+    from vit_ad_tpu.config import DtypePolicy
+
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    device = accel[0] if accel else jax.devices()[0]
+    if batch is None:
+        batch = 32 if name.startswith("ae_") else BATCH
+    scan_score, _ = build_model_score(name, device, DtypePolicy(), batch)
+    ips = _throughput(
+        lambda im: None, device, batch, WARMUP, iters, scan_score=scan_score
+    )
+    out = {
+        "metric": f"images/sec/chip ({name} forward, 224px, bf16)",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "batch": batch,
+    }
+    fl = _backbone_flops(name)
+    if fl:
+        out["gflops_per_img"] = round(fl / 1e9, 2)
+        out["mfu"] = round(ips * fl / V5E_BF16_PEAK, 4)
+    return out
+
+
 def _cpu_reference() -> float:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -190,4 +282,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--backbone" in sys.argv:
+        # per-backbone mode (round-2 VERDICT item 7): one JSON line for any
+        # registry key, so future BENCH rounds can track more than the
+        # flagship. The no-arg invocation (driver contract) is unchanged.
+        name = sys.argv[sys.argv.index("--backbone") + 1]
+        print(json.dumps(bench_backbone(name)))
+    else:
+        main()

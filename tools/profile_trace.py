@@ -1,0 +1,113 @@
+"""Device-trace decomposition for any registry model's forward.
+
+Runs the model's uint8→scores forward N times under jax.profiler.trace and
+aggregates per-op device time from the xplane proto (the same data the
+round-2 flagship table in PERF.md came from, now automated). Usage:
+
+    PYTHONPATH=. python tools/profile_trace.py --model enc_esvit --batch 128
+
+Prints total device time per iteration and the top ops by accumulated
+duration — the starting point of every perf pass (VERDICT round-2 items
+2/4: EsViT and ResNet-50 deserve the flagship's rigor).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def parse_xplane(trace_dir: str, device_hint: str = "TPU"):
+    """Aggregate (op name → total duration ps, count) from the device plane
+    of the newest xplane.pb under trace_dir."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    agg = collections.defaultdict(lambda: [0, 0])  # name -> [ps, count]
+    plane_names = []
+    for plane in space.planes:
+        plane_names.append(plane.name)
+        if device_hint.lower() not in plane.name.lower():
+            continue
+        meta = plane.event_metadata
+        for line in plane.lines:
+            # XLA op lanes carry the per-op events; step lanes etc. excluded
+            if "XLA" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
+                agg[name][0] += ev.duration_ps
+                agg[name][1] += 1
+    return agg, plane_names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="enc_esvit")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--trace-dir", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    import bench
+
+    from vit_ad_tpu.config import DtypePolicy
+
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    device = accel[0] if accel else jax.devices()[0]
+    print(f"device: {device}  model: {args.model}  batch: {args.batch}",
+          flush=True)
+
+    _, fwd = bench.build_model_score(
+        args.model, device, DtypePolicy(), args.batch
+    )
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 255, size=(args.batch, 224, 224, 3), dtype=np.uint8),
+        device,
+    )
+    for _ in range(args.warmup):
+        np.asarray(fwd(images))
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="esvit_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            np.asarray(fwd(images))
+
+    agg, planes = parse_xplane(trace_dir)
+    print(f"planes: {planes}", flush=True)
+    total_ps = sum(v[0] for v in agg.values())
+    print(f"total device op time: {total_ps/1e9/args.iters:.2f} ms/iter "
+          f"({args.iters} iters)\n", flush=True)
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[: args.top]
+    print(f"{'op':60s} {'ms/iter':>9s} {'count':>6s} {'%':>6s}")
+    for name, (ps, cnt) in rows:
+        print(f"{name[:60]:60s} {ps/1e9/args.iters:9.3f} {cnt:6d} "
+              f"{100*ps/total_ps:6.1f}")
+    print(f"\ntrace dir: {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()
