@@ -37,6 +37,67 @@ def test_matches_xla_core(rng, shift):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shift", [0, 2])
+def test_packed_kernel_matches_xla(rng, shift):
+    """The packed-qkv kernel ([B_, N, 3C] blocks, deferred softmax
+    division) must match the unpack+core XLA path, masked and unmasked."""
+    from vit_ad_tpu.ops.pallas.window_attention import (
+        _call_win,
+        _xla_attention_windows,
+        relative_position_index,
+    )
+
+    window, heads, hd = 4, 2, 8
+    c = heads * hd
+    hp, wp = 8, 12  # 2x3 windows
+    n = window * window
+    n_w = (hp // window) * (wp // window)
+    b_ = 2 * n_w
+    qkv3 = jnp.asarray(rng.normal(size=(b_, n, 3 * c)).astype(np.float32))
+    bias_table = jnp.asarray(
+        rng.normal(size=((2 * window - 1) ** 2, heads)).astype(np.float32) * 0.1
+    )
+    mask_np = wa.shift_attention_mask(hp, wp, window, shift)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+
+    want = _xla_attention_windows(qkv3, bias_table, heads, window, mask)
+
+    idx = relative_position_index(window, window).reshape(-1)
+    bias = jnp.transpose(
+        bias_table[idx].reshape(n, n, heads), (2, 0, 1)
+    ).astype(jnp.float32)
+    got = _call_win(qkv3, bias, mask, heads,
+                    1 if mask is None else n_w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_swin_attention_windows_gradients(rng):
+    """The packed-windows custom VJP differentiates qkv and the bias
+    table."""
+    from vit_ad_tpu.ops.pallas.window_attention import (
+        _xla_attention_windows,
+        swin_attention_windows,
+    )
+
+    window, heads, hd = 2, 2, 4
+    c = heads * hd
+    qkv3 = jnp.asarray(rng.normal(size=(4, 4, 3 * c)).astype(np.float32))
+    bt = jnp.asarray(
+        rng.normal(size=((2 * window - 1) ** 2, heads)).astype(np.float32)
+    )
+    g1 = jax.grad(
+        lambda t: jnp.sum(swin_attention_windows(t, bt, heads, window) ** 2)
+    )(qkv3)
+    g2 = jax.grad(
+        lambda t: jnp.sum(
+            _xla_attention_windows(t, bt, heads, window, None) ** 2
+        )
+    )(qkv3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_vit_attention_matches_xla(rng):
     from vit_ad_tpu.ops.pallas.window_attention import vit_attention_pallas
 

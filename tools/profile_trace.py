@@ -27,9 +27,19 @@ sys.path.insert(0, ROOT)
 
 
 def parse_xplane(trace_dir: str, device_hint: str = "TPU"):
-    """Aggregate (op name → total duration ps, count) from the device plane
-    of the newest xplane.pb under trace_dir."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Aggregate (op name → total EXCLUSIVE duration ps, count) from the
+    device plane's serialized 'XLA Ops' lane of the newest xplane.pb under
+    trace_dir.
+
+    The 'XLA Ops' lane nests wrapper events (a `%while` event spans every
+    op of its body; `jit_*` module events span everything), and the 'Async
+    XLA Ops' lane holds DMA copy-start/copy-done pairs whose durations
+    include the time they OVERLAP compute — summing raw durations across
+    lanes double-counts wildly (a 45 ms step reads as 230+ ms). Exclusive
+    time is computed with an interval stack: each event is charged its
+    span minus the spans of events nested inside it, so the per-op values
+    sum exactly to the wall time of the lane."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
@@ -41,7 +51,7 @@ def parse_xplane(trace_dir: str, device_hint: str = "TPU"):
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    agg = collections.defaultdict(lambda: [0, 0])  # name -> [ps, count]
+    agg = collections.defaultdict(lambda: [0.0, 0])  # name -> [ps, count]
     plane_names = []
     for plane in space.planes:
         plane_names.append(plane.name)
@@ -49,14 +59,61 @@ def parse_xplane(trace_dir: str, device_hint: str = "TPU"):
             continue
         meta = plane.event_metadata
         for line in plane.lines:
-            # XLA op lanes carry the per-op events; step lanes etc. excluded
-            if "XLA" not in line.name and "Ops" not in line.name:
+            if line.name != "XLA Ops":
                 continue
-            for ev in line.events:
-                name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
-                agg[name][0] += ev.duration_ps
-                agg[name][1] += 1
+            evs = sorted(
+                (
+                    (ev.offset_ps, ev.duration_ps,
+                     meta[ev.metadata_id].name if ev.metadata_id in meta
+                     else "?")
+                    for ev in line.events
+                ),
+                key=lambda t: (t[0], -t[1]),
+            )
+            stack = []  # [start, end, name, child_time]
+
+            def close(upto):
+                while stack and stack[-1][1] <= upto:
+                    s, e, n, ct = stack.pop()
+                    agg[n][0] += (e - s) - ct
+                    agg[n][1] += 1
+                    if stack:
+                        stack[-1][3] += e - s
+            for s, d, n in evs:
+                close(s)
+                stack.append([s, s + d, n, 0.0])
+            close(float("inf"))
     return agg, plane_names
+
+
+def categorize(name: str) -> str:
+    """Bucket an XLA op name into the decomposition categories used by the
+    PERF.md tables. Values are exclusive times (see parse_xplane), so the
+    `%while` bucket is pure loop overhead, not the body."""
+    if name.startswith("%while"):
+        return "while-overhead"
+    if "_call" in name or "custom-call" in name:
+        return "pallas-kernels"
+    if name.startswith(("%copy", "%transpose", "%bitcast")) or "copy" in name:
+        return "copies/transposes"
+    if "reduce" in name or "norm" in name:
+        return "reduce/LN"
+    if name.startswith(("%convolution", "%dot")):
+        return "conv/matmul"
+    if name.startswith("%fusion"):
+        return "fusion(matmul/elemwise)"
+    return "other"
+
+
+def print_categories(agg, iters: int) -> None:
+    cats = collections.defaultdict(float)
+    for name, (ps, _) in agg.items():
+        cats[categorize(name)] += ps / 1e9 / iters
+    total = sum(cats.values())
+    print("category decomposition (exclusive device time, ms/iter):")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:28s} {v:8.2f}  {100*v/total:5.1f}%")
+    print(f"  {'TOTAL':28s} {total:8.2f}\n")
 
 
 def main():
@@ -101,6 +158,7 @@ def main():
     total_ps = sum(v[0] for v in agg.values())
     print(f"total device op time: {total_ps/1e9/args.iters:.2f} ms/iter "
           f"({args.iters} iters)\n", flush=True)
+    print_categories(agg, args.iters)
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[: args.top]
     print(f"{'op':60s} {'ms/iter':>9s} {'count':>6s} {'%':>6s}")
     for name, (ps, cnt) in rows:

@@ -55,15 +55,22 @@ class NestBlock(nn.Module):
         y = LayerNorm(dtypes=self.dtypes, name="norm1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtypes.compute_dtype,
                        param_dtype=self.dtypes.param_dtype, name="qkv")(y)
-        qkv = qkv.reshape(b_, n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         from vit_ad_tpu.models.vit import _use_pallas_attention
 
         if _use_pallas_attention():
-            from vit_ad_tpu.ops.pallas.window_attention import vit_attention
+            # packed [B_, N, 3C] straight into the kernel — the host-side
+            # [B,N,3,H,hd] split materializes three strided HBM copies the
+            # packed kernel avoids (see ops/pallas _kernel_qkv)
+            from vit_ad_tpu.ops.pallas.window_attention import (
+                vit_attention_qkv,
+            )
 
-            out = vit_attention(q, k, v).astype(self.dtypes.compute_dtype)
+            out = vit_attention_qkv(qkv, self.num_heads).astype(
+                self.dtypes.compute_dtype
+            )
         else:
+            qkv = qkv.reshape(b_, n, 3, self.num_heads, c // self.num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             scale = (c // self.num_heads) ** -0.5
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                               preferred_element_type=self.dtypes.accum_dtype)

@@ -51,24 +51,44 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _attention_core():
-    """Trace-time kernel selection: the fused Pallas kernel is the default on
-    TPU targets (+34% measured vs the XLA core); set
-    VITAD_PALLAS_WINDOW_ATTN=0 to force XLA, =1 to force Pallas (interpreted
-    on CPU)."""
+    """Trace-time kernel selection for the packed-qkv windows attention
+    ([B_, N, 3C] → [B_, N, C]): the fused Pallas kernel is the default on
+    TPU targets. Set VITAD_PALLAS_WINDOW_ATTN=0 to force XLA, =1 to force
+    Pallas (interpreted on CPU)."""
     from vit_ad_tpu.ops.pallas.window_attention import (
         _target_platform,
-        window_attention,
+        _xla_attention_windows,
+        swin_attention_windows,
     )
 
     flag = os.environ.get("VITAD_PALLAS_WINDOW_ATTN")
     if flag == "0":
-        return wa.window_attention_core
+        return _xla_attention_windows
     if flag == "1" or _target_platform() == "tpu":
+        if os.environ.get("VITAD_SWIN_PACKED", "1") == "0":
+            # experiment toggle: split q/k/v on the host (XLA fusion) and
+            # run the v1 split-qkv kernel — the packed kernel's in-kernel
+            # 32-lane head slices out of a 3C-wide block measured ~15%
+            # slower per call than the split kernel's (see PERF.md EsViT
+            # decomposition); this isolates kernel choice from the
+            # map-native block layout
+            from vit_ad_tpu.ops.pallas.window_attention import (
+                window_attention,
+            )
+
+            def split_core(qkv3, bias_table, num_heads, window, mask):
+                b_, n, c3 = qkv3.shape
+                c = c3 // 3
+                qkv = qkv3.reshape(b_, n, 3, num_heads, c // num_heads)
+                return window_attention(
+                    qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias_table,
+                    num_heads, (window, window), mask,
+                )
+
+            return split_core
         # differentiable wrapper: Pallas forward, XLA-recompute backward
-        return lambda q, k, v, bt, nh, win, mask, accum_dtype=jnp.float32: (
-            window_attention(q, k, v, bt, nh, win, mask)
-        )
-    return wa.window_attention_core
+        return swin_attention_windows
+    return _xla_attention_windows
 
 
 def _block_apply(
@@ -77,18 +97,24 @@ def _block_apply(
     num_heads: int,
     window: int,
     shift: int,
-    res: Tuple[int, int],
     mask,
     compute_dtype,
     accum_dtype,
     core,
 ) -> Array:
-    """One Swin block, functional params (unstacked leaves)."""
-    h, w = res
-    b, l, c = x.shape
+    """One Swin block on the [B, H, W, C] feature MAP, functional params
+    (unstacked leaves).
+
+    The block is map-native end to end: LN, GEMMs, MLP, and residuals all
+    run on the 4D map, and the only token reshapes are the window
+    partition/reverse transposes around the attention kernel. The previous
+    shape ([B, L, C] carry with per-block [B,L,C]↔[B,H,W,C] reshapes) made
+    XLA's layout assignment oscillate between {0,2,1} (LN/reduce) and the
+    Pallas calls' default layouts — the resulting minor-dim layout copies
+    ran at ~30 GB/s and cost 23 ms (40%) of the EsViT batch-128 forward."""
+    b, h, w, c = x.shape
     shortcut = x
     y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
-    y = y.reshape(b, h, w, c)
 
     pad_b = (window - h % window) % window
     pad_r = (window - w % window) % window
@@ -98,40 +124,33 @@ def _block_apply(
 
     if shift > 0:
         y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-    windows = wa.window_partition(y, window)  # [B*nW, N, C]
 
-    b_, n, _ = windows.shape
-    hd = c // num_heads
+    windows = wa.window_partition(y, window)  # [B_, N, C]
     qkv = (
         jnp.einsum("bnc,cd->bnd", windows, p["qkv_kernel"].astype(compute_dtype))
         + p["qkv_bias"].astype(compute_dtype)
-    ).reshape(b_, n, 3, num_heads, hd)
+    )  # [B_, N, 3C], packed [3][H][hd]
     attn_out = core(
-        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-        p["bias_table"].astype(jnp.float32),
-        num_heads,
-        (window, window),
-        mask,
-        accum_dtype=accum_dtype,
-    )
-    attn_out = (
-        jnp.einsum("bnc,cd->bnd", attn_out.astype(compute_dtype),
-                   p["proj_kernel"].astype(compute_dtype))
-        + p["proj_bias"].astype(compute_dtype)
-    )
-
+        qkv, p["bias_table"].astype(jnp.float32), num_heads, window, mask
+    )  # [B_, N, C]
     y = wa.window_reverse(attn_out, window, hp_, wp_)
+
     if shift > 0:
         y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
     if pad_b or pad_r:
         y = y[:, :h, :w, :]
-    x = shortcut + y.reshape(b, l, c)
+    y = (
+        jnp.einsum("bhwc,cd->bhwd", y.astype(compute_dtype),
+                   p["proj_kernel"].astype(compute_dtype))
+        + p["proj_bias"].astype(compute_dtype)
+    )
+    x = shortcut + y
 
     y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
-    hdn = jnp.einsum("blc,cd->bld", y, p["fc1_kernel"].astype(compute_dtype))
+    hdn = jnp.einsum("bhwc,cd->bhwd", y, p["fc1_kernel"].astype(compute_dtype))
     hdn = nn.gelu(hdn + p["fc1_bias"].astype(compute_dtype), approximate=False)
     hdn = (
-        jnp.einsum("bld,dc->blc", hdn, p["fc2_kernel"].astype(compute_dtype))
+        jnp.einsum("bhwd,dc->bhwc", hdn, p["fc2_kernel"].astype(compute_dtype))
         + p["fc2_bias"].astype(compute_dtype)
     )
     return x + hdn
@@ -211,17 +230,28 @@ class SwinStage(nn.Module):
         mask = None if mask_np is None else jnp.asarray(mask_np)
         core = _attention_core()
         cd, acc = self.dtypes.compute_dtype, self.dtypes.accum_dtype
-        heads, res = self.num_heads, self.input_resolution
+        heads = self.num_heads
 
         def body(carry, pair):
             a = {k[2:]: v for k, v in pair.items() if k.startswith("a_")}
             b = {k[2:]: v for k, v in pair.items() if k.startswith("b_")}
-            y = _block_apply(carry, a, heads, window, 0, res, None, cd, acc, core)
-            y = _block_apply(y, b, heads, window, shift, res, mask, cd, acc, core)
+            y = _block_apply(carry, a, heads, window, 0, None, cd, acc, core)
+            y = _block_apply(y, b, heads, window, shift, mask, cd, acc, core)
             return y, None
 
-        x, _ = jax.lax.scan(body, x, params)
-        return x
+        # the scan carries the 4D map — one [B,L,C]↔[B,H,W,C] reshape per
+        # STAGE instead of per block keeps XLA on a single row-major layout
+        # (see _block_apply docstring)
+        bsz, _, c = x.shape
+        xm = x.reshape(bsz, h, w, c)
+        # VITAD_SWIN_UNROLL: scan unroll factor for the pair stack ("full"
+        # = unroll every pair — static slice indices let XLA constant-fold
+        # the per-iteration parameter-slice copies the while loop issues;
+        # the deepest stage has only 3 pairs so program growth is small).
+        unroll_env = os.environ.get("VITAD_SWIN_UNROLL", "1")
+        unroll = n_pairs if unroll_env == "full" else max(1, int(unroll_env))
+        xm, _ = jax.lax.scan(body, xm, params, unroll=min(unroll, n_pairs))
+        return xm.reshape(bsz, h * w, c)
 
 
 class PatchMerging(nn.Module):

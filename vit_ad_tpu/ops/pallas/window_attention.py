@@ -42,28 +42,63 @@ def _target_platform() -> str:
     return dev if isinstance(dev, str) else dev.platform
 
 
-def _kernel(num_heads, accum_dtype, q_ref, k_ref, v_ref, bias_ref, mask_ref,
-            out_ref):
-    # blocks: q/k/v/out [1, N, C] (heads packed in C, sliced in VMEM);
-    # bias [H, N, N]; mask [1, N, N]. One grid cell per window, heads
-    # unrolled — fewer, fatter grid cells than a (window, head) grid.
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    c = q.shape[-1]
+def _kernel(num_heads, accum_dtype, w_blk, has_mask, q_ref, k_ref, v_ref,
+            bias_ref, mask_ref, out_ref):
+    # blocks: q/k/v/out [W_BLK, N, C] (heads packed in C, sliced in VMEM);
+    # bias [H, N, N]; mask [W_BLK, N, N] (absent when has_mask=False).
+    # W_BLK windows per grid cell amortize the per-cell DMA + grid overhead
+    # (the 1-window grid measured 5.6 ms for EsViT stage 0 — ~3% of MXU
+    # peak; the dots are inherently small [N, hd] so the win is in
+    # amortization and MXU/VPU overlap, not dot shape). Per window, all
+    # QK^T+softmax run before any PV (two-phase: the scheduler overlaps
+    # each head's VPU softmax with the next head's MXU matmul).
+    c = q_ref.shape[-1]
     hd = c // num_heads
     scale = hd**-0.5
-    mask = mask_ref[0]
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        scores = jnp.dot(
-            q[:, sl] * scale, k[:, sl].T, preferred_element_type=accum_dtype
-        )  # [N, N]
-        scores = scores.astype(accum_dtype) + bias_ref[h] + mask
-        scores = jax.nn.softmax(scores, axis=-1)
-        out_ref[0, :, sl] = jnp.dot(
-            scores.astype(v.dtype), v[:, sl], preferred_element_type=accum_dtype
-        ).astype(out_ref.dtype)
+    for w in range(w_blk):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        probs = []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            scores = jnp.dot(
+                q[:, sl] * scale, k[:, sl].T,
+                preferred_element_type=accum_dtype,
+            )  # [N, N]
+            scores = scores.astype(accum_dtype) + bias_ref[h]
+            if has_mask:
+                scores = scores + mask_ref[w]
+            probs.append(jax.nn.softmax(scores, axis=-1))
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            out_ref[w, :, sl] = jnp.dot(
+                probs[h].astype(v.dtype), v[:, sl],
+                preferred_element_type=accum_dtype,
+            ).astype(out_ref.dtype)
+
+
+def _choose_wblk(b_, n, c, num_heads, n_w, masked) -> int:
+    """Largest window-block that fits the VMEM budget and divides the mask
+    period (masked) / batch (unmasked). Budget: double-buffered qkv+out
+    blocks (+ mask blocks) + bias + two phases of per-window probs, under
+    ~10 MB (the ~14 MB empirical v5e ceiling minus slack; see ops/pallas/
+    gmm.py calibration)."""
+    budget = 10 * 1024 * 1024
+    fixed = num_heads * n * n * 4 * 2  # bias + one window's live probs
+    per_win = 4 * n * c * 2 * 2        # q,k,v,out bf16, double-buffered
+    if masked:
+        per_win += n * n * 4 * 2       # mask block f32, double-buffered
+    cap = max(1, (budget - fixed) // per_win)
+    for w in (16, 8, 4, 2, 1):
+        if w > cap:
+            continue
+        if masked:
+            if n_w % w == 0:
+                return w
+        elif b_ % w == 0:
+            return w
+    return 1
 
 
 @functools.partial(
@@ -71,28 +106,50 @@ def _kernel(num_heads, accum_dtype, q_ref, k_ref, v_ref, bias_ref, mask_ref,
 )
 def _call(q, k, v, bias, mask_windows, num_heads, n_w,
           accum_dtype=jnp.float32, interpret=False):
-    """q/k/v: [B_, N, C]; mask_windows: [n_w, N, N] — indexed per grid cell
-    by (window_id % n_w); windows are the minor axis of the partition, so
-    window b maps to mask row b % n_w. No [B_, N, N] mask in HBM."""
+    """q/k/v: [B_, N, C]; mask_windows: [n_w, N, N] or None — windows are
+    the minor axis of the partition, so window b's mask row is b % n_w and a
+    W_BLK-aligned block of windows maps to a contiguous mask block. No
+    [B_, N, N] mask in HBM."""
     b_, n, c = q.shape
     hd = c // num_heads
+    masked = mask_windows is not None
+    w_blk = _choose_wblk(b_, n, c, num_heads, n_w, masked)
+
+    qkv_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (w_blk, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        qkv_spec(), qkv_spec(), qkv_spec(),
+        pl.BlockSpec((num_heads, n, n), lambda b: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, bias]
+    if masked:
+        if n_w < w_blk:  # unreachable via _choose_wblk, kept for safety
+            mask_windows = jnp.tile(mask_windows, (w_blk // n_w, 1, 1))
+            n_w = mask_windows.shape[0]
+        in_specs.append(
+            pl.BlockSpec((w_blk, n, n),
+                         lambda b: (b % (n_w // w_blk), 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_windows)
+    def body(*refs):
+        if masked:
+            q_r, k_r, v_r, b_r, m_r, o_r = refs
+            _kernel(num_heads, accum_dtype, w_blk, True,
+                    q_r, k_r, v_r, b_r, m_r, o_r)
+        else:
+            q_r, k_r, v_r, b_r, o_r = refs
+            _kernel(num_heads, accum_dtype, w_blk, False,
+                    q_r, k_r, v_r, b_r, None, o_r)
+
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, accum_dtype),
+        body,
         out_shape=jax.ShapeDtypeStruct((b_, n, c), q.dtype),
-        grid=(b_,),
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b % n_w, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+        grid=(b_ // w_blk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((w_blk, n, c), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * b_ * num_heads * n * n * hd,
@@ -100,7 +157,7 @@ def _call(q, k, v, bias, mask_windows, num_heads, n_w,
             transcendentals=b_ * num_heads * n * n,
         ),
         interpret=interpret,
-    )(q, k, v, bias, mask_windows)
+    )(*args)
 
 
 def window_attention_core_pallas(
@@ -133,14 +190,176 @@ def window_attention_core_pallas(
         interpret = True
 
     if mask is None:
-        mask_windows = jnp.zeros((1, n, n), jnp.float32)
-        n_w = 1
+        mask_windows, n_w = None, 1
     else:
         mask_windows = mask.astype(jnp.float32)
         n_w = mask.shape[0]
 
     return _call(qf, kf, vf, bias, mask_windows, num_heads, n_w,
                  accum_dtype=accum_dtype, interpret=interpret)
+
+
+def _kernel_win(num_heads, accum_dtype, w_blk, has_mask, qkv_ref, bias_ref,
+                mask_ref, out_ref):
+    """Windowed attention from PACKED qkv blocks.
+
+    Blocks: qkv [W_BLK, N, 3C] (channel packing [3][H][hd] — the raw qkv
+    GEMM output, no host-side q/k/v split), bias [H, N, N],
+    mask [W_BLK, N, N], out [W_BLK, N, C]. All head slices are static
+    lane slices in VMEM. Two-phase per window (all QK^T+exp first, then
+    all PV) so each head's VPU softmax overlaps the next head's MXU
+    matmul. Softmax division is deferred past PV: PV runs on the
+    unnormalized exp scores and the [N, 1] reciprocal scales the output —
+    one [N, hd] multiply replaces an [N, N] divide per (window, head).
+
+    A map-level variant (windows read straight out of the padded
+    [B,Hp,Wp,3C] map via index maps) was built and measured at 2318 img/s
+    end-to-end EsViT vs 2735 for this layout — win=14 rows are not
+    sublane-tile aligned, so every in-kernel window slice and store pays a
+    Mosaic relayout. Windows-layout blocks keep all loads/stores aligned
+    and whole-block."""
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    hd = c // num_heads
+    scale = hd**-0.5
+    for w in range(w_blk):
+        qkv = qkv_ref[w]  # [N, 3C]
+        exps, recips = [], []
+        for h in range(num_heads):
+            q = qkv[:, h * hd : (h + 1) * hd]
+            k = qkv[:, c + h * hd : c + (h + 1) * hd]
+            scores = jnp.dot(
+                q * scale, k.T, preferred_element_type=accum_dtype
+            ).astype(accum_dtype) + bias_ref[h]
+            if has_mask:
+                scores = scores + mask_ref[w]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            recips.append(1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            exps.append(e.astype(qkv.dtype))
+        for h in range(num_heads):
+            v = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            pv = jnp.dot(exps[h], v, preferred_element_type=accum_dtype)
+            out_ref[w, :, h * hd : (h + 1) * hd] = (
+                pv * recips[h]
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "n_w", "accum_dtype", "interpret")
+)
+def _call_win(qkv3, bias, mask_windows, num_heads, n_w,
+              accum_dtype=jnp.float32, interpret=False):
+    """qkv3: [B_, N, 3C] packed; bias [H, N, N]; mask_windows [n_w, N, N] or
+    None (windows are the minor axis of the partition, so window b's mask
+    row is b % n_w) → [B_, N, C]."""
+    b_, n, c3 = qkv3.shape
+    c = c3 // 3
+    hd = c // num_heads
+    masked = mask_windows is not None
+    w_blk = _choose_wblk(b_, n, c, num_heads, n_w, masked)
+
+    in_specs = [
+        pl.BlockSpec((w_blk, n, c3), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda b: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qkv3, bias]
+    if masked:
+        if n_w < w_blk:  # unreachable via _choose_wblk, kept for safety
+            mask_windows = jnp.tile(mask_windows, (w_blk // n_w, 1, 1))
+            n_w = mask_windows.shape[0]
+        in_specs.append(
+            pl.BlockSpec((w_blk, n, n),
+                         lambda b: (b % (n_w // w_blk), 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_windows)
+
+    def body(*refs):
+        if masked:
+            q_r, b_r, m_r, o_r = refs
+            _kernel_win(num_heads, accum_dtype, w_blk, True,
+                        q_r, b_r, m_r, o_r)
+        else:
+            q_r, b_r, o_r = refs
+            _kernel_win(num_heads, accum_dtype, w_blk, False,
+                        q_r, b_r, None, o_r)
+
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), qkv3.dtype),
+        grid=(b_ // w_blk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((w_blk, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_ * num_heads * n * n * hd,
+            bytes_accessed=(b_ * n * (c3 + c)) * 2,
+            transcendentals=b_ * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _xla_attention_windows(qkv3, bias_table, num_heads, window, mask,
+                           accum_dtype=jnp.float32):
+    """Reference/backward path for the packed windows attention: unpack
+    [B_, N, 3C] ([3][H][hd] channel order) and run window_attention_core.
+    Same math as the Pallas kernel; equivalence tested in
+    tests/test_pallas_window_attention.py."""
+    from vit_ad_tpu.ops.window_attention import window_attention_core
+
+    b_, n, c3 = qkv3.shape
+    c = c3 // 3
+    hd = c // num_heads
+    qkv = qkv3.reshape(b_, n, 3, num_heads, hd)
+    return window_attention_core(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias_table, num_heads,
+        (window, window), mask, accum_dtype=accum_dtype,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def swin_attention_windows(qkv3, bias_table, num_heads, window, mask=None):
+    """Differentiable fused window attention from packed qkv windows:
+    Pallas forward on TPU targets (XLA on CPU), XLA-recompute backward.
+    qkv3: [B_, N, 3C] packed [3][H][hd]; → [B_, N, C]."""
+    if _target_platform() == "cpu":
+        return _xla_attention_windows(qkv3, bias_table, num_heads, window,
+                                      mask)
+    n = window * window
+    idx = relative_position_index(window, window).reshape(-1)
+    bias = bias_table[idx].reshape(n, n, num_heads)
+    bias = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)
+    if mask is None:
+        m, n_w = None, 1
+    else:
+        m = mask.astype(jnp.float32)
+        n_w = mask.shape[0]
+    return _call_win(qkv3, bias, m, num_heads, n_w)
+
+
+def _swin_attention_windows_fwd(qkv3, bias_table, num_heads, window,
+                                mask=None):
+    return swin_attention_windows(qkv3, bias_table, num_heads, window,
+                                  mask), (qkv3, bias_table, mask)
+
+
+def _swin_attention_windows_bwd(num_heads, window, res, g):
+    qkv3, bias_table, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, b_: _xla_attention_windows(q_, b_, num_heads, window,
+                                              mask),
+        qkv3, bias_table,
+    )
+    dq, db = vjp(g)
+    return dq, db, None
+
+
+swin_attention_windows.defvjp(_swin_attention_windows_fwd,
+                              _swin_attention_windows_bwd)
 
 
 def _kernel_qkv(num_heads, accum_dtype, qkv_ref, out_ref):
@@ -240,8 +459,7 @@ def vit_attention_pallas(
     if _target_platform() == "cpu":
         interpret = True
     zero_bias = jnp.zeros((h, n, n), jnp.float32)
-    zero_mask = jnp.zeros((1, n, n), jnp.float32)
-    return _call(qf, kf, vf, zero_bias, zero_mask, h, 1,
+    return _call(qf, kf, vf, zero_bias, None, h, 1,
                  accum_dtype=accum_dtype, interpret=interpret)
 
 
