@@ -218,14 +218,22 @@ def bench_backbone(name: str, batch: int = None, iters: int = ITERS) -> dict:
     if batch is None:
         batch = 32 if name.startswith("ae_") else BATCH
     scan_score, _ = build_model_score(name, device, DtypePolicy(), batch)
+    # 20 batches per dispatch: the fast trunks (ResNet 8.9 ms/batch on
+    # device per the r3 trace) finish a 5-batch chunk faster than the
+    # axon tunnel turns a dispatch around, so chunk=5 measured the tunnel,
+    # not the chip (ResNet read 5790 while its device ceiling is ~14000).
+    # Streaming N batches per dispatch with scores kept on device is still
+    # exactly the validator's consumption pattern. [20,B,224,224,3] uint8
+    # = 385 MB pre-staged — fine in 16 GB.
+    scan_chunk = int(os.environ.get("BENCH_CHUNK", 20))
     # best-of-2: the axon tunnel occasionally stalls a whole timed run
     # (observed: four backbones pinned at an identical ~2.6 s/dispatch wall
     # while the same graphs measured 10x faster in a clean process); a
     # transient stall can only make a run slower, so max() is the honest pick
     ips = max(
         _throughput(
-            lambda im: None, device, batch, WARMUP, iters,
-            scan_score=scan_score,
+            lambda im: None, device, batch, WARMUP, max(iters, 2 * scan_chunk),
+            scan_score=scan_score, scan_chunk=scan_chunk,
         )
         for _ in range(2)
     )
@@ -270,10 +278,13 @@ def main() -> None:
     device = accel[0] if accel else jax.devices()[0]
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     use_scan = os.environ.get("BENCH_SCAN", "1") != "0"
+    batch = int(os.environ.get("BENCH_BATCH", BATCH))
     score, scan_score = _build(device, DtypePolicy(), fused=fused)
+    # chunk=20 for the same reason as bench_backbone: at 41.5 ms/batch the
+    # flagship's 5-batch chunks still leaked ~2% to the tunnel turnaround
     tpu_ips = _throughput(
-        score, device, BATCH, WARMUP, ITERS,
-        scan_score=scan_score if use_scan else None,
+        score, device, batch, WARMUP, max(ITERS, 40),
+        scan_score=scan_score if use_scan else None, scan_chunk=20,
     )
     cpu_ips = _cpu_reference()
 

@@ -79,3 +79,22 @@ def test_mdn_eval_writes_figures(category, tmp_path):
         assert os.path.exists(os.path.join(figdir, name)), f"missing {name}"
     # no reconstruction head → no recon grid
     assert not os.path.exists(os.path.join(figdir, "recons.png"))
+
+
+def test_show_image_destandardizes():
+    """Single-image display reverses channel-wise standardization
+    (reference ImageHelper.show_image, src/util/ImageHelper.py:45-64)."""
+    import matplotlib.pyplot as plt
+
+    from vit_ad_tpu.utils.images import show_image
+
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+    raw = np.random.default_rng(0).uniform(0.2, 0.8, size=(8, 8, 3))
+    standardized = (raw - mean) / std
+    fig = show_image(standardized, mean=mean, std=std)
+    try:
+        shown = fig.axes[0].images[0].get_array()
+        np.testing.assert_allclose(np.asarray(shown), raw, atol=1e-6)
+    finally:
+        plt.close(fig)

@@ -87,20 +87,39 @@ def parse_xplane(trace_dir: str, device_hint: str = "TPU"):
 
 
 def categorize(name: str) -> str:
-    """Bucket an XLA op name into the decomposition categories used by the
+    """Bucket an XLA op event into the decomposition categories used by the
     PERF.md tables. Values are exclusive times (see parse_xplane), so the
-    `%while` bucket is pure loop overhead, not the body."""
-    if name.startswith("%while"):
+    `%while` bucket is pure loop overhead, not the body.
+
+    Buckets key off the HLO opcode (the token before the first '(' after
+    '='), NOT substrings of the whole event name — fusion events carry
+    their fused-computation names (often `...calls=%copy_fusion...`) in
+    the metadata string, which a substring match miscounts as copies.
+    The instruction NAME prefix (e.g. `%copy_fusion.3 = ... fusion(...)`)
+    still routes layout-changing fusions to copies, which is what they
+    are."""
+    import re
+
+    head, _, rest = name.partition(" = ")
+    # opcode = lowercase token preceded by a space, directly before its
+    # operand paren (layout tilings like T(8,128) are uppercase/comma-bound
+    # and never match)
+    m = re.search(r"\s([a-z][a-z-]*)\(", rest)
+    opcode = m.group(1) if m else ""
+    iname = head.lstrip("%")
+    if opcode == "while" or iname.startswith("while"):
         return "while-overhead"
-    if "_call" in name or "custom-call" in name:
+    if opcode == "custom-call" or iname.startswith("_call"):
         return "pallas-kernels"
-    if name.startswith(("%copy", "%transpose", "%bitcast")) or "copy" in name:
+    if opcode in ("copy", "transpose", "bitcast", "copy-start", "copy-done") \
+            or iname.startswith(("copy", "transpose", "bitcast")):
         return "copies/transposes"
-    if "reduce" in name or "norm" in name:
+    if "reduce" in iname or "norm" in iname:
         return "reduce/LN"
-    if name.startswith(("%convolution", "%dot")):
+    if opcode in ("convolution", "dot") or iname.startswith(
+            ("convolution", "dot")):
         return "conv/matmul"
-    if name.startswith("%fusion"):
+    if opcode == "fusion" or iname.startswith("fusion"):
         return "fusion(matmul/elemwise)"
     return "other"
 

@@ -35,6 +35,24 @@ def destandardize(
     return np.clip(img, 0.0, 1.0)
 
 
+def show_image(
+    image: np.ndarray,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    vmin: float = 0.0,
+    vmax: float = 1.0,
+) -> plt.Figure:
+    """Single-image display with de-standardization (reference
+    ImageHelper.show_image, src/util/ImageHelper.py:45-64). image: [H,W,C]
+    (NHWC convention; the reference takes CHW and transposes — we are
+    already channels-last). Returns the Figure so callers save/log it."""
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.imshow(destandardize(image, mean, std), vmin=vmin, vmax=vmax)
+    ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
 def plot_recons(recons: np.ndarray, n: int = 9) -> plt.Figure:
     """3x3 grid of reconstructions (reference :66-81). recons: [N,H,W,3] in
     [-1,1] or [0,1]."""
