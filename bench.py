@@ -120,15 +120,34 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
         # steady-state protocol: scan_chunk batches per dispatch via
         # lax.scan (distinct pre-staged batches), scores stay on device,
         # ONE final fetch — the validator's real consumption pattern
-        images_n = jax.device_put(
-            rng.integers(
-                0, 255, size=(scan_chunk, batch, 224, 224, 3), dtype=np.uint8
-            ),
-            device,
-        )
+        def stage(chunk):
+            return jax.device_put(
+                rng.integers(
+                    0, 255, size=(chunk, batch, 224, 224, 3), dtype=np.uint8
+                ),
+                device,
+            )
+
+        images_n = stage(scan_chunk)
         for _ in range(max(1, warmup)):  # warm the scan graph
             np.asarray(scan_score(images_n))
-        n_chunks = max(1, iters // scan_chunk)
+        # adaptive chunk: a dispatch must cover ~>=1 s of device work, or the
+        # tunnel's per-dispatch turnaround pollutes the measurement (ResNet
+        # read 5790 at chunk=5, 12415 at 20, 13739 at 60 — device ceiling
+        # 14400). One growth round, capped at 100 chunks (=1.9 GB uint8 at
+        # B=128; the scores the chunks produce stay on device either way).
+        t0 = time.perf_counter()
+        np.asarray(scan_score(images_n))
+        dt1 = time.perf_counter() - t0
+        if dt1 < 1.0:
+            grown = min(100, int(np.ceil(scan_chunk * 1.0 / max(dt1, 1e-3))))
+            if grown > scan_chunk:
+                scan_chunk = grown
+                images_n = stage(scan_chunk)
+                for _ in range(max(1, warmup)):  # new shape → new compile
+                    np.asarray(scan_score(images_n))
+        # >=2 dispatches so the single final fetch amortizes
+        n_chunks = max(2, iters // scan_chunk)
         t0 = time.perf_counter()
         outs = [scan_score(images_n) for _ in range(n_chunks)]
         np.asarray(stack(outs))
