@@ -294,6 +294,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="nf,mdn,recon,recon_cached")
     ap.add_argument("--batches", default="32,128")
+    ap.add_argument("--tag", default="",
+                    help="cache-key suffix (e.g. _pallas) so env-gated "
+                         "variants get their own rows")
     args = ap.parse_args()
 
     rows = {}
@@ -302,15 +305,15 @@ def main():
             rows = json.load(f)
     for which in args.which.split(","):
         for b in [int(x) for x in args.batches.split(",")]:
-            key = f"{which}_b{b}"
-            if key in rows:
+            key = f"{which}_b{b}{args.tag}"
+            if rows.get(key) is not None:  # null = prior failure → retry
                 print(f"{key}: cached {rows[key]:.1f} img/s")
                 continue
             try:
                 ips = BENCHES[which](b)
                 rows[key] = round(ips, 1)
                 print(json.dumps({
-                    "metric": f"train img/s ({which}, batch {b})",
+                    "metric": f"train img/s ({which}{args.tag}, batch {b})",
                     "value": rows[key], "unit": "img/s",
                 }))
             except Exception as e:

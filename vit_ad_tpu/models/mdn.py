@@ -76,8 +76,41 @@ class GaussianMDN(nn.Module):
     def log_likelihood(
         self, x: Array, rng: Optional[jax.Array] = None, tau: float = 1.0
     ) -> Array:
-        """Fused per-feature log-likelihood [B,P,D] (streams over K)."""
+        """Fused per-feature log-likelihood [B,P,D].
+
+        On TPU targets this dispatches to the Pallas custom-VJP kernel
+        (ops/pallas/gmm_train.py) — forward AND backward keep every
+        [..., K]-extent temporary in VMEM, which is what makes the MDN
+        train step HBM-viable at large batch (PERF.md round 3). Elsewhere
+        (and for the D=2048 ResNet stage heads) it is the XLA K-chunk
+        scan. Both paths share the pi head / gumbel math, so scores and
+        gradients agree to matmul rounding."""
+        from vit_ad_tpu.ops.pallas.gmm_train import use_pallas_gmm_train
+
         f32 = lambda a: a.astype(jnp.float32)
+        if use_pallas_gmm_train(self.features):
+            from vit_ad_tpu.ops.pallas.gmm_train import (
+                gmm_log_likelihood_train,
+            )
+            from vit_ad_tpu.ops.pallas.window_attention import (
+                _target_platform,
+            )
+
+            on_tpu = _target_platform() == "tpu"
+            xf = x.astype(jnp.float32)
+            logits = (
+                jnp.einsum("bpd,dk->bpk", xf, f32(self.w_pi)) + f32(self.b_pi)
+            )
+            log_pi = gmm.mixture_log_weights(logits, rng, tau)
+            return gmm_log_likelihood_train(
+                xf, log_pi,
+                f32(self.w_sigma), f32(self.b_sigma),
+                f32(self.w_mu), f32(self.b_mu),
+                interpret=not on_tpu,
+                # bf16 weight blocks match JAX's default TPU matmul
+                # precision (f32 operands are rounded to bf16 on the MXU)
+                matmul_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
         return gmm.fused_log_likelihood(
             x,
             f32(self.w_pi), f32(self.b_pi),

@@ -14,8 +14,9 @@ contiguous [1, D, D] slice; mixture log-weights arrive precomputed [rows, K]
 the VMEM accumulators persist across the K sweep of one row tile and reset
 at k == 0.
 
-Used on the inference/scoring path; training uses the differentiable XLA
-scan (ops/gmm.fused_log_likelihood).
+Used on the inference/scoring path; training uses the custom-VJP wrapper in
+ops/pallas/gmm_train.py (same forward kernel, Pallas backward) on TPU and
+the differentiable XLA scan (ops/gmm.fused_log_likelihood) elsewhere.
 """
 
 from __future__ import annotations
