@@ -160,7 +160,7 @@ def _pad_args(x, log_pi, w_sigma, b_sigma, w_mu, b_mu, g, row_tile):
     lpr = log_pi.reshape(rows, k).astype(jnp.float32)
     gr = g.reshape(rows, d).astype(jnp.float32)
 
-    pad_k = (-k) % 128
+    pad_k = (-k) % 8  # K is a major dim in every block — see ops/pallas/gmm.py
     if pad_k:
         lpr = jnp.pad(lpr, ((0, 0), (0, pad_k)), constant_values=_NEG_BIG)
         w_sigma = jnp.pad(w_sigma, ((0, pad_k), (0, 0), (0, 0)))
