@@ -126,9 +126,40 @@ def test_use_pallas_gmm_train_gates(monkeypatch):
     assert use_pallas_gmm_train(768) is False  # CPU backend → off by default
     monkeypatch.setenv("VITAD_PALLAS_GMM", "1")  # scoring default forced on
     assert use_pallas_gmm_train(768) is True
-    assert use_pallas_gmm_train(2048) is False  # VMEM fallback (ResNet s3)
+    assert use_pallas_gmm_train(2048) is True   # ResNet s3 (d-tiled bwd)
+    assert use_pallas_gmm_train(4096) is False  # beyond measured envelope
     assert use_pallas_gmm_train(100) is False   # lane-misaligned D
     monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "0")
     assert use_pallas_gmm_train(768) is False
     monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "1")
     assert use_pallas_gmm_train(768) is True
+
+
+def test_wide_head_dtiled_paths(rng):
+    """d=1152 (> 1024, 9 lane-tiles) drives the wide-head branches: the
+    d-tiled scoring forward, the 128-wide params backward, and the d-tiled
+    d(x) kernel with its XLA-side direct-term subtraction."""
+    b, p, d, k = 1, 8, 1152, 2
+    args = _rand_args(rng, b, p, d, k)
+    scale = 1.0 / np.sqrt(d)
+    args = (args[0], args[1], args[2] * scale, args[3], args[4] * scale,
+            args[5])
+
+    got_ll = gmm_log_likelihood_train(*args, interpret=True)
+    want_ll = _dense_ll(*args)
+    np.testing.assert_allclose(np.asarray(got_ll), np.asarray(want_ll),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_pallas(*a):
+        return -jnp.mean(gmm_log_likelihood_train(*a, interpret=True))
+
+    def loss_dense(*a):
+        return -jnp.mean(_dense_ll(*a))
+
+    got = jax.grad(loss_pallas, argnums=(0, 2, 5))(*args)  # x, w_sigma, b_mu
+    want = jax.grad(loss_dense, argnums=(0, 2, 5))(*args)
+    for name, g_got, g_want in zip(["x", "w_sigma", "b_mu"], got, want):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=2e-3, atol=3e-4,
+            err_msg=name,
+        )

@@ -169,6 +169,70 @@ def bench_mdn(batch, warmup=4, iters=30, num_gaussians=100):
     return batch / sec
 
 
+def bench_mdn_stage(batch, warmup=4, iters=30, d=2048, p=49,
+                    num_gaussians=50):
+    """ResNet-stage MDN head step (train_mdn_resnet's per-stage work,
+    pipeline/train.py:674-690): K=50 over a [B, P, D] stage map, with
+    feature gradients REQUESTED (the trainer differentiates the stage
+    norms through the head, so d(x) is live — this exercises the
+    bwd_x kernels, which the cached-feature MDN path DCEs away).
+    Stage shapes at 224px: stage-2 d=1024 p=196, stage-3 d=2048 p=49."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.pipeline.optimizers import torch_adam
+
+    device = _device()
+    mdn = GaussianMDN(features=d, num_gaussians=num_gaussians)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = mdn.init(jax.random.key(0), jnp.zeros((1, 1, d)))
+    params = jax.device_put(params, device)
+    tx = torch_adam(1e-3, 1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def masked_loss(params, feats, valid, step_rng):
+        ll = mdn.apply(
+            params, feats, rng=step_rng, method=GaussianMDN.log_likelihood
+        )
+        per_example = -jnp.mean(ll, axis=(1, 2))
+        return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, feats, valid, step_rng):
+        # argnums=(0, 1): the feature cotangent is consumed (summed into
+        # the loss scalar) so XLA cannot DCE the bwd_x kernel — mirrors
+        # the stage norms differentiating through the head
+        loss, (grads, gfeats) = jax.value_and_grad(
+            masked_loss, argnums=(0, 1)
+        )(params, feats, valid, step_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        loss = loss + 0.0 * jnp.sum(gfeats)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    key = jax.device_put(jax.random.key(7), device)
+    batches = [
+        (
+            jax.device_put(
+                rng.normal(size=(batch, p, d)).astype(np.float32), device
+            ),
+            jax.device_put(np.ones(batch, np.float32), device),
+            key,
+        )
+        for _ in range(4)
+    ]
+
+    def step(state, args):
+        pr, o, _ = state
+        return train_step(pr, o, *args)
+
+    sec = _time_steps(step, (params, opt_state, jnp.zeros(())), batches,
+                      warmup, iters)
+    return batch / sec
+
+
 def bench_recon(batch, warmup=3, iters=20, cached=False):
     import jax
     import jax.numpy as jnp
@@ -285,6 +349,8 @@ def bench_recon(batch, warmup=3, iters=20, cached=False):
 BENCHES = {
     "nf": bench_nf,
     "mdn": bench_mdn,
+    "mdn_stage2": lambda b, **kw: bench_mdn_stage(b, d=1024, p=196, **kw),
+    "mdn_stage3": lambda b, **kw: bench_mdn_stage(b, d=2048, p=49, **kw),
     "recon": lambda b, **kw: bench_recon(b, cached=False, **kw),
     "recon_cached": lambda b, **kw: bench_recon(b, cached=True, **kw),
 }

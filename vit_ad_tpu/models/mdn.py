@@ -81,10 +81,13 @@ class GaussianMDN(nn.Module):
         On TPU targets this dispatches to the Pallas custom-VJP kernel
         (ops/pallas/gmm_train.py) — forward AND backward keep every
         [..., K]-extent temporary in VMEM, which is what makes the MDN
-        train step HBM-viable at large batch (PERF.md round 3). Elsewhere
-        (and for the D=2048 ResNet stage heads) it is the XLA K-chunk
-        scan. Both paths share the pi head / gumbel math, so scores and
-        gradients agree to matmul rounding."""
+        train step HBM-viable at large batch (PERF.md round 3). Wide heads
+        (up to the D=2048 ResNet stage-3 envelope) run output-feature-tiled
+        kernel variants — measured train-step winners at every supported
+        width (+39% at the D=1024 stage-2 shapes, +5% at D=2048; PERF.md);
+        exotic widths fall back to the XLA K-chunk scan. Both paths share
+        the pi head / gumbel math, so scores and gradients agree to matmul
+        rounding."""
         from vit_ad_tpu.ops.pallas.gmm_train import use_pallas_gmm_train
 
         f32 = lambda a: a.astype(jnp.float32)

@@ -75,8 +75,45 @@ def _kernel(x_ref, log_pi_ref, w_sigma_ref, b_sigma_ref, w_mu_ref, b_mu_ref,
         out_ref[:] = m_scratch[:] + jnp.log(s_scratch[:])
 
 
+def _kernel_dtiled(x_ref, xd_ref, log_pi_ref, w_sigma_ref, b_sigma_ref,
+                   w_mu_ref, b_mu_ref, out_ref, m_scratch, s_scratch):
+    """Output-feature-tiled variant for wide heads (D > 1024): a full
+    [1, D, D] weight block would exceed the 16 MB scoped-VMEM limit, but
+    the GMM density is elementwise in the output feature, so weight blocks
+    are [1, D, Dt] lane-slices and only the matmul input x needs full
+    width (passed twice: full for the dots, d-sliced for the density).
+    Grid (row_tiles, d_tiles, K), K innermost — the online-logsumexp
+    scratch belongs to one (row, d-tile) block and resets at k == 0."""
+    k = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_BIG)
+        s_scratch[:] = jnp.zeros_like(s_scratch)
+
+    xm = x_ref[:].astype(w_mu_ref.dtype)  # [T, D]
+    xd = xd_ref[:]                        # [T, Dt] f32
+    mu = jnp.dot(xm, w_mu_ref[0], preferred_element_type=jnp.float32) + b_mu_ref[0, 0]
+    pre = jnp.dot(xm, w_sigma_ref[0], preferred_element_type=jnp.float32) + b_sigma_ref[0, 0]
+    sigma = jnp.where(pre > 0, pre + 1.0, jnp.exp(pre)) + 1e-15  # elu+1+eps
+
+    dens = -jnp.log(sigma) - _HALF_LOG_2PI - 0.5 * jnp.square((xd - mu) / sigma)
+    t = dens + log_pi_ref[0, 0][:, None]  # [T, Dt]
+
+    m_old = m_scratch[:]
+    m_new = jnp.maximum(m_old, t)
+    s_scratch[:] = s_scratch[:] * jnp.exp(m_old - m_new) + jnp.exp(t - m_new)
+    m_scratch[:] = m_new
+
+    @pl.when(k == num_k - 1)
+    def _():
+        out_ref[:] = m_scratch[:] + jnp.log(s_scratch[:])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("row_tile", "interpret", "matmul_dtype")
+    jax.jit,
+    static_argnames=("row_tile", "interpret", "matmul_dtype", "wide_d_tile"),
 )
 def gmm_log_likelihood_pallas(
     x: Array,          # [B, P, D] f32
@@ -88,6 +125,7 @@ def gmm_log_likelihood_pallas(
     row_tile: int = 256,
     interpret: bool = False,
     matmul_dtype=jnp.float32,
+    wide_d_tile: int = 128,
 ) -> Array:
     """Returns per-feature log-likelihood [B, P, D].
 
@@ -128,6 +166,54 @@ def gmm_log_likelihood_pallas(
         xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
         lpr = jnp.pad(lpr, ((0, pad_rows), (0, 0)))
     n_tiles = (rows + pad_rows) // row_tile
+
+    if d > 1024:
+        # wide heads (ResNet stage-3 D=2048): full [1, D, D] weight blocks
+        # exceed the 16 MB scoped-VMEM limit — use the output-feature-tiled
+        # kernel. Requires D % 128 == 0. For EVAL scoring this variant
+        # loses to the XLA scan at stage-3 shapes (B=32, P=49 → 1568 rows;
+        # PERF.md round 3), so pipeline/eval.py gates it off there
+        # (VITAD_PALLAS_GMM=1 forces). It still serves as the forward of
+        # the custom-VJP TRAIN kernel, where the full step is a measured
+        # winner (gmm_train.use_pallas_gmm_train).
+        d_tile = wide_d_tile if d % wide_d_tile == 0 else 128
+        n_dt = d // d_tile
+        out = pl.pallas_call(
+            _kernel_dtiled,
+            out_shape=jax.ShapeDtypeStruct((rows + pad_rows, d), jnp.float32),
+            grid=(n_tiles, n_dt, k),
+            in_specs=[
+                pl.BlockSpec((row_tile, d), lambda i, j, kk: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, d_tile), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, row_tile), lambda i, j, kk: (kk, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_tile, d_tile),
+                                   lambda i, j, kk: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((row_tile, d_tile), jnp.float32),
+                pltpu.VMEM((row_tile, d_tile), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * rows * d * d * k,
+                bytes_accessed=(n_tiles * k * 2 * d * d + 2 * rows * d) * 4,
+                transcendentals=rows * d * k * 2,
+            ),
+            interpret=interpret,
+        )(xr, xr, lpr.T[:, None, :], w_sigma, b_sigma[:, None, :], w_mu,
+          b_mu[:, None, :])
+        return out[:rows].reshape(b, p, d)
 
     out = pl.pallas_call(
         _kernel,

@@ -38,6 +38,13 @@ Reference semantics being differentiated: reference
 src/classes/MixtureDensityNetwork.py:35-102 (the reference materializes
 [B, P, D, K] and lets autograd store it — its documented memory hot spot,
 src/pipeline/LearnerMDN.py:147-169).
+
+Mesh composition: under `--mesh` training GSPMD treats the pallas_call as
+an opaque custom call and gathers its operands to replicated — numerically
+correct (tests/test_mesh_training.py passes with the kernel forced on) but
+it forfeits the mixture-parallel K-sharding of the [D, D, K] weights; a
+sharded deployment that is HBM-limited on the MDN heads should set
+VITAD_PALLAS_GMM_TRAIN=0 and keep the sharded XLA scan.
 """
 
 from __future__ import annotations
@@ -124,6 +131,47 @@ def _bwd_params_kernel(x_ref, xd_ref, g_ref, ll_ref, lp_ref, ws_ref, bs_ref,
         dbs_ref[0, 0] += pbs
 
 
+def _bwd_x_dtiled_kernel(x_ref, xd_ref, g_ref, ll_ref, lp_ref, ws_ref,
+                         bs_ref, wm_ref, bm_ref, dx_ref, dmu_sum_ref):
+    """Wide-head (D > 1024) d(x): grid (row_tiles, d_tiles, K), K
+    innermost. The matmul contributions dmu @ Wm^T + dpre @ Ws^T contract
+    over the output-feature dim, so d-tiles partition the contraction and
+    the full-width dx block accumulates across both inner sweeps. The
+    elementwise direct term (-dmu at d == e) lives on this d-tile's
+    columns only — it is emitted as a second accumulated output and
+    subtracted in XLA (a lane-masked in-kernel update would need a
+    dynamic lane scatter, which Mosaic rejects)."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    md = wm_ref.dtype
+    xm = x_ref[:].astype(md)
+    _, dmu, dpre = _component_terms(
+        xm, xd_ref[:], g_ref[:], ll_ref[:], lp_ref[0, 0],
+        ws_ref[0], bs_ref[0, 0], wm_ref[0], bm_ref[0, 0],
+    )
+    contract_out = (((1,), (1,)), ((), ()))
+    px = lax.dot_general(dmu.astype(md), wm_ref[0], contract_out,
+                         preferred_element_type=jnp.float32)
+    px += lax.dot_general(dpre.astype(md), ws_ref[0], contract_out,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        dx_ref[:] = px
+
+    @pl.when((k != 0) | (j != 0))
+    def _():
+        dx_ref[:] += px
+
+    @pl.when(k == 0)
+    def _():
+        dmu_sum_ref[:] = dmu
+
+    @pl.when(k != 0)
+    def _():
+        dmu_sum_ref[:] += dmu
+
+
 def _bwd_x_kernel(x_ref, g_ref, ll_ref, lp_ref, ws_ref, bs_ref, wm_ref,
                   bm_ref, dx_ref):
     k = pl.program_id(1)  # component (innermost)
@@ -206,7 +254,15 @@ def _gmm_bwd_params(x, log_pi, w_sigma, b_sigma, w_mu, b_mu, ll, g,
         llr = jnp.pad(llr, ((0, pad_rows), (0, 0)))
     ws_m = ws.astype(matmul_dtype)
     wm_m = wm.astype(matmul_dtype)
-    d_tile = 256 if d % 256 == 0 else d
+    # 256 fits the 16 MB scoped-VMEM budget up to D=1024; wide heads
+    # (ResNet stage-3 D=2048) halve the tile again (measured-at-768 note:
+    # the [D, Dt]-class blocks dominate the budget, so Dt is the lever).
+    if d > 1024:
+        d_tile = 128  # gate guarantees d % 128 == 0
+    elif d % 256 == 0:
+        d_tile = 256
+    else:
+        d_tile = d
     n_dt = d // d_tile
 
     comp_block = lambda kk, j, i: (kk, 0, 0)
@@ -275,6 +331,18 @@ def _gmm_bwd_x(x, log_pi, w_sigma, b_sigma, w_mu, b_mu, ll, g,
                row_tile=256, interpret=False, matmul_dtype=jnp.float32):
     """d(x) [B, P, D] — separate pallas_call so it is DCE'd when unused."""
     b, p, d = x.shape
+    # VMEM fit for the full-width path: 4 row-major [rt, D] f32 blocks
+    # (x, g, ll, dx) + 2 [1, D, D] weight blocks, everything double-buffered,
+    # against a 14 MB budget (the 16 MB scoped limit minus Mosaic stack —
+    # hardware-calibrated: D=1024 bf16 at rt=256 compiles to 18.06 MB and is
+    # rejected; the reduced tile fits). When no rt >= 128 fits (lane
+    # alignment floor), route to the d-tiled kernel instead of failing.
+    wbytes = 2 if matmul_dtype == jnp.bfloat16 else 4
+    half_budget = 14 * 1024 * 1024 // 2
+    fw_rt = (half_budget - 2 * d * d * wbytes) // (4 * d * 4)
+    use_dtiled = d % 128 == 0 and (d > 1024 or fw_rt < 128)
+    if not use_dtiled:
+        row_tile = min(row_tile, max(128, (fw_rt // 128) * 128))
     (xr, lpr, gr, ws, bs, wm, bm, rows, pad_rows, kp, pad_k, n_tiles,
      row_tile) = _pad_args(x, log_pi, w_sigma, b_sigma, w_mu, b_mu, g,
                            row_tile)
@@ -283,6 +351,54 @@ def _gmm_bwd_x(x, log_pi, w_sigma, b_sigma, w_mu, b_mu, ll, g,
         llr = jnp.pad(llr, ((0, pad_rows), (0, 0)))
     ws_m = ws.astype(matmul_dtype)
     wm_m = wm.astype(matmul_dtype)
+
+    if use_dtiled:
+        d_tile = 128  # gate guarantees d % 128 == 0
+        n_dt = d // d_tile
+        dx, dmu_sum = pl.pallas_call(
+            _bwd_x_dtiled_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows + pad_rows, d), jnp.float32),
+                jax.ShapeDtypeStruct((rows + pad_rows, d), jnp.float32),
+            ],
+            grid=(n_tiles, n_dt, kp),  # K innermost (see kernel docstring)
+            in_specs=[
+                pl.BlockSpec((row_tile, d), lambda i, j, kk: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, d_tile), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, d_tile), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, d_tile), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, row_tile), lambda i, j, kk: (kk, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d_tile), lambda i, j, kk: (kk, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((row_tile, d), lambda i, j, kk: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, d_tile), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * 2 * (rows + pad_rows) * d * d * kp,
+                bytes_accessed=(kp * 2 * d * d
+                                + n_tiles * 4 * row_tile * d) * 4,
+                transcendentals=(rows + pad_rows) * d * kp * 2,
+            ),
+            interpret=interpret,
+        )(xr, xr, gr, llr, lpr.T[:, None, :], ws_m, bs[:, None, :], wm_m,
+          bm[:, None, :])
+        dx = dx - dmu_sum  # the elementwise direct term, full-width in XLA
+        return dx[:rows].reshape(b, p, d)
 
     comp_block = lambda i, kk: (kk, 0, 0)
     dx = pl.pallas_call(
@@ -402,9 +518,13 @@ def use_pallas_gmm_train(d: int) -> bool:
     flag = os.environ.get("VITAD_PALLAS_GMM_TRAIN")
     if flag is not None:
         return flag == "1"
-    # two [1,D,D] weight blocks (bf16-or-f32) + two f32 dW accumulator
-    # blocks + row tiles: D=2048 (ResNet stage-3 heads) blows VMEM — fall
-    # back to the XLA scan there, like the scoring kernel does.
-    if d % 128 != 0 or d > 1024:
+    # Every lane-aligned width up to the D=2048 ResNet stage-3 envelope is
+    # a measured train-step winner on hardware (tools/bench_train.py,
+    # B=32, live feature grads): D=768 cached-MDN +82-114%, D=1024 stage-2
+    # 581 vs 418 img/s (+39%), D=2048 stage-3 389.9 vs 371.7 (+5%) — the
+    # wide widths run the output-feature-tiled kernel variants. (Scoring
+    # at D=2048 is a different story: the d-tiled forward LOSES to the XLA
+    # scan at eval shapes, so pipeline/eval.py gates it off there.)
+    if d % 128 != 0 or d > 2048:
         return False
     return use_pallas_gmm()

@@ -150,10 +150,13 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
 
     # VMEM fit: double-buffered [1,D,D] mu+sigma blocks + row tile + scratch.
     # Empirical calibration on v5e: D=768 f32 row_tile=256 compiles (~14 MB),
-    # row_tile=512 does not — so budget 14 MB. ResNet stage-3 heads (D=2048)
-    # fall back to the XLA scan — UNLESS VITAD_PALLAS_GMM=1 explicitly forces
-    # the kernel ("force" must mean force, so A/B measurements are attributed
-    # to the right path; an oversized head then fails loudly at compile).
+    # row_tile=512 does not — so budget 14 MB. Wide heads (ResNet stage-3
+    # D=2048) have a d-tiled kernel variant (ops/pallas/gmm.py
+    # _kernel_dtiled, round 3) that is hardware-validated for correctness
+    # but measured 4-5x SLOWER than the XLA scan at stage-3 shapes
+    # (101-124 vs 24 ms; PERF.md) — so they still fall back, UNLESS
+    # VITAD_PALLAS_GMM=1 explicitly forces the kernel ("force" must mean
+    # force, so A/B measurements are attributed to the right path).
     import os
 
     d = feats.shape[-1]
