@@ -135,7 +135,34 @@ def compute_flops(names, img=224):
     return table
 
 
-def measure(names, iters=20):
+def measure(names, iters=20, fork=False):
+    """fork=True runs each model in a fresh subprocess (recommended for >1
+    model): a long-lived axon client degrades after many graph builds —
+    observed on hardware as whole timed runs pinned ~5x slow (enc_deit read
+    782 img/s in a 15-model process vs 4100+ clean) and eventually a full
+    stall, and best-of-2 cannot save a run when BOTH repeats sit in the
+    degraded state. Each child writes its row into BENCH_PATH itself."""
+    if fork:
+        import subprocess
+
+        for name in names:
+            rows = {}
+            if os.path.exists(BENCH_PATH):
+                with open(BENCH_PATH) as f:
+                    rows = json.load(f)
+            if name in rows:
+                print(f"{name}: cached {rows[name]['value']} img/s")
+                continue
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--models", name, "--iters", str(iters)],
+                cwd=ROOT,
+            )
+            if r.returncode != 0:
+                print(f"{name}: subprocess rc={r.returncode}")
+        with open(BENCH_PATH) as f:
+            return json.load(f)
+
     import bench
 
     rows = {}
@@ -149,9 +176,9 @@ def measure(names, iters=20):
         try:
             out = bench.bench_backbone(name, iters=iters)
             rows[name] = out
-            print(json.dumps({"model": name, **out}))
+            print(json.dumps({"model": name, **out}), flush=True)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {e}")
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
             rows[name] = {"error": f"{type(e).__name__}: {e}"}
         gc.collect()
         with open(BENCH_PATH, "w") as f:
@@ -181,6 +208,8 @@ def main():
     ap.add_argument("--models", default="",
                     help="comma-separated registry keys (default: all)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fork", action="store_true",
+                    help="fresh subprocess per model (see measure docstring)")
     args = ap.parse_args()
     names = (
         [n for n in args.models.split(",") if n]
@@ -189,7 +218,7 @@ def main():
     if args.flops:
         compute_flops(names)
         return
-    rows = measure(names, iters=args.iters)
+    rows = measure(names, iters=args.iters, fork=args.fork or len(names) > 3)
     print()
     print(markdown(rows))
 
