@@ -164,7 +164,22 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
     est = 2 * 2 * d * d * wbytes + 4 * 256 * d * 4
     fits = est <= 14 * 1024 * 1024 or os.environ.get("VITAD_PALLAS_GMM") == "1"
     if not (use_pallas_gmm() and fits):
-        return mdn.apply(variables, feats, method=GaussianMDN.log_likelihood)
+        # the XLA K-chunk scan DIRECTLY — not GaussianMDN.log_likelihood,
+        # which would dispatch wide heads to the Pallas TRAIN forward
+        # (use_pallas_gmm_train now admits D=2048 because the train STEP
+        # wins there, but the scoring-only forward loses 4x to the scan at
+        # stage-3 eval shapes; PERF.md round 3)
+        from vit_ad_tpu.ops import gmm as gmm_ops
+
+        pr = variables["params"]
+        f32 = lambda a: a.astype(jnp.float32)
+        return gmm_ops.fused_log_likelihood(
+            feats,
+            f32(pr["w_pi"]), f32(pr["b_pi"]),
+            f32(pr["w_sigma"]), f32(pr["b_sigma"]),
+            f32(pr["w_mu"]), f32(pr["b_mu"]),
+            rng=None, k_chunk=mdn.k_chunk,
+        )
     pr = variables["params"]
     return mdn_log_likelihood_pallas(
         feats, pr["w_pi"], pr["b_pi"], pr["w_sigma"], pr["b_sigma"],
