@@ -116,3 +116,28 @@ def test_probability_map_range(rng):
     assert pm.shape == (3, 5)
     assert pm.max() == pytest.approx(1.0, abs=1e-6)
     assert pm.min() >= 0.0
+
+
+def test_eval_fallback_bypasses_train_kernel_dispatch(rng, monkeypatch):
+    """pipeline/eval._mdn_loglik's non-Pallas branch must call the XLA scan
+    DIRECTLY: GaussianMDN.log_likelihood dispatches wide heads to the Pallas
+    TRAIN forward (a measured train-step winner but 4x slower than the scan
+    for scoring-only at stage-3 eval shapes — PERF.md round 3), so eval
+    routing through it would silently regress D=2048 scoring."""
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.pipeline.eval import _mdn_loglik
+
+    b, p, d, k = 1, 4, 8, 3
+    model = GaussianMDN(features=d, num_gaussians=k)
+    x = jnp.asarray(rng.normal(size=(b, p, d)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(params, x,
+                                  method=GaussianMDN.log_likelihood))
+
+    def boom(*a, **kw):
+        raise AssertionError("eval fallback must not route through "
+                             "GaussianMDN.log_likelihood")
+
+    monkeypatch.setattr(GaussianMDN, "log_likelihood", boom)
+    got = np.asarray(_mdn_loglik(model, params, x, HyperParams()))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
