@@ -288,7 +288,37 @@ def _cpu_reference() -> float:
     return val
 
 
+def _wait_for_backend() -> None:
+    """Bounded wait for the accelerator backend to come up.
+
+    The axon tunnel occasionally drops for minutes at a time; a backend-init
+    attempt against a down tunnel blocks ~25 min inside the plugin before
+    failing, and the failure is cached process-wide by jax. Probe in a
+    SUBPROCESS (so a failed probe doesn't poison this process's backend
+    cache) and retry until BENCH_INIT_WAIT seconds (default 3600) are
+    exhausted, then proceed regardless — jax.devices() in main() will fall
+    back to CPU or raise with the real error.
+    """
+    import subprocess
+    import sys
+
+    if (os.environ.get("VITAD_PLATFORM") or os.environ.get("JAX_PLATFORMS")) == "cpu":
+        return  # CPU run requested — there is no accelerator to wait for
+    budget = float(os.environ.get("BENCH_INIT_WAIT", 3600))
+    deadline = time.time() + budget
+    probe = "import jax; [d for d in jax.devices() if d.platform != 'cpu']"
+    while True:
+        rc = subprocess.call(
+            [sys.executable, "-c", probe],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if rc == 0 or time.time() >= deadline:
+            return
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main() -> None:
+    _wait_for_backend()
     import jax
 
     from vit_ad_tpu.config import DtypePolicy
@@ -327,6 +357,7 @@ if __name__ == "__main__":
         # registry key, so future BENCH rounds can track more than the
         # flagship. The no-arg invocation (driver contract) is unchanged.
         name = sys.argv[sys.argv.index("--backbone") + 1]
+        _wait_for_backend()
         print(json.dumps(bench_backbone(name)))
     else:
         main()

@@ -219,3 +219,45 @@ def test_sweep_parallel_tpu_branch_pins_devices(tmp_path, monkeypatch):
     assert rows == []
     assert [env["TPU_VISIBLE_DEVICES"] for env in captured] == ["0", "1"]
     assert "TPU_VISIBLE_DEVICES" not in os.environ  # parent env restored
+
+
+def test_bench_wait_for_backend(monkeypatch):
+    """bench.py's bounded backend wait: retries failed probes until the
+    budget is spent, returns immediately on success or when CPU is forced."""
+    import subprocess
+    import time as time_mod
+
+    import bench
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def fake_call(*a, **k):
+        calls["n"] += 1
+        return 0 if calls["n"] >= 3 else 1
+
+    monkeypatch.setattr(subprocess, "call", fake_call)
+    monkeypatch.setattr(time_mod, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setenv("BENCH_INIT_WAIT", "3600")
+    monkeypatch.delenv("VITAD_PLATFORM", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+
+    bench._wait_for_backend()
+    assert calls["n"] == 3          # two failures, then success
+    assert len(sleeps) == 2 and all(0 < s <= 60 for s in sleeps)
+
+    # zero budget → exactly one probe, no sleep, even on failure
+    calls["n"] = -10_000            # always fail
+    monkeypatch.setattr(subprocess, "call", lambda *a, **k: 1)
+    sleeps.clear()
+    monkeypatch.setenv("BENCH_INIT_WAIT", "0")
+    bench._wait_for_backend()
+    assert sleeps == []
+
+    # forced-CPU env skips probing entirely
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setattr(
+        subprocess, "call",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    bench._wait_for_backend()
