@@ -20,31 +20,89 @@ semantics preserved per head:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vit_ad_tpu.config import HyperParams
 from vit_ad_tpu.data.loader import Batch, DataPipeline, preprocess
 from vit_ad_tpu.models.mdn import GaussianMDN
 from vit_ad_tpu.ops.resize import interpolate_bilinear
+from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.pipeline import metrics as M
 
 
+def _eval_scan_chunk() -> int:
+    """Batches per device dispatch for the eval scan protocol; 0 means
+    per-batch dispatch. Default 8 on accelerators: per-batch scoring pays
+    the axon tunnel's ~24 ms dispatch+fetch turnaround per batch, which
+    dominates any trunk faster than ~40 ms/batch (PERF.md's dispatch-bound
+    protocol findings — ResNet e2e read 2.1x slow under per-batch
+    dispatch). On CPU there is no tunnel to amortize and the scan graph
+    would be a second compile, so the default is 0 there.
+    VITAD_EVAL_CHUNK overrides either way."""
+    env = os.environ.get("VITAD_EVAL_CHUNK")
+    if env is not None:
+        return max(0, int(env))
+    return 8 if jax.default_backend() != "cpu" else 0
+
+
+def _eval_mesh(hp: HyperParams) -> Optional[MeshContext]:
+    """Evaluators self-setup the mesh from hp.mesh (same config the trainers
+    consume) so `--mesh DxM` shards scoring batches over the data axis too —
+    eval-only flows (validation_loop, validate_pth*) inherit multi-device
+    scoring without new plumbing. Returns None (single-device) by default."""
+    return MeshContext.from_hp(hp)
+
+
+def _scan_scorer(fn, *params):
+    """Build the scan-of-batches variant of a per-batch score fn: one jit
+    dispatch scores [chunk, B, ...] pre-staged batches via lax.scan, payloads
+    stay on device until the caller fetches. Params stay explicit jit
+    arguments (closure-captured arrays serialize into the axon
+    remote-compile payload)."""
+
+    def chunk_fn(*args):
+        *ps, ims = args
+        return jax.lax.scan(lambda _, im: (None, fn(*ps, im)), None, ims)[1]
+
+    chunk_j = jax.jit(chunk_fn)
+    return lambda ims: chunk_j(*params, ims)
+
+
 def _collect(
-    batches, score_fn, keep_origs: int = 0
+    batches, score_fn, keep_origs: int = 0, scan_score=None,
+    mc: Optional[MeshContext] = None,
 ) -> Tuple[Any, np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Run a jit score_fn over test batches; returns (per-image payloads,
     labels, masks, first `keep_origs` original uint8 images) with padding
     trimmed. A score_fn returning a tuple (e.g. per-stage outputs) yields a
-    tuple of concatenated payload arrays."""
+    tuple of concatenated payload arrays.
+
+    When `scan_score` is given and the scan protocol is enabled
+    (`_eval_scan_chunk`), batches are staged to the device in groups and
+    scored `chunk` per dispatch, all dispatches queued before the first
+    fetch — the bench-proven streaming pattern, now the validators' own.
+    The trailing group is padded with repeats of the last batch (marked
+    invalid and trimmed on host) so ONE compiled executable covers every
+    test-set length. With a MeshContext, batches are sharded over the mesh
+    data axis (DP scoring) in either protocol."""
+    chunk = _eval_scan_chunk() if scan_score is not None else 0
+    if chunk > 1:
+        return _collect_scan(batches, scan_score, chunk, keep_origs, mc)
     payloads, labels, masks, origs = [], [], [], []
     kept = 0
     for batch in batches:
-        out = score_fn(batch.images)
+        ims = batch.images
+        if mc is not None:
+            mc.check_batch(ims.shape[0])
+            ims = mc.shard_batch(ims)
+        out = score_fn(ims)
         n = int(batch.valid.sum())
         if isinstance(out, tuple):
             payloads.append([np.asarray(o[:n]) for o in out])
@@ -69,6 +127,61 @@ def _collect(
         np.concatenate(masks, 0),
         np.concatenate(origs, 0) if origs else None,
     )
+
+
+def _collect_scan(
+    batches, scan_score, chunk: int, keep_origs: int,
+    mc: Optional[MeshContext],
+) -> Tuple[Any, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Scan-protocol body of `_collect`. Test sets are small (MVTec-scale:
+    ≤ a few hundred images), so the whole uint8 set is staged host-side
+    once; device results are fetched only after every dispatch is queued."""
+    bl = list(batches)
+    if not bl:
+        raise ValueError("no test batches to evaluate")
+    ns = [int(b.valid.sum()) for b in bl]
+    if mc is not None:
+        mc.check_batch(bl[0].images.shape[0])
+        sharding = NamedSharding(mc.mesh, P(None, "data"))
+    pad = (-len(bl)) % chunk
+    imgs = np.stack([b.images for b in bl] + [bl[-1].images] * pad)
+    outs = []
+    for s in range(0, len(bl) + pad, chunk):
+        staged = imgs[s:s + chunk]
+        staged = (
+            jax.device_put(staged, sharding) if mc is not None
+            else jnp.asarray(staged)
+        )
+        outs.append(scan_score(staged))  # queue the dispatch; fetch below
+    host = [jax.tree.map(np.asarray, o) for o in outs]  # ONE draining pass
+    flat: list = []
+    for o in host:
+        group = o if isinstance(o, tuple) else (o,)
+        for i in range(group[0].shape[0]):
+            flat.append(tuple(g[i] for g in group))
+    payloads = [
+        tuple(g[:n] for g in flat[i]) for i, n in enumerate(ns)
+    ]
+    if isinstance(host[0], tuple):
+        cat: Any = tuple(
+            np.concatenate([p[j] for p in payloads], 0)
+            for j in range(len(payloads[0]))
+        )
+    else:
+        cat = np.concatenate([p[0] for p in payloads], 0)
+    labels = np.concatenate([b.labels[:n] for b, n in zip(bl, ns)], 0)
+    masks = np.concatenate([b.masks[:n] for b, n in zip(bl, ns)], 0)
+    origs = None
+    if keep_origs:
+        acc, kept = [], 0
+        for b, n in zip(bl, ns):
+            if kept >= keep_origs:
+                break
+            take = min(n, keep_origs - kept)
+            acc.append(b.images[:take])
+            kept += take
+        origs = np.concatenate(acc, 0) if acc else None
+    return cat, labels, masks, origs
 
 
 def save_eval_figures(
@@ -207,16 +320,18 @@ def evaluate_mdn(
     std_j = None if std is None else jnp.asarray(std)
 
     # params as jit args (axon remote-compile payload limit; see features.py)
-    @jax.jit
     def loglik_map(ep, mp, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         feats = encoder.apply(ep, x, block_index=hp.block_index).patch_embedding
         return jnp.mean(_mdn_loglik(mdn, mp, feats, hp), axis=2)  # [B, P]
 
+    loglik_j = jax.jit(loglik_map)
     ll, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
-        lambda im: loglik_map(enc_params, mdn_params, im),
+        lambda im: loglik_j(enc_params, mdn_params, im),
         keep_origs=9 if figures_dir else 0,
+        scan_score=_scan_scorer(loglik_map, enc_params, mdn_params),
+        mc=_eval_mesh(hp),
     )
 
     # Global (whole-test-set) probability normalization — see module docstring.
@@ -267,7 +382,6 @@ def evaluate_nf(
     std_j = None if std is None else jnp.asarray(std)
 
     # params as jit args (axon remote-compile payload limit; see features.py)
-    @jax.jit
     def anomaly_maps(ep, fpar, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         feats = encoder.apply(
@@ -276,10 +390,13 @@ def evaluate_nf(
         out = flow.apply(fpar, patch_tokens_to_map(feats))
         return out.anomaly_score_map  # [B, H, W]
 
+    anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
-        lambda im: anomaly_maps(enc_params, flow_params, im),
+        lambda im: anomaly_j(enc_params, flow_params, im),
         keep_origs=9 if figures_dir else 0,
+        scan_score=_scan_scorer(anomaly_maps, enc_params, flow_params),
+        mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
@@ -313,17 +430,19 @@ def evaluate_recon(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    @jax.jit
     def error_maps(v, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         out = model.apply(v, x, train=False)
         err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
         return jnp.mean(err, axis=-1)  # [B, H, W]
 
+    error_j = jax.jit(error_maps)
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
-        lambda im: error_maps(variables, im),
+        lambda im: error_j(variables, im),
         keep_origs=9 if figures_dir else 0,
+        scan_score=_scan_scorer(error_maps, variables),
+        mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
@@ -381,7 +500,6 @@ def evaluate_mdn_resnet(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    @jax.jit
     def stage_logliks(ev, mps, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         maps = encoder.apply(
@@ -396,10 +514,13 @@ def evaluate_mdn_resnet(
             outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
         return tuple(outs)
 
+    stage_j = jax.jit(stage_logliks)
     stage_lls, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
-        lambda im: stage_logliks(enc_variables, list(mdn_params), im),
+        lambda im: stage_j(enc_variables, list(mdn_params), im),
         keep_origs=9 if figures_dir else 0,
+        scan_score=_scan_scorer(stage_logliks, enc_variables, list(mdn_params)),
+        mc=_eval_mesh(hp),
     )
 
     stage_anomalies = []
@@ -452,7 +573,6 @@ def evaluate_nf_resnet(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    @jax.jit
     def anomaly_maps(ev, fps, images_u8):
         x = preprocess(images_u8, mean_j, std_j)
         maps = encoder.apply(
@@ -464,10 +584,13 @@ def evaluate_nf_resnet(
             stage_maps.append(out.anomaly_score_map)
         return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
 
+    anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
-        lambda im: anomaly_maps(enc_variables, list(flow_params), im),
+        lambda im: anomaly_j(enc_variables, list(flow_params), im),
         keep_origs=9 if figures_dir else 0,
+        scan_score=_scan_scorer(anomaly_maps, enc_variables, list(flow_params)),
+        mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
 
