@@ -9,6 +9,7 @@ run (`extract_features`) and the head trains on the cached [N, P, D] array;
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterator, Optional, Tuple
 
 import jax
@@ -72,3 +73,54 @@ def feature_batches(
             feats = np.concatenate([feats, np.repeat(feats[-1:], short, 0)])
             valid = np.concatenate([valid, np.zeros(short, dtype=np.float32)])
         yield feats, valid
+
+
+def stage_feature_batches(
+    features: np.ndarray,
+    batch_size: int,
+    mc=None,
+    max_bytes: Optional[int] = None,
+) -> Callable[[], Iterator[Tuple[jax.Array, jax.Array, float]]]:
+    """Device-resident epoch batches for cached features.
+
+    The head trainers iterate the SAME cached features every epoch; feeding
+    the jit step host arrays re-transfers each batch host→device on every
+    step of every epoch (a [32, 196, 768] f32 batch is ~19 MB — over
+    hundreds of MDN/NF epochs the transfers dwarf the step math, and on the
+    axon tunnel they serialize with dispatch). Stage the padded batches on
+    the device ONCE (sharded over the mesh data axis when a MeshContext is
+    given) and hand trainers a re-iterable of (feats, valid, weight) with
+    the valid-row weight precomputed on host so the epoch loop fetches
+    nothing.
+
+    Falls back to the lazy host iterator when the cache exceeds `max_bytes`
+    (default VITAD_DEVICE_CACHE_MB=2048 MB) — correctness is identical, the
+    staging is purely a transfer-scheduling choice.
+    """
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
+
+    def _shard(feats, valid):
+        if mc is not None:
+            return mc.shard_batch(feats, valid)
+        return jax.device_put(feats), jax.device_put(valid)
+
+    # padded size: ceil(n / batch) full batches
+    n = features.shape[0]
+    n_padded = -(-n // batch_size) * batch_size
+    per_row = features.nbytes // max(n, 1)
+    if n_padded * per_row > max_bytes:
+        def lazy() -> Iterator[Tuple[jax.Array, jax.Array, float]]:
+            for feats, valid in feature_batches(features, batch_size):
+                w = float(valid.sum())
+                f, v = _shard(feats, valid)
+                yield f, v, w
+
+        return lazy
+
+    staged = []
+    for feats, valid in feature_batches(features, batch_size):
+        w = float(valid.sum())
+        f, v = _shard(feats, valid)
+        staged.append((f, v, w))
+    return lambda: iter(staged)

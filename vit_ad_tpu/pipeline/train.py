@@ -28,7 +28,7 @@ from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.pipeline.early_stopping import EarlyStopping, run_epochs
 from vit_ad_tpu.pipeline.features import (
     extract_features,
-    feature_batches,
+    stage_feature_batches,
     make_feature_extractor,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
@@ -172,17 +172,21 @@ def train_mdn(
 
     eval_loss = jax.jit(lambda p, f, v: masked_loss(p, f, v, None))
 
+    # device-resident epoch batches: cached features are re-iterated every
+    # epoch, so transfer them host→device once (features.py)
+    train_batches_dev = stage_feature_batches(feats_train, hp.batch_size, mc)
+    valid_batches_dev = stage_feature_batches(feats_valid, hp.batch_size, mc)
+
     def train_epoch(epoch):
-        nonlocal rng, head_params, opt_state, feats_train
+        nonlocal rng, head_params, opt_state, train_batches_dev
         if not hp.cache_frozen_features and epoch > 0:
-            feats_train = extract_features(
-                extractor, data.train_batches(hp.prefetch)
+            train_batches_dev = stage_feature_batches(
+                extract_features(extractor, data.train_batches(hp.prefetch)),
+                hp.batch_size, mc,
             )
         losses, weights = [], []
-        for feats, valid in feature_batches(feats_train, hp.batch_size):
+        for feats, valid, w in train_batches_dev():
             rng, k = jax.random.split(rng)
-            w = valid.sum()
-            feats, valid = _shard(mc, feats, valid)
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid, k
             )
@@ -192,9 +196,7 @@ def train_mdn(
 
     def valid_epoch():
         vlosses, vweights = [], []
-        for feats, valid in feature_batches(feats_valid, hp.batch_size):
-            w = valid.sum()
-            feats, valid = _shard(mc, feats, valid)
+        for feats, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(head_params, feats, valid))
             vweights.append(w)
         return _weighted_mean(vlosses, vweights)
@@ -296,16 +298,19 @@ def train_nf(
 
     eval_loss = jax.jit(masked_loss)
 
+    # device-resident epoch batches (features.py stage_feature_batches)
+    train_batches_dev = stage_feature_batches(feats_train, hp.batch_size, mc)
+    valid_batches_dev = stage_feature_batches(feats_valid, hp.batch_size, mc)
+
     def train_epoch(epoch):
-        nonlocal head_params, opt_state, feats_train
+        nonlocal head_params, opt_state, train_batches_dev
         if not hp.cache_frozen_features and epoch > 0:
-            feats_train = extract_features(
-                extractor, data.train_batches(hp.prefetch)
+            train_batches_dev = stage_feature_batches(
+                extract_features(extractor, data.train_batches(hp.prefetch)),
+                hp.batch_size, mc,
             )
         losses, weights = [], []
-        for feats, valid in feature_batches(feats_train, hp.batch_size):
-            w = valid.sum()
-            feats, valid = _shard(mc, feats, valid)
+        for feats, valid, w in train_batches_dev():
             head_params, opt_state, loss = train_step(
                 head_params, opt_state, feats, valid
             )
@@ -315,9 +320,7 @@ def train_nf(
 
     def valid_epoch():
         vlosses, vweights = [], []
-        for feats, valid in feature_batches(feats_valid, hp.batch_size):
-            w = valid.sum()
-            feats, valid = _shard(mc, feats, valid)
+        for feats, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(head_params, feats, valid))
             vweights.append(w)
         return _weighted_mean(vlosses, vweights)
