@@ -50,3 +50,77 @@ def test_staged_shards_over_mesh():
     for f, v, w in stage_feature_batches(feats, 8, mc=mc)():
         assert f.sharding.spec == mc.batch_sharding.spec
         assert v.sharding.spec == mc.batch_sharding.spec
+
+
+# ---------------------------------------------------------------- images
+
+
+def _image_batches(n_batches=3, b=4, hw=8, calls=None):
+    """Synthetic uint8 Batch stream; the last batch has padded rows."""
+    from vit_ad_tpu.data.loader import Batch
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, size=(n_batches, b, hw, hw, 3), dtype=np.uint8)
+
+    def make():
+        if calls is not None:
+            calls.append(1)
+        for i in range(n_batches):
+            valid = np.ones(b, dtype=bool)
+            if i == n_batches - 1:
+                valid[-1] = False
+            yield Batch(images=imgs[i], valid=valid)
+
+    return make, imgs
+
+
+def test_image_staging_matches_lazy_and_decodes_once():
+    from vit_ad_tpu.pipeline.features import stage_image_batches
+
+    calls = []
+    make, imgs = _image_batches(calls=calls)
+    it = stage_image_batches(make)
+    assert it.staged
+    assert len(calls) == 1  # staging consumed the pipeline exactly once
+    ref = list(make())
+    for twice in range(2):  # re-iterable across epochs, no new decodes
+        got = list(it())
+        assert len(got) == len(ref)
+        for rb, (gi, gv, w) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(gi), rb.images)
+            np.testing.assert_array_equal(
+                np.asarray(gv), rb.valid.astype(np.float32)
+            )
+            assert w == float(rb.valid.sum())
+    assert len(calls) == 2  # only the ref list above re-ran the pipeline
+
+
+def test_image_staging_fallback_over_budget():
+    from vit_ad_tpu.pipeline.features import stage_image_batches
+
+    make, imgs = _image_batches()
+    it = stage_image_batches(make, max_bytes=imgs[0].nbytes)  # < total
+    assert not it.staged
+    ref = list(make())
+    got = list(it())
+    assert len(got) == len(ref)
+    for rb, (gi, gv, w) in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(gi), rb.images)
+        assert w == float(rb.valid.sum())
+    # lazy path re-iterates the pipeline every epoch
+    assert len(list(it())) == len(ref)
+
+
+def test_image_staging_shards_over_mesh():
+    from vit_ad_tpu.config import MeshConfig
+    from vit_ad_tpu.parallel.context import MeshContext
+    from vit_ad_tpu.pipeline.features import stage_image_batches
+
+    class HP:
+        mesh = MeshConfig(data=4, model=2)
+
+    mc = MeshContext.from_hp(HP)
+    make, _ = _image_batches(b=8)
+    for im, v, w in stage_image_batches(make, mc=mc)():
+        assert im.sharding.spec == mc.batch_sharding.spec
+        assert v.sharding.spec == mc.batch_sharding.spec

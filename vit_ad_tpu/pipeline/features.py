@@ -124,3 +124,73 @@ def stage_feature_batches(
         f, v = _shard(feats, valid)
         staged.append((f, v, w))
     return lambda: iter(staged)
+
+
+class EpochBatches:
+    """Re-iterable (images_u8, valid_f32, weight) epoch stream, optionally
+    device-resident. Built by `stage_image_batches`."""
+
+    def __init__(self, staged, lazy_gen) -> None:
+        self._staged = staged
+        self._lazy = lazy_gen
+
+    @property
+    def staged(self) -> bool:
+        return self._staged is not None
+
+    def __call__(self):
+        return iter(self._staged) if self.staged else self._lazy()
+
+
+def stage_image_batches(
+    make_batches: Callable[[], Iterator[Batch]],
+    mc=None,
+    max_bytes: Optional[int] = None,
+) -> EpochBatches:
+    """Device-resident epoch cache for image-batch trainers.
+
+    The recon/VAE/ResNet trainers iterate the SAME train set every epoch;
+    the loader re-DECODES every image from disk and re-transfers it each
+    epoch (reference behavior — its torch DataLoader does the same,
+    reference src/data_loader/GeneralDataLoader.py). Anomaly train sets are
+    small (MVTec ≈ 60–400 images ≈ tens of MB as 224px uint8), so decode
+    once, stage the padded batches on the device (mesh data-axis sharded
+    with a MeshContext), and replay them from HBM every epoch.
+
+    Batch iteration order is deterministic (the fixed seed-24 file shuffle
+    is the only shuffle — loader docstring), so replaying staged batches is
+    bit-identical to re-iterating the pipeline. Falls back to the lazy
+    per-epoch pipeline when the uint8 set exceeds `max_bytes`
+    (VITAD_DEVICE_CACHE_MB, default 2048 MB); the partially-consumed
+    staging pass's prefetch thread is abandoned (daemon, bounded queue).
+    """
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
+
+    def _place(images, valid):
+        if mc is not None:
+            return mc.shard_batch(images, valid)
+        return jax.device_put(images), jax.device_put(valid)
+
+    staged: Optional[list] = []
+    total = 0
+    for batch in make_batches():
+        total += batch.images.nbytes
+        if total > max_bytes:
+            staged = None
+            break
+        # batch.images may already be a device array (prefetch_to_device);
+        # _place's device_put is then a no-op rather than a host round-trip
+        v = np.asarray(batch.valid).astype(np.float32)
+        w = float(v.sum())
+        im, vd = _place(batch.images, v)
+        staged.append((im, vd, w))
+
+    def lazy() -> Iterator[Tuple[jax.Array, jax.Array, float]]:
+        for batch in make_batches():
+            v = np.asarray(batch.valid).astype(np.float32)
+            w = float(v.sum())
+            im, vd = _place(batch.images, v)
+            yield im, vd, w
+
+    return EpochBatches(staged, lazy)

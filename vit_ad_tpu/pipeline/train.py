@@ -28,8 +28,9 @@ from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.pipeline.early_stopping import EarlyStopping, run_epochs
 from vit_ad_tpu.pipeline.features import (
     extract_features,
-    stage_feature_batches,
     make_feature_extractor,
+    stage_feature_batches,
+    stage_image_batches,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
 from vit_ad_tpu.registry import get_model
@@ -494,7 +495,17 @@ def train_recon(
             loss,
         )
 
-    latents_train = None
+    # device-resident epoch batches: decode + transfer the train set once,
+    # replay from HBM every epoch (features.py stage_image_batches)
+    train_batches_dev = stage_image_batches(
+        lambda: data.train_batches(hp.prefetch), mc
+    )
+    valid_batches_dev = stage_image_batches(
+        lambda: data.valid_batches(hp.prefetch), mc
+    )
+
+    latents_dev = None   # staged: per-batch device latents, aligned 1:1
+    latents_train = None  # lazy fallback: host [N, ...] array, offset-sliced
     if use_latent_cache:
         @jax.jit
         def _latent(params, batch_stats, images_u8):
@@ -504,11 +515,19 @@ def train_recon(
                 x, train=False,
             ).latent
 
-        chunks = []
-        for batch in data.train_batches(hp.prefetch):
-            z = _latent(params, batch_stats, _shard(mc, batch.images))
-            chunks.append(np.asarray(z[: int(batch.valid.sum())]))
-        latents_train = np.concatenate(chunks, 0)
+        if train_batches_dev.staged:
+            # latents of padded rows equal the duplicated last valid row's
+            # latent — identical to the host path's np.repeat padding
+            latents_dev = [
+                _latent(params, batch_stats, im)
+                for im, _, _ in train_batches_dev()
+            ]
+        else:
+            chunks = []
+            for im, _, w in train_batches_dev():
+                z = _latent(params, batch_stats, im)
+                chunks.append(np.asarray(z[: int(w)]))
+            latents_train = np.concatenate(chunks, 0)
 
     @jax.jit
     def valid_loss_fn(params, batch_stats, images_u8, valid):
@@ -526,16 +545,19 @@ def train_recon(
         nonlocal params, batch_stats, opt_state
         losses, weights = [], []
         offset = 0
-        for batch in data.train_batches(hp.prefetch):
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
-            if latents_train is not None:
-                n_valid = int(batch.valid.sum())
+        for bi, (images, valid, w) in enumerate(train_batches_dev()):
+            if latents_dev is not None:
+                params, batch_stats, opt_state, loss = train_step_cached(
+                    params, batch_stats, opt_state, images, valid,
+                    latents_dev[bi],
+                )
+            elif latents_train is not None:
+                n_valid = int(w)
                 z = latents_train[offset : offset + n_valid]
                 offset += n_valid
-                if n_valid < batch.images.shape[0]:
+                if n_valid < images.shape[0]:
                     z = np.concatenate(
-                        [z, np.repeat(z[-1:], batch.images.shape[0] - n_valid, 0)]
+                        [z, np.repeat(z[-1:], images.shape[0] - n_valid, 0)]
                     )
                 params, batch_stats, opt_state, loss = train_step_cached(
                     params, batch_stats, opt_state, images, valid,
@@ -546,16 +568,14 @@ def train_recon(
                     params, batch_stats, opt_state, images, valid
                 )
             losses.append(loss)
-            weights.append(float(np.sum(batch.valid)))
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
-        for batch in data.valid_batches(hp.prefetch):
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
+        for images, valid, w in valid_batches_dev():
             vlosses.append(valid_loss_fn(params, batch_stats, images, valid))
-            vweights.append(float(np.sum(batch.valid)))
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
@@ -708,27 +728,31 @@ def train_mdn_resnet(
         lambda p, im, v: loss_fn(p, im, v, jax.random.key(0))
     )
 
+    # device-resident epoch batches (features.py stage_image_batches)
+    train_batches_dev = stage_image_batches(
+        lambda: data.train_batches(hp.prefetch), mc
+    )
+    valid_batches_dev = stage_image_batches(
+        lambda: data.valid_batches(hp.prefetch), mc
+    )
+
     def train_epoch(epoch):
         nonlocal rng, params, opt_state
         losses, weights = [], []
-        for batch in data.train_batches(hp.prefetch):
+        for images, valid, w in train_batches_dev():
             rng, k = jax.random.split(rng)
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
             params, opt_state, loss = train_step(
                 params, opt_state, images, valid, k
             )
             losses.append(loss)
-            weights.append(float(np.sum(batch.valid)))
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
-        for batch in data.valid_batches(hp.prefetch):
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
+        for images, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(params, images, valid))
-            vweights.append(float(np.sum(batch.valid)))
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
@@ -857,26 +881,30 @@ def train_nf_resnet(
 
     eval_loss = jax.jit(loss_fn)
 
+    # device-resident epoch batches (features.py stage_image_batches)
+    train_batches_dev = stage_image_batches(
+        lambda: data.train_batches(hp.prefetch), mc
+    )
+    valid_batches_dev = stage_image_batches(
+        lambda: data.valid_batches(hp.prefetch), mc
+    )
+
     def train_epoch(epoch):
         nonlocal params, opt_state
         losses, weights = [], []
-        for batch in data.train_batches(hp.prefetch):
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
+        for images, valid, w in train_batches_dev():
             params, opt_state, loss = train_step(
                 params, opt_state, images, valid
             )
             losses.append(loss)
-            weights.append(float(np.sum(batch.valid)))
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         vlosses, vweights = [], []
-        for batch in data.valid_batches(hp.prefetch):
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
+        for images, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(params, images, valid))
-            vweights.append(float(np.sum(batch.valid)))
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
@@ -999,29 +1027,33 @@ def train_vae(
         kl_i = -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
         return mse + jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
+    # device-resident epoch batches (features.py stage_image_batches)
+    train_batches_dev = stage_image_batches(
+        lambda: data.train_batches(hp.prefetch), mc
+    )
+    valid_batches_dev = stage_image_batches(
+        lambda: data.valid_batches(hp.prefetch), mc
+    )
+
     def train_epoch(epoch):
         nonlocal rng, params, batch_stats, opt_state
         losses, weights = [], []
-        for batch in data.train_batches(hp.prefetch):
+        for images, valid, w in train_batches_dev():
             rng, k = jax.random.split(rng)
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, images, valid, k
             )
             losses.append(loss)
-            weights.append(float(np.sum(batch.valid)))
+            weights.append(w)
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
         nonlocal rng
         vlosses, vweights = [], []
-        for batch in data.valid_batches(hp.prefetch):
+        for images, valid, w in valid_batches_dev():
             rng, k = jax.random.split(rng)
-            valid = jnp.asarray(batch.valid, jnp.float32)
-            images, valid = _shard(mc, batch.images, valid)
             vlosses.append(valid_loss_fn(params, batch_stats, images, valid, k))
-            vweights.append(float(np.sum(batch.valid)))
+            vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
     history, epochs_ran, stopper = run_epochs(
