@@ -107,21 +107,26 @@ class TorchAllInOneBlock(tnn.Module):
 
 
 class TorchRefNF(tnn.Module):
-    """Reference NormalizingFlow state-dict shape: nf.module_list.{i}.* plus
-    the unused layer_norm member (src/classes/NormalizingFlow.py:43-45)."""
+    """Reference NormalizingFlow state-dict shape:
+    fast_flow_decoder.module_list.{i}.* (the SequenceINN attribute name,
+    src/classes/NormalizingFlow.py:51) plus the unused layer_norm member
+    over the (C, h, w) map (:43-45)."""
 
-    def __init__(self, c, hidden, steps):
+    def __init__(self, c, hidden, steps, side=4, perm_seed=100):
         super().__init__()
-        self.nf = tnn.Module()
-        self.nf.module_list = tnn.ModuleList([
-            TorchAllInOneBlock(c, 3 if i % 2 == 0 else 1, hidden, seed=100 + i)
+        self.fast_flow_decoder = tnn.Module()
+        self.fast_flow_decoder.module_list = tnn.ModuleList([
+            TorchAllInOneBlock(
+                c, 3 if i % 2 == 0 else 1, hidden, seed=perm_seed + i
+            )
             for i in range(steps)
         ])
-        self.layer_norm = tnn.LayerNorm(c)  # dead member, dropped by converter
+        # dead member, dropped by the converter
+        self.layer_norm = tnn.LayerNorm((c, side, side))
 
     def forward(self, x):
         total = torch.zeros(x.shape[0])
-        for block in self.nf.module_list:
+        for block in self.fast_flow_decoder.module_list:
             x, ld = block(x)
             total = total + ld
         return x, total

@@ -90,7 +90,14 @@ def test_dryrun_multichip_bootstraps_from_hostile_env():
     env.pop("_VITAD_DRYRUN_CHILD", None)
     proc = subprocess.run(
         [sys.executable, "-c",
-         "import jax; assert len(jax.devices()) == 1;"
+         # config.update AFTER import: the axon sitecustomize tramples
+         # JAX_PLATFORMS at interpreter startup, and without this the
+         # "hostile parent" would initialize the REAL TPU backend (a
+         # 25-minute hang when the tunnel is down) instead of one CPU
+         # device — the hostility this test models is "backend already
+         # initialized on one device", not "backend is remote"
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "assert len(jax.devices()) == 1;"
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=900,
     )

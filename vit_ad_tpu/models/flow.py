@@ -47,6 +47,17 @@ Array = jax.Array
 _GLOBAL_SCALE_INIT = 2.0 * math.log(math.exp(5.0) - 1.0)
 
 
+def default_perms(n_steps: int, num_channels: int) -> np.ndarray:
+    """Deterministic per-step channel permutations (rng seed = step index) —
+    the model default when no checkpoint-baked perms are supplied. Exposed
+    module-level so the .pth exporter (utils/torch_convert.export_nf_head)
+    emits the same permutation matrices a run trained with."""
+    return np.stack(
+        [np.random.default_rng(i).permutation(num_channels)
+         for i in range(n_steps)]
+    ).astype(np.int32)
+
+
 def _soft_clamp(a: Array, clamp: float) -> Array:
     """FrEIA's default ATAN clamp: clamp * 0.636 * atan(u) ∈ (-clamp, clamp)."""
     return clamp * 0.636 * jnp.arctan(a)
@@ -271,10 +282,7 @@ class NormalizingFlow(nn.Module):
                 f"perms has {len(self.perms)} entries, need {n_steps}"
             )
             return np.asarray(self.perms, dtype=np.int32)
-        c = self.num_channels
-        return np.stack(
-            [np.random.default_rng(i).permutation(c) for i in range(n_steps)]
-        ).astype(np.int32)
+        return default_perms(n_steps, self.num_channels)
 
     @nn.compact
     def _scan_transform(

@@ -84,3 +84,12 @@ class MeshContext:
             jax.device_put(a, self.batch_sharding) for a in arrays
         )
         return out if len(out) != 1 else out[0]
+
+    def shard_stacked(self, *arrays: Any):
+        """Shard stacked-epoch arrays [S, B, ...] with the BATCH (second)
+        axis over the data axis — `lax.scan` slices the leading S axis, so
+        each scanned step sees the same P("data") layout shard_batch gives
+        the per-step loop."""
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
+        return out if len(out) != 1 else out[0]

@@ -126,6 +126,77 @@ def stage_feature_batches(
     return lambda: iter(staged)
 
 
+class EpochStack:
+    """Whole staged epoch as stacked device arrays for `lax.scan` epochs:
+    feats [S, B, P, D], valid [S, B] f32, host weights [S]. Built by
+    `stage_feature_epoch`; rows/padding are bit-identical to
+    `feature_batches`' per-batch stream."""
+
+    def __init__(self, feats, valid, weights) -> None:
+        self.feats = feats
+        self.valid = valid
+        self.weights = weights  # np [S], valid rows per batch
+
+    @property
+    def steps(self) -> int:
+        return int(self.feats.shape[0])
+
+
+def stage_feature_epoch(
+    features: np.ndarray,
+    batch_size: int,
+    mc=None,
+    max_bytes: Optional[int] = None,
+) -> Optional[EpochStack]:
+    """Stack the padded epoch batches into single device arrays so trainers
+    can run the WHOLE epoch as one `lax.scan` dispatch (the train-side
+    analog of eval's scan-of-batches protocol): per-step dispatch turnaround
+    — a full tunnel roundtrip per batch on remote-attached TPUs — disappears,
+    and the epoch costs one dispatch + one scalar-vector fetch.
+
+    Padding duplicates the final row exactly like `feature_batches`, so scan
+    epochs consume bit-identical batches to the per-step loop. Sharded
+    [None, "data", ...] over a mesh (batch axis stays the data axis under
+    the scan's leading-axis slicing). Returns None when the stacked epoch
+    exceeds `max_bytes` (VITAD_DEVICE_CACHE_MB) — callers keep the loop."""
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
+
+    n = features.shape[0]
+    if n == 0:
+        return None
+    s = -(-n // batch_size)
+    n_padded = s * batch_size
+    per_row = features.nbytes // n
+    if n_padded * per_row > max_bytes:
+        return None
+
+    feats = features
+    valid = np.ones(n, dtype=np.float32)
+    if n_padded > n:
+        feats = np.concatenate(
+            [feats, np.repeat(feats[-1:], n_padded - n, 0)]
+        )
+        valid = np.concatenate(
+            [valid, np.zeros(n_padded - n, dtype=np.float32)]
+        )
+    feats = feats.reshape(s, batch_size, *features.shape[1:])
+    valid = valid.reshape(s, batch_size)
+    weights = valid.sum(axis=1)
+    if mc is not None:
+        feats_d, valid_d = mc.shard_stacked(feats, valid)
+    else:
+        feats_d, valid_d = jax.device_put(feats), jax.device_put(valid)
+    return EpochStack(feats_d, valid_d, weights)
+
+
+def use_scan_epochs() -> bool:
+    """Scan-of-batches training epochs are default-on (pure scheduling
+    change, loss-stream parity locked by tests); VITAD_SCAN_EPOCH=0 forces
+    the per-step loop (e.g. to bisect a regression)."""
+    return os.environ.get("VITAD_SCAN_EPOCH", "1") != "0"
+
+
 class EpochBatches:
     """Re-iterable (images_u8, valid_f32, weight) epoch stream, optionally
     device-resident. Built by `stage_image_batches`."""

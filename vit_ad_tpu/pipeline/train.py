@@ -30,7 +30,9 @@ from vit_ad_tpu.pipeline.features import (
     extract_features,
     make_feature_extractor,
     stage_feature_batches,
+    stage_feature_epoch,
     stage_image_batches,
+    use_scan_epochs,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
 from vit_ad_tpu.registry import get_model
@@ -58,6 +60,13 @@ def _weighted_mean(losses: List[Any], weights: List[float]) -> float:
     if not losses:
         return float("nan")
     vals = np.asarray(jax.device_get(jnp.stack(losses)), dtype=np.float64)
+    return float(np.average(vals, weights=weights))
+
+
+def _stacked_weighted_mean(losses: Any, weights: np.ndarray) -> float:
+    """`_weighted_mean` for a scan epoch's [S] device loss vector — same
+    f64 host math, so scan and loop epochs report identical history."""
+    vals = np.asarray(jax.device_get(losses), dtype=np.float64)
     return float(np.average(vals, weights=weights))
 
 
@@ -173,13 +182,61 @@ def train_mdn(
 
     eval_loss = jax.jit(lambda p, f, v: masked_loss(p, f, v, None))
 
-    # device-resident epoch batches: cached features are re-iterated every
-    # epoch, so transfer them host→device once (features.py)
-    train_batches_dev = stage_feature_batches(feats_train, hp.batch_size, mc)
-    valid_batches_dev = stage_feature_batches(feats_valid, hp.batch_size, mc)
+    # scan-of-batches epochs: the whole epoch as ONE dispatch over the
+    # stacked staged features (same batches, same rng-split sequence as the
+    # loop — tests/test_scan_epoch.py locks history parity); falls back to
+    # the per-step loop over staged batches when the stack exceeds the
+    # device-cache budget or features re-extract per epoch
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        if hp.cache_frozen_features:
+            train_stack = stage_feature_epoch(feats_train, hp.batch_size, mc)
+        valid_stack = stage_feature_epoch(feats_valid, hp.batch_size, mc)
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_feature_batches(feats_train, hp.batch_size, mc)
+    )
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_feature_batches(feats_valid, hp.batch_size, mc)
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch_scan(params, opt_state, epoch_rng, feats_s, valid_s):
+        def body(carry, xs):
+            params, opt_state, r = carry
+            feats, valid = xs
+            r, k = jax.random.split(r)
+            loss, grads = jax.value_and_grad(masked_loss)(
+                params, feats, valid, k
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, r), loss
+        (params, opt_state, epoch_rng), losses = jax.lax.scan(
+            body, (params, opt_state, epoch_rng), (feats_s, valid_s)
+        )
+        return params, opt_state, epoch_rng, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, feats_s, valid_s):
+        def body(carry, xs):
+            feats, valid = xs
+            return carry, eval_loss(params, feats, valid)
+        _, losses = jax.lax.scan(body, 0, (feats_s, valid_s))
+        return losses
 
     def train_epoch(epoch):
         nonlocal rng, head_params, opt_state, train_batches_dev
+        if train_stack is not None:
+            head_params, opt_state, rng, losses = train_epoch_scan(
+                head_params, opt_state, rng,
+                train_stack.feats, train_stack.valid,
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         if not hp.cache_frozen_features and epoch > 0:
             train_batches_dev = stage_feature_batches(
                 extract_features(extractor, data.train_batches(hp.prefetch)),
@@ -196,6 +253,11 @@ def train_mdn(
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
+        if valid_stack is not None:
+            losses = valid_epoch_scan(
+                head_params, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for feats, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(head_params, feats, valid))
@@ -299,12 +361,54 @@ def train_nf(
 
     eval_loss = jax.jit(masked_loss)
 
-    # device-resident epoch batches (features.py stage_feature_batches)
-    train_batches_dev = stage_feature_batches(feats_train, hp.batch_size, mc)
-    valid_batches_dev = stage_feature_batches(feats_valid, hp.batch_size, mc)
+    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
+    # the stacked staged features, per-step loop as the fallback
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        if hp.cache_frozen_features:
+            train_stack = stage_feature_epoch(feats_train, hp.batch_size, mc)
+        valid_stack = stage_feature_epoch(feats_valid, hp.batch_size, mc)
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_feature_batches(feats_train, hp.batch_size, mc)
+    )
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_feature_batches(feats_valid, hp.batch_size, mc)
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch_scan(params, opt_state, feats_s, valid_s):
+        def body(carry, xs):
+            params, opt_state = carry
+            feats, valid = xs
+            loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda pp, u: pp + u, params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (feats_s, valid_s)
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, feats_s, valid_s):
+        def body(carry, xs):
+            feats, valid = xs
+            return carry, eval_loss(params, feats, valid)
+        _, losses = jax.lax.scan(body, 0, (feats_s, valid_s))
+        return losses
 
     def train_epoch(epoch):
         nonlocal head_params, opt_state, train_batches_dev
+        if train_stack is not None:
+            head_params, opt_state, losses = train_epoch_scan(
+                head_params, opt_state, train_stack.feats, train_stack.valid
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         if not hp.cache_frozen_features and epoch > 0:
             train_batches_dev = stage_feature_batches(
                 extract_features(extractor, data.train_batches(hp.prefetch)),
@@ -320,6 +424,11 @@ def train_nf(
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
+        if valid_stack is not None:
+            losses = valid_epoch_scan(
+                head_params, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for feats, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(head_params, feats, valid))

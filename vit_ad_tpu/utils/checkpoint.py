@@ -33,6 +33,21 @@ def save_params(directory: str, name: str, params: Any) -> str:
     return path
 
 
+def load_tree(path: str) -> Any:
+    """Restore a checkpoint WITHOUT a target tree (shapes/dtypes come from
+    the stored metadata). Used by tooling that only inspects or re-exports
+    params (cli/export_weights) and so must not rebuild the model."""
+    if path.endswith(".msgpack"):
+        import flax.serialization
+
+        with open(path, "rb") as f:
+            return flax.serialization.msgpack_restore(f.read())
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
 def load_params(path: str, target: Any) -> Any:
     """Restore a param pytree saved by save_params. `target` provides the
     tree structure/dtypes (a freshly-initialized params tree)."""

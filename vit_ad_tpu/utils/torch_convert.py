@@ -15,7 +15,7 @@ Layout conversions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -445,15 +445,22 @@ def convert_nf_head(
     permutations baked into the checkpoint.
 
     FrEIA AllInOneBlock layout (reference src/classes/NormalizingFlow.py:84-116
-    builds them with permute_soft=False): per block `nf.module_list.{i}.`
-    holds `subnet.{0,2}.{weight,bias}` (conv-ReLU-conv), `global_scale` /
-    `global_offset` [1,C,1,1], and non-trainable `w_perm` / `w_perm_inv`
-    [C,C,1,1] permutation matrices. The unused `layer_norm` member
-    (reference :43-45) is dropped. Our forward permutes out[i] = y[perm[i]],
-    matching FrEIA's w_perm @ y with perm[i] = argmax_j w_perm[i, j].
+    builds them with permute_soft=False): per block
+    `fast_flow_decoder.module_list.{i}.` (the SequenceINN attribute name,
+    reference NormalizingFlow.py:51) holds `subnet.{0,2}.{weight,bias}`
+    (conv-ReLU-conv), `global_scale` / `global_offset` [1,C,1,1], and
+    non-trainable `w_perm` / `w_perm_inv` [C,C,1,1] permutation matrices.
+    The unused `layer_norm` member (reference :43-45) is dropped. Our
+    forward permutes out[i] = y[perm[i]], matching FrEIA's w_perm @ y with
+    perm[i] = argmax_j w_perm[i, j]. Also accepts a bare SequenceINN save
+    (`module_list.` root) and the legacy `nf.` alias.
 
     Returns (variables, perms) — construct NormalizingFlow(perms=perms)."""
-    sd = StrictStateDict(strip_prefix(sd, "nf."))
+    for prefix in ("fast_flow_decoder.", "nf."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = strip_prefix(sd, prefix)
+            break
+    sd = StrictStateDict(sd)
     sd.drop("layer_norm.", suffix="num_batches_tracked")
     sd.drop(suffix="w_perm_inv")
 
@@ -485,6 +492,79 @@ def convert_nf_head(
             params[f"t_{leaf}"] = v
     sd.finish()
     return {"params": params}, tuple(perms)
+
+
+def export_mdn_head(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_mdn_head`: GaussianMDN params → the reference
+    GaussianMixtureDensityNetwork state-dict layout (pi/sigma/mu Linears,
+    reference src/classes/MixtureDensityNetwork.py:129-141), so TPU-trained
+    heads `load_state_dict(strict=True)` into the reference for evaluation
+    with its own tooling."""
+    p = variables["params"]
+    w_sigma = np.asarray(p["w_sigma"], np.float32)  # [D, D, K]
+    d, _, k = w_sigma.shape
+    return {
+        "pi.weight": np.ascontiguousarray(np.asarray(p["w_pi"], np.float32).T),
+        "pi.bias": np.asarray(p["b_pi"], np.float32),
+        "sigma.weight": np.ascontiguousarray(w_sigma.reshape(d, d * k).T),
+        "sigma.bias": np.asarray(p["b_sigma"], np.float32).reshape(d * k),
+        "mu.weight": np.ascontiguousarray(
+            np.asarray(p["w_mu"], np.float32).reshape(d, d * k).T
+        ),
+        "mu.bias": np.asarray(p["b_mu"], np.float32).reshape(d * k),
+    }
+
+
+def export_nf_head(
+    variables: Dict[str, Any],
+    num_patches: int,
+    perms: Optional[Sequence[Sequence[int]]] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_nf_head`: scan-stacked NormalizingFlow params →
+    the reference NormalizingFlow state-dict layout
+    (`fast_flow_decoder.module_list.{i}.*` FrEIA AllInOneBlocks with
+    permute_soft=False + the unused `layer_norm` member at its default
+    init, reference src/classes/NormalizingFlow.py:43-51), strict-loadable
+    by the reference. `perms` defaults to the model's deterministic
+    per-step permutations (models/flow.py default_perms) — pass the
+    checkpoint-baked ones when the flow was built with explicit perms."""
+    from vit_ad_tpu.models.flow import default_perms
+
+    p = variables["params"]
+    n_pairs = p["a_conv1_kernel"].shape[0] if "a_conv1_kernel" in p else 0
+    tail = "t_conv1_kernel" in p
+    steps = 2 * n_pairs + (1 if tail else 0)
+    gs = p["a_global_scale"] if n_pairs else p["t_global_scale"]
+    c = gs.shape[-1]
+    if perms is None:
+        perms = default_perms(steps, c)
+    assert len(perms) == steps, f"{len(perms)} perms for {steps} steps"
+
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(steps):
+        if tail and i == steps - 1:
+            leaf = lambda name: np.asarray(p[f"t_{name}"], np.float32)
+        else:
+            tag, j = ("a", i // 2) if i % 2 == 0 else ("b", i // 2)
+            leaf = lambda name: np.asarray(p[f"{tag}_{name}"][j], np.float32)
+        pre = f"fast_flow_decoder.module_list.{i}"
+        for slot, src in (("0", "conv1"), ("2", "conv2")):
+            sd[f"{pre}.subnet.{slot}.weight"] = np.ascontiguousarray(
+                np.transpose(leaf(f"{src}_kernel"), (3, 2, 0, 1))  # HWIO→OIHW
+            )
+            sd[f"{pre}.subnet.{slot}.bias"] = leaf(f"{src}_bias")
+        sd[f"{pre}.global_scale"] = leaf("global_scale").reshape(1, c, 1, 1)
+        sd[f"{pre}.global_offset"] = leaf("global_offset").reshape(1, c, 1, 1)
+        w_perm = np.zeros((c, c), np.float32)
+        w_perm[np.arange(c), np.asarray(perms[i], np.int64)] = 1.0
+        sd[f"{pre}.w_perm"] = w_perm.reshape(c, c, 1, 1)
+        sd[f"{pre}.w_perm_inv"] = np.ascontiguousarray(w_perm.T).reshape(
+            c, c, 1, 1
+        )
+    side = int(round(np.sqrt(num_patches)))
+    sd["layer_norm.weight"] = np.ones((c, side, side), np.float32)
+    sd["layer_norm.bias"] = np.zeros((c, side, side), np.float32)
+    return sd
 
 
 def merge_variables(base: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
