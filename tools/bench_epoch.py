@@ -14,6 +14,7 @@ epoch, the default) and =0 (per-step loop) to quantify the scan-epoch win
 on the attached TPU.
 
     python tools/bench_epoch.py --which mdn,nf --n-train 160 --batch 32
+    # also: recon (ae_deit), vae, mdn_resnet, nf_resnet (image-batch scans)
 
 axon rules apply (PERF.md): ONE process on the chip, init on CPU, run to
 completion (no killing timeouts). Writes tools/epoch_bench.json.
@@ -59,9 +60,21 @@ def bench(which, n_train, batch, img_size, e1, e2, gaussians, flow_steps):
     from vit_ad_tpu.config import HyperParams
     from vit_ad_tpu.pipeline import train as T
 
-    trainers = {"mdn": T.train_mdn, "nf": T.train_nf}
+    trainers = {
+        "mdn": T.train_mdn, "nf": T.train_nf,
+        "recon": T.train_recon, "vae": T.train_vae,
+        "mdn_resnet": T.train_mdn_resnet, "nf_resnet": T.train_nf_resnet,
+    }
+    arch = {"recon": "reconstruction", "vae": "reconstruction"}.get(
+        which, which.split("_")[0]
+    )
+    model_name = (
+        "ae_deit" if which == "recon"
+        else "enc_res_net" if which.endswith("_resnet")
+        else "enc_deit"
+    )
     hp = HyperParams(
-        model_name="enc_deit", architecture=which, batch_size=batch,
+        model_name=model_name, architecture=arch, batch_size=batch,
         img_size=img_size, num_gaussians=gaussians, flow_steps=flow_steps,
         hidden_ratio=0.16, learning_rate=1e-3, weight_decay=1e-5, seed=24,
     )

@@ -128,9 +128,10 @@ def stage_feature_batches(
 
 class EpochStack:
     """Whole staged epoch as stacked device arrays for `lax.scan` epochs:
-    feats [S, B, P, D], valid [S, B] f32, host weights [S]. Built by
-    `stage_feature_epoch`; rows/padding are bit-identical to
-    `feature_batches`' per-batch stream."""
+    feats [S, B, ...] (cached features, or uint8 images for the image-batch
+    trainers), valid [S, B] f32, host weights [S]. Built by
+    `stage_feature_epoch` / `stage_image_epoch`; rows/padding are
+    bit-identical to the per-batch streams."""
 
     def __init__(self, feats, valid, weights) -> None:
         self.feats = feats
@@ -188,6 +189,44 @@ def stage_feature_epoch(
     else:
         feats_d, valid_d = jax.device_put(feats), jax.device_put(valid)
     return EpochStack(feats_d, valid_d, weights)
+
+
+def stage_image_epoch(
+    make_batches: Callable[[], Iterator[Batch]],
+    mc=None,
+    max_bytes: Optional[int] = None,
+) -> Optional[EpochStack]:
+    """`stage_feature_epoch` for the image-batch trainers: stack the padded
+    uint8 epoch batches into single device arrays (images [S, B, H, W, 3],
+    valid [S, B]) so recon/VAE/ResNet-head trainers can run the whole epoch
+    as one `lax.scan` dispatch. Batches arrive already padded to the static
+    batch size (loader), so stacking reproduces the per-step stream
+    bit-identically. Sharded [None, "data", ...] over a mesh. Returns None
+    (callers keep the loop) when the set exceeds `max_bytes`
+    (VITAD_DEVICE_CACHE_MB) — same budget the per-batch staging uses."""
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
+
+    ims, valids, total = [], [], 0
+    for batch in make_batches():
+        total += batch.images.nbytes
+        if total > max_bytes:
+            return None
+        # may already be a device array (prefetch_to_device) — jnp.stack
+        # below consumes it without a host round-trip
+        ims.append(batch.images)
+        valids.append(np.asarray(batch.valid).astype(np.float32))
+    if not ims:
+        return None
+    assert all(im.shape == ims[0].shape for im in ims), "ragged batches"
+    images = jnp.stack([jnp.asarray(im) for im in ims])
+    valid = np.stack(valids)
+    weights = valid.sum(axis=1)
+    if mc is not None:
+        images, valid_d = mc.shard_stacked(images, valid)
+    else:
+        valid_d = jax.device_put(valid)
+    return EpochStack(images, valid_d, weights)
 
 
 def use_scan_epochs() -> bool:

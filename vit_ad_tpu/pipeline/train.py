@@ -32,6 +32,7 @@ from vit_ad_tpu.pipeline.features import (
     stage_feature_batches,
     stage_feature_epoch,
     stage_image_batches,
+    stage_image_epoch,
     use_scan_epochs,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
@@ -604,15 +605,28 @@ def train_recon(
             loss,
         )
 
+    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
+    # the stacked staged uint8 batches, per-step loop as the fallback
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        train_stack = stage_image_epoch(
+            lambda: data.train_batches(hp.prefetch), mc
+        )
+        valid_stack = stage_image_epoch(
+            lambda: data.valid_batches(hp.prefetch), mc
+        )
     # device-resident epoch batches: decode + transfer the train set once,
     # replay from HBM every epoch (features.py stage_image_batches)
-    train_batches_dev = stage_image_batches(
-        lambda: data.train_batches(hp.prefetch), mc
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
     )
-    valid_batches_dev = stage_image_batches(
-        lambda: data.valid_batches(hp.prefetch), mc
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
     )
 
+    latents_stack = None  # scan path: [S, B, ...] device latents
     latents_dev = None   # staged: per-batch device latents, aligned 1:1
     latents_train = None  # lazy fallback: host [N, ...] array, offset-sliced
     if use_latent_cache:
@@ -624,9 +638,15 @@ def train_recon(
                 x, train=False,
             ).latent
 
-        if train_batches_dev.staged:
+        if train_stack is not None:
             # latents of padded rows equal the duplicated last valid row's
             # latent — identical to the host path's np.repeat padding
+            latents_stack = jax.jit(
+                lambda p, bs, ims: jax.lax.map(
+                    lambda im: _latent(p, bs, im), ims
+                )
+            )(params, batch_stats, train_stack.feats)
+        elif train_batches_dev.staged:
             latents_dev = [
                 _latent(params, batch_stats, im)
                 for im, _, _ in train_batches_dev()
@@ -637,6 +657,32 @@ def train_recon(
                 z = _latent(params, batch_stats, im)
                 chunks.append(np.asarray(z[: int(w)]))
             latents_train = np.concatenate(chunks, 0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch_scan(params, batch_stats, opt_state, images_s, valid_s,
+                         latents_s):
+        def body(carry, xs):
+            params, batch_stats, opt_state = carry
+            images, valid, latents = xs
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, images, valid, latents)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, new_stats, opt_state), loss
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            (images_s, valid_s, latents_s),
+        )
+        return params, batch_stats, opt_state, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, batch_stats, images_s, valid_s):
+        def body(carry, xs):
+            images, valid = xs
+            return carry, valid_loss_fn(params, batch_stats, images, valid)
+        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
+        return losses
 
     @jax.jit
     def valid_loss_fn(params, batch_stats, images_u8, valid):
@@ -652,6 +698,15 @@ def train_recon(
 
     def train_epoch(epoch):
         nonlocal params, batch_stats, opt_state
+        if train_stack is not None:
+            params, batch_stats, opt_state, losses = train_epoch_scan(
+                params, batch_stats, opt_state,
+                train_stack.feats, train_stack.valid, latents_stack,
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         losses, weights = [], []
         offset = 0
         for bi, (images, valid, w) in enumerate(train_batches_dev()):
@@ -681,6 +736,11 @@ def train_recon(
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
+        if valid_stack is not None:
+            losses = valid_epoch_scan(
+                params, batch_stats, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for images, valid, w in valid_batches_dev():
             vlosses.append(valid_loss_fn(params, batch_stats, images, valid))
@@ -837,16 +897,61 @@ def train_mdn_resnet(
         lambda p, im, v: loss_fn(p, im, v, jax.random.key(0))
     )
 
-    # device-resident epoch batches (features.py stage_image_batches)
-    train_batches_dev = stage_image_batches(
-        lambda: data.train_batches(hp.prefetch), mc
+    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
+    # the stacked staged uint8 batches, per-step loop as the fallback
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        train_stack = stage_image_epoch(
+            lambda: data.train_batches(hp.prefetch), mc
+        )
+        valid_stack = stage_image_epoch(
+            lambda: data.valid_batches(hp.prefetch), mc
+        )
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
     )
-    valid_batches_dev = stage_image_batches(
-        lambda: data.valid_batches(hp.prefetch), mc
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
     )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch_scan(params, opt_state, epoch_rng, images_s, valid_s):
+        def body(carry, xs):
+            params, opt_state, r = carry
+            images, valid = xs
+            r, k = jax.random.split(r)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, images, valid, k
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, r), loss
+        (params, opt_state, epoch_rng), losses = jax.lax.scan(
+            body, (params, opt_state, epoch_rng), (images_s, valid_s)
+        )
+        return params, opt_state, epoch_rng, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, images_s, valid_s):
+        def body(carry, xs):
+            images, valid = xs
+            return carry, eval_loss(params, images, valid)
+        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
+        return losses
 
     def train_epoch(epoch):
         nonlocal rng, params, opt_state
+        if train_stack is not None:
+            params, opt_state, rng, losses = train_epoch_scan(
+                params, opt_state, rng,
+                train_stack.feats, train_stack.valid,
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         losses, weights = [], []
         for images, valid, w in train_batches_dev():
             rng, k = jax.random.split(rng)
@@ -858,6 +963,11 @@ def train_mdn_resnet(
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
+        if valid_stack is not None:
+            losses = valid_epoch_scan(
+                params, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for images, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(params, images, valid))
@@ -990,16 +1100,57 @@ def train_nf_resnet(
 
     eval_loss = jax.jit(loss_fn)
 
-    # device-resident epoch batches (features.py stage_image_batches)
-    train_batches_dev = stage_image_batches(
-        lambda: data.train_batches(hp.prefetch), mc
+    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
+    # the stacked staged uint8 batches, per-step loop as the fallback
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        train_stack = stage_image_epoch(
+            lambda: data.train_batches(hp.prefetch), mc
+        )
+        valid_stack = stage_image_epoch(
+            lambda: data.valid_batches(hp.prefetch), mc
+        )
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
     )
-    valid_batches_dev = stage_image_batches(
-        lambda: data.valid_batches(hp.prefetch), mc
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
     )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch_scan(params, opt_state, images_s, valid_s):
+        def body(carry, xs):
+            params, opt_state = carry
+            images, valid = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (images_s, valid_s)
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, images_s, valid_s):
+        def body(carry, xs):
+            images, valid = xs
+            return carry, eval_loss(params, images, valid)
+        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
+        return losses
 
     def train_epoch(epoch):
         nonlocal params, opt_state
+        if train_stack is not None:
+            params, opt_state, losses = train_epoch_scan(
+                params, opt_state, train_stack.feats, train_stack.valid
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         losses, weights = [], []
         for images, valid, w in train_batches_dev():
             params, opt_state, loss = train_step(
@@ -1010,6 +1161,11 @@ def train_nf_resnet(
         return _weighted_mean(losses, weights), float(np.sum(weights))
 
     def valid_epoch():
+        if valid_stack is not None:
+            losses = valid_epoch_scan(
+                params, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for images, valid, w in valid_batches_dev():
             vlosses.append(eval_loss(params, images, valid))
@@ -1136,16 +1292,66 @@ def train_vae(
         kl_i = -0.5 * jnp.sum(1 + log_var - mu**2 - jnp.exp(log_var), axis=-1)
         return mse + jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    # device-resident epoch batches (features.py stage_image_batches)
-    train_batches_dev = stage_image_batches(
-        lambda: data.train_batches(hp.prefetch), mc
+    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
+    # the stacked staged uint8 batches, per-step loop as the fallback
+    train_stack = valid_stack = None
+    if use_scan_epochs():
+        train_stack = stage_image_epoch(
+            lambda: data.train_batches(hp.prefetch), mc
+        )
+        valid_stack = stage_image_epoch(
+            lambda: data.valid_batches(hp.prefetch), mc
+        )
+    train_batches_dev = (
+        None if train_stack is not None
+        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
     )
-    valid_batches_dev = stage_image_batches(
-        lambda: data.valid_batches(hp.prefetch), mc
+    valid_batches_dev = (
+        None if valid_stack is not None
+        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
     )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch_scan(params, batch_stats, opt_state, epoch_rng,
+                         images_s, valid_s):
+        def body(carry, xs):
+            params, batch_stats, opt_state, r = carry
+            images, valid = xs
+            r, k = jax.random.split(r)
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, images, valid, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, new_stats, opt_state, r), loss
+        (params, batch_stats, opt_state, epoch_rng), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, epoch_rng),
+            (images_s, valid_s),
+        )
+        return params, batch_stats, opt_state, epoch_rng, losses
+
+    @jax.jit
+    def valid_epoch_scan(params, batch_stats, epoch_rng, images_s, valid_s):
+        def body(r, xs):
+            images, valid = xs
+            r, k = jax.random.split(r)
+            return r, valid_loss_fn(params, batch_stats, images, valid, k)
+        epoch_rng, losses = jax.lax.scan(
+            body, epoch_rng, (images_s, valid_s)
+        )
+        return epoch_rng, losses
 
     def train_epoch(epoch):
         nonlocal rng, params, batch_stats, opt_state
+        if train_stack is not None:
+            params, batch_stats, opt_state, rng, losses = train_epoch_scan(
+                params, batch_stats, opt_state, rng,
+                train_stack.feats, train_stack.valid,
+            )
+            return (
+                _stacked_weighted_mean(losses, train_stack.weights),
+                float(train_stack.weights.sum()),
+            )
         losses, weights = [], []
         for images, valid, w in train_batches_dev():
             rng, k = jax.random.split(rng)
@@ -1158,6 +1364,11 @@ def train_vae(
 
     def valid_epoch():
         nonlocal rng
+        if valid_stack is not None:
+            rng, losses = valid_epoch_scan(
+                params, batch_stats, rng, valid_stack.feats, valid_stack.valid
+            )
+            return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
         for images, valid, w in valid_batches_dev():
             rng, k = jax.random.split(rng)
