@@ -1,0 +1,164 @@
+"""JAX → reference-format .pth export for the transformer reconstruction
+AEs (torch_convert.export_vit / export_small_decoder / export_resnet_decoder
+/ export_transformer_ae): exported state dicts strict-load into torch models
+built in the REFERENCE's layouts (the test_decoder_convert /
+test_torch_convert replicas), match the forward numerically, and round-trip
+through our own converters bit-exactly."""
+
+import numpy as np
+import pytest
+import torch
+from torch import nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from test_decoder_convert import (
+    TorchResNetDecoder,
+    TorchSmallDecoder,
+    _randomize,
+)
+from test_torch_convert import TorchViT
+from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.autoencoder import TransformerAutoEncoder
+from vit_ad_tpu.models.decoders import ResNetDecoder, SmallDecoder
+from vit_ad_tpu.models.vit import ViTEncoder
+from vit_ad_tpu.utils.torch_convert import (
+    convert_resnet_decoder,
+    convert_small_decoder,
+    convert_transformer_ae,
+    convert_vit,
+    export_resnet_decoder,
+    export_small_decoder,
+    export_transformer_ae,
+    export_vit,
+    state_dict_to_numpy,
+)
+
+F32 = DtypePolicy.f32()
+
+
+def _as_torch(sd):
+    return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+
+def _assert_tree_equal(a, b):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+
+
+def test_export_vit_strict_loads_and_matches():
+    enc = ViTEncoder(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                     num_heads=4, num_prefix_tokens=2, dtypes=F32)
+    variables = enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    sd = export_vit(variables["params"])
+
+    tm = TorchViT(img=32, patch=8, dim=32, depth=2, heads=4, prefix=2)
+    tm.load_state_dict(_as_torch(sd), strict=True)
+    tm.eval()
+
+    x = np.random.default_rng(1).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # [B, prefix+P, D] all tokens
+    got = np.asarray(
+        enc.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))).patch_embedding
+    )
+    np.testing.assert_allclose(got, want[:, 2:], rtol=2e-4, atol=2e-5)
+
+
+def test_export_vit_roundtrip_bit_exact():
+    enc = ViTEncoder(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                     num_heads=4, num_prefix_tokens=2, dtypes=F32)
+    variables = enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    back = convert_vit(export_vit(variables["params"]), depth=2,
+                       num_prefix_tokens=2)
+    _assert_tree_equal(back["params"], variables["params"])
+
+
+def test_export_small_decoder_strict_loads_and_matches():
+    z_space, s = 32, 2
+    dec = SmallDecoder(img_size=32 * s, z_space=z_space, dtypes=F32)
+    variables = dec.init(jax.random.key(1), jnp.zeros((1, z_space)))
+    sd = export_small_decoder(variables)
+
+    tm = TorchSmallDecoder(z_space, s)
+    tm.load_state_dict(_as_torch(sd), strict=True)
+    tm.eval()
+
+    z = np.random.default_rng(2).normal(size=(2, z_space)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(z)).numpy()
+    got = np.asarray(dec.apply(variables, jnp.asarray(z))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_export_small_decoder_roundtrip_bit_exact():
+    dec = SmallDecoder(img_size=64, z_space=32, dtypes=F32)
+    variables = dec.init(jax.random.key(1), jnp.zeros((1, 32)))
+    back = convert_small_decoder(export_small_decoder(variables))
+    _assert_tree_equal(back, variables)
+
+
+@pytest.mark.slow
+def test_export_resnet_decoder_strict_loads_and_matches():
+    emb, img = 16, 64
+    dec = ResNetDecoder(embedding_size=emb, img_size=img, dtypes=F32)
+    variables = dec.init(jax.random.key(2), jnp.zeros((1, emb)))
+    sd = export_resnet_decoder(variables)
+
+    tm = TorchResNetDecoder(emb, img)
+    tm.load_state_dict(_as_torch(sd), strict=True)
+    tm.eval()
+
+    z = np.random.default_rng(3).normal(size=(1, emb)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(z)).numpy()
+    got = np.asarray(dec.apply(variables, jnp.asarray(z))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_export_resnet_decoder_roundtrip_bit_exact():
+    dec = ResNetDecoder(embedding_size=16, img_size=64, dtypes=F32)
+    variables = dec.init(jax.random.key(2), jnp.zeros((1, 16)))
+    back = convert_resnet_decoder(export_resnet_decoder(variables))
+    _assert_tree_equal(back, variables)
+
+
+def test_export_transformer_ae_full_pth_roundtrip(tmp_path):
+    """Full AE export: our trained-format variables → reference .pth →
+    torch replica strict-load → reconstruction parity; and the .pth
+    round-trips through convert_transformer_ae bit-exactly."""
+    enc = ViTEncoder(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                     num_heads=4, num_prefix_tokens=2, dtypes=F32)
+    model = TransformerAutoEncoder(encoder=enc, decoder_kind="cnn",
+                                   img_size=32, dtypes=F32)
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 32, 32, 3)),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    sd = export_transformer_ae(variables)
+
+    class TorchAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = tnn.Module()
+            self.encoder.model = TorchViT(img=32, patch=8, dim=32, depth=2,
+                                          heads=4, prefix=2)
+            # our decoder_kind="cnn" builds SmallDecoder(z_space=embed_dim)
+            # over the [B, D] latent; s = ceil(32 / 2^5) = 1
+            self.decoder = TorchSmallDecoder(z_space=32, s=1)
+
+    tm = TorchAE()
+    tm.load_state_dict(_as_torch(sd), strict=True)
+    tm.eval()
+
+    path = tmp_path / "ae.pth"
+    torch.save(_as_torch(sd), path)
+    loaded = torch.load(path, weights_only=True)
+    back = convert_transformer_ae(state_dict_to_numpy(loaded))
+    _assert_tree_equal(back["params"], variables["params"])
+    _assert_tree_equal(back["batch_stats"]["decoder"],
+                       variables["batch_stats"].get("decoder", {}))

@@ -9,9 +9,11 @@ so a user can migrate in either direction:
     python -m vit_ad_tpu.cli.export_weights --run runs/<name> --dst head.pth
 
 The run directory needs `config.json` + a `best_params*` checkpoint (what
-every training CLI writes). Reconstruction AEs and the multi-stage ResNet
-ensembles are not exportable heads (the reference evaluates those from its
-own training runs only).
+every training CLI writes). Transformer reconstruction AEs export as full
+reference AutoEncoder .pth files (`encoder.model.*` timm layout +
+`decoder.*`, torch_convert.export_transformer_ae); the vanilla-CNN /
+ResNet / EfficientNet AEs and the multi-stage ResNet ensembles are not
+exportable (the reference evaluates those from its own training runs only).
 """
 
 from __future__ import annotations
@@ -48,9 +50,18 @@ def main(argv=None) -> int:
 
         enc = get_model(cfg["model_name"], int(cfg.get("img_size", 224)))
         sd = tc.export_nf_head(tree, num_patches=enc.num_patches)
+    elif arch == "reconstruction":
+        name = cfg.get("model_name", "")
+        if not (name.startswith("ae_") and "cnn" not in name
+                and "res_net" not in name and "eff_net" not in name):
+            print(f"recon export supports the transformer AEs only "
+                  f"(timm-encoder reference layout); got {name!r}",
+                  file=sys.stderr)
+            return 2
+        sd = tc.export_transformer_ae(tree)
     else:
         print(f"architecture {arch!r} has no reference .pth head format "
-              "(exportable: mdn, nf)", file=sys.stderr)
+              "(exportable: mdn, nf, reconstruction)", file=sys.stderr)
         return 2
 
     import torch

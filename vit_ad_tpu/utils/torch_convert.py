@@ -567,6 +567,177 @@ def export_nf_head(
     return sd
 
 
+def _inv_conv(kernel) -> np.ndarray:
+    """flax Conv kernel HWIO → torch OIHW (inverse of `_conv`)."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(kernel, np.float32), (3, 2, 0, 1))
+    )
+
+
+def _inv_convt(kernel) -> np.ndarray:
+    """flax ConvTranspose kernel [kh, kw, in, out] (spatially flipped by the
+    import) → torch ConvTranspose2d weight [in, out, kh, kw] (inverse of
+    `_convt`). `.copy()` (not ascontiguousarray) because NumPy deems size-1
+    spatial dims contiguous even with the flip's negative strides, which
+    torch.from_numpy rejects."""
+    k = np.asarray(kernel, np.float32)[::-1, ::-1]
+    return np.transpose(k, (2, 3, 0, 1)).copy()
+
+
+def _inv_linear(leaf: Mapping[str, Any], out: Dict[str, np.ndarray],
+                name: str) -> None:
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.asarray(leaf["kernel"], np.float32).T
+    )
+    out[f"{name}.bias"] = np.asarray(leaf["bias"], np.float32)
+
+
+def _inv_bn(p: Mapping[str, Any], s: Mapping[str, Any],
+            out: Dict[str, np.ndarray], name: str) -> None:
+    """(params, batch_stats) → the five torch BatchNorm state entries.
+    num_batches_tracked is emitted as 0 — torch strict loads require the
+    key, and eval-mode BN never reads it."""
+    out[f"{name}.weight"] = np.asarray(p["scale"], np.float32)
+    out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+    out[f"{name}.running_mean"] = np.asarray(s["mean"], np.float32)
+    out[f"{name}.running_var"] = np.asarray(s["var"], np.float32)
+    out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_vit(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_vit`: scan-stacked ViTEncoder params → the timm
+    ViT/DeiT state-dict layout (per-block `blocks.{i}.*` keys unstacked from
+    the [depth, ...] leading axis). Emits `dist_token` for distilled models
+    (timm 0.6.13 naming, what the reference checkpoints use); the prefix
+    count comes from the stored `prefix_tokens` [1, n, D]."""
+    f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    sd: Dict[str, np.ndarray] = {}
+    pe = params["patch_embed"]["proj"]
+    sd["patch_embed.proj.weight"] = _inv_conv(pe["kernel"])
+    sd["patch_embed.proj.bias"] = f32(pe["bias"])
+    prefix = np.asarray(params["prefix_tokens"], np.float32)  # [1, n, D]
+    sd["cls_token"] = f32(prefix[:, :1])
+    if prefix.shape[1] == 2:
+        sd["dist_token"] = f32(prefix[:, 1:2])
+    sd["pos_embed"] = f32(params["pos_embed"])
+    depth = int(params["norm1_scale"].shape[0])
+    per_block = {
+        "norm1.weight": ("norm1_scale", False),
+        "norm1.bias": ("norm1_bias", False),
+        "attn.qkv.weight": ("qkv_kernel", True),
+        "attn.qkv.bias": ("qkv_bias", False),
+        "attn.proj.weight": ("proj_kernel", True),
+        "attn.proj.bias": ("proj_bias", False),
+        "norm2.weight": ("norm2_scale", False),
+        "norm2.bias": ("norm2_bias", False),
+        "mlp.fc1.weight": ("fc1_kernel", True),
+        "mlp.fc1.bias": ("fc1_bias", False),
+        "mlp.fc2.weight": ("fc2_kernel", True),
+        "mlp.fc2.bias": ("fc2_bias", False),
+    }
+    for i in range(depth):
+        for tkey, (ours, transpose) in per_block.items():
+            leaf = np.asarray(params[ours][i], np.float32)
+            sd[f"blocks.{i}.{tkey}"] = np.ascontiguousarray(
+                leaf.T if transpose else leaf
+            )
+    sd["norm.weight"] = f32(params["norm_scale"])
+    sd["norm.bias"] = f32(params["norm_bias"])
+    return sd
+
+
+def export_small_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_small_decoder`: SmallDecoder variables → the
+    reference DecoderVanillaCNN / DecoderCNNLinEnd layout — including the
+    DUPLICATE conv entries the reference registers (each ConvTranspose
+    appears both as `recon_convN.*` and `decoder_cnn.{3i}.*`, reference
+    src/classes/CnnDecoder.py:47-117) and the channel-first re-permutation
+    of the z-space MLP's second Linear."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    if "fc1" in p:
+        _inv_linear(p["fc1"], sd, "decoder_lin.0")
+        w = np.asarray(p["fc2"]["kernel"], np.float32)  # [in, s*s*768]
+        side = int(round(np.sqrt(w.shape[1] // 768)))
+        w = (
+            w.reshape(w.shape[0], side, side, 768)
+            .transpose(0, 3, 1, 2)
+            .reshape(w.shape[0], -1)
+        )
+        sd["decoder_lin.2.weight"] = np.ascontiguousarray(w.T)
+        sd["decoder_lin.2.bias"] = np.ascontiguousarray(
+            np.asarray(p["fc2"]["bias"], np.float32)
+            .reshape(side, side, 768).transpose(2, 0, 1).reshape(-1)
+        )
+    for i in range(5):
+        w = _inv_convt(p[f"recon_conv{i + 1}"]["kernel"])
+        b = np.asarray(p[f"recon_conv{i + 1}"]["bias"], np.float32)
+        for name in (f"recon_conv{i + 1}", f"decoder_cnn.{3 * i}"):
+            sd[f"{name}.weight"] = w
+            sd[f"{name}.bias"] = b
+        _inv_bn(p[f"bn{i + 1}"], s[f"bn{i + 1}"], sd, f"decoder_cnn.{3 * i + 1}")
+    if "linear_end" in p:  # DecoderCNNLinEnd: the final conv is also dual
+        w = _inv_conv(p["linear_end"]["kernel"])
+        b = np.asarray(p["linear_end"]["bias"], np.float32)
+        for name in ("linear_end", "decoder_cnn.14"):
+            sd[f"{name}.weight"] = w
+            sd[f"{name}.bias"] = b
+    return sd
+
+
+def export_resnet_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_resnet_decoder`: ResNetDecoder variables → the
+    reference DecoderResNetVariableEmbeddingSize layout (fc Sequentials,
+    ReverseResNet trunk with per-layer upsample branches, de_conv1 + bn1)."""
+    from vit_ad_tpu.models.reverse_resnet import LAYERS
+
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    _inv_linear(p["fc1"], sd, "fc1.0")
+    _inv_linear(p["fc2"], sd, "fc2.0")
+    tp, ts = p["trunk"], s["trunk"]
+    for lnum, blocks in ((4, LAYERS[3]), (3, LAYERS[2]), (2, LAYERS[1]),
+                         (1, LAYERS[0])):
+        for i in range(blocks):
+            bp, bs = tp[f"layer{lnum}_{i}"], ts[f"layer{lnum}_{i}"]
+            t = f"layer{lnum}.{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                sd[f"{t}.{c}.weight"] = _inv_convt(bp[c]["kernel"])
+            for bnn in ("bn1", "bn2", "bn3"):
+                _inv_bn(bp[bnn], bs[bnn], sd, f"{t}.{bnn}")
+            if "upsample_conv" in bp:
+                sd[f"{t}.upsample.0.weight"] = _inv_convt(
+                    bp["upsample_conv"]["kernel"]
+                )
+                _inv_bn(bp["upsample_bn"], bs["upsample_bn"], sd,
+                        f"{t}.upsample.1")
+    sd["de_conv1.weight"] = _inv_convt(p["de_conv1"]["kernel"])
+    _inv_bn(p["bn1"], s["bn1"], sd, "bn1")
+    return sd
+
+
+def export_transformer_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_transformer_ae`: full TransformerAutoEncoder
+    variables → the reference AutoEncoder .pth layout (frozen timm encoder
+    under `encoder.model.`, decoder under `decoder.`), strict-loadable by
+    the reference's torch AE classes for re-evaluation with its own tooling
+    (reference validation_loop.py validate flows). Decoder kind is sniffed
+    from the params (`recon_conv1` → small decoder, `trunk` → resnet)."""
+    p = variables["params"]
+    dec_vars = {
+        "params": p["decoder"],
+        "batch_stats": variables.get("batch_stats", {}).get("decoder", {}),
+    }
+    if "recon_conv1" in p["decoder"]:
+        dec = export_small_decoder(dec_vars)
+    else:
+        dec = export_resnet_decoder(dec_vars)
+    enc = export_vit(p["encoder"])
+    sd = {f"encoder.model.{k}": v for k, v in enc.items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.items()})
+    return sd
+
+
 def merge_variables(base: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay converted weights onto freshly-initialized variables (keeps
     params the converter does not cover, e.g. trainable stage norms), with
