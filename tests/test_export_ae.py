@@ -127,6 +127,74 @@ def test_export_resnet_decoder_roundtrip_bit_exact():
     _assert_tree_equal(back, variables)
 
 
+@pytest.mark.slow
+def test_export_resnet_ae_full_pth_roundtrip(tmp_path):
+    """ResNetAutoEncoder export: strict-loads into the reference
+    AutoEncoderResNet layout (frozen torchvision trunk WITH its unused fc —
+    emitted zeroed — stage norms, ReverseResNet decoder) and round-trips
+    through convert_recon_ae bit-exactly (fc keys dropped on import)."""
+    from test_torch_convert import TorchResNet50
+    from vit_ad_tpu.models.autoencoder import ResNetAutoEncoder
+    from vit_ad_tpu.utils.torch_convert import (
+        convert_recon_ae,
+        export_resnet_ae,
+    )
+
+    img = 64
+    model = ResNetAutoEncoder(img_size=img, dtypes=F32)
+    variables = model.init(jax.random.key(5), jnp.zeros((1, img, img, 3)),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    sd = export_resnet_ae(variables)
+
+    class TorchResNet50FC(TorchResNet50):
+        def __init__(self):
+            super().__init__()
+            self.fc = tnn.Linear(2048, 1000)
+
+    class TorchResNetEncoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.res_net = TorchResNet50FC()
+            chans, scales = (256, 512, 1024, 2048), (4, 8, 16, 32)
+            self.norms = tnn.ModuleList(
+                tnn.LayerNorm([c, img // s, img // s])
+                for c, s in zip(chans, scales)
+            )
+
+    from test_decoder_convert import _make_layer
+
+    class TorchReverseResNet(tnn.Module):
+        """Reference ReverseResNet root layout (ReverseResNet.py:106-242)."""
+
+        def __init__(self):
+            super().__init__()
+            self.layer4 = _make_layer(512, 3, 2, 1, 1024)
+            self.layer3 = _make_layer(256, 4, 2, 1, 512)
+            self.layer2 = _make_layer(128, 6, 2, 1, 256)
+            self.layer1 = _make_layer(64, 3, 1, 0, 64)
+            self.de_conv1 = tnn.ConvTranspose2d(64, 3, 7, stride=2, padding=3,
+                                                output_padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(3)
+
+    class TorchResNetAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = TorchResNetEncoder()
+            self.decoder = TorchReverseResNet()
+
+    tm = TorchResNetAE()
+    tm.load_state_dict(_as_torch(sd), strict=True)
+
+    path = tmp_path / "resnet_ae.pth"
+    torch.save(_as_torch(sd), path)
+    loaded = torch.load(path, weights_only=True)
+    back = convert_recon_ae(state_dict_to_numpy(loaded))
+    _assert_tree_equal(back["params"], variables["params"])
+    _assert_tree_equal(back["batch_stats"], variables["batch_stats"])
+
+
 def test_export_transformer_ae_full_pth_roundtrip(tmp_path):
     """Full AE export: our trained-format variables → reference .pth →
     torch replica strict-load → reconstruction parity; and the .pth

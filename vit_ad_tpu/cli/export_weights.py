@@ -9,11 +9,13 @@ so a user can migrate in either direction:
     python -m vit_ad_tpu.cli.export_weights --run runs/<name> --dst head.pth
 
 The run directory needs `config.json` + a `best_params*` checkpoint (what
-every training CLI writes). Transformer reconstruction AEs export as full
-reference AutoEncoder .pth files (`encoder.model.*` timm layout +
-`decoder.*`, torch_convert.export_transformer_ae); the vanilla-CNN /
-ResNet / EfficientNet AEs and the multi-stage ResNet ensembles are not
-exportable (the reference evaluates those from its own training runs only).
+every training CLI writes). Reconstruction AEs export as full reference
+AutoEncoder .pth files: transformer AEs (`encoder.model.*` timm layout +
+`decoder.*`, torch_convert.export_transformer_ae) and ResNet AEs
+(`encoder.res_net.*` + `encoder.norms.*` + `decoder.*`, export_resnet_ae —
+the frozen trunk's unused classifier fc is emitted zeroed). The vanilla-CNN
+/ EfficientNet AEs and the multi-stage ResNet ensembles are not exportable
+(no reference legacy import path exists for those either).
 """
 
 from __future__ import annotations
@@ -52,13 +54,15 @@ def main(argv=None) -> int:
         sd = tc.export_nf_head(tree, num_patches=enc.num_patches)
     elif arch == "reconstruction":
         name = cfg.get("model_name", "")
-        if not (name.startswith("ae_") and "cnn" not in name
-                and "res_net" not in name and "eff_net" not in name):
-            print(f"recon export supports the transformer AEs only "
-                  f"(timm-encoder reference layout); got {name!r}",
-                  file=sys.stderr)
+        if name.startswith("ae_res_net"):
+            sd = tc.export_resnet_ae(tree)
+        elif name.startswith("ae_") and "cnn" not in name and "eff_net" not in name:
+            sd = tc.export_transformer_ae(tree)
+        else:
+            print(f"recon export supports the transformer and ResNet AEs "
+                  f"(the reference layouts with legacy import paths); "
+                  f"got {name!r}", file=sys.stderr)
             return 2
-        sd = tc.export_transformer_ae(tree)
     else:
         print(f"architecture {arch!r} has no reference .pth head format "
               "(exportable: mdn, nf, reconstruction)", file=sys.stderr)

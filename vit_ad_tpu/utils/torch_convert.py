@@ -685,17 +685,12 @@ def export_small_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
-def export_resnet_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
-    """Inverse of `convert_resnet_decoder`: ResNetDecoder variables → the
-    reference DecoderResNetVariableEmbeddingSize layout (fc Sequentials,
-    ReverseResNet trunk with per-layer upsample branches, de_conv1 + bn1)."""
+def _export_reverse_trunk(tp: Mapping[str, Any], ts: Mapping[str, Any],
+                          sd: Dict[str, np.ndarray]) -> None:
+    """Inverse of `_convert_reverse_trunk`: layer{lnum}_{i} leaves → the
+    reference ReverseResNet layer{lnum}.{i}.* entries."""
     from vit_ad_tpu.models.reverse_resnet import LAYERS
 
-    p, s = variables["params"], variables.get("batch_stats", {})
-    sd: Dict[str, np.ndarray] = {}
-    _inv_linear(p["fc1"], sd, "fc1.0")
-    _inv_linear(p["fc2"], sd, "fc2.0")
-    tp, ts = p["trunk"], s["trunk"]
     for lnum, blocks in ((4, LAYERS[3]), (3, LAYERS[2]), (2, LAYERS[1]),
                          (1, LAYERS[0])):
         for i in range(blocks):
@@ -711,8 +706,107 @@ def export_resnet_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]
                 )
                 _inv_bn(bp["upsample_bn"], bs["upsample_bn"], sd,
                         f"{t}.upsample.1")
+
+
+def export_resnet_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_resnet_decoder`: ResNetDecoder variables → the
+    reference DecoderResNetVariableEmbeddingSize layout (fc Sequentials,
+    ReverseResNet trunk with per-layer upsample branches, de_conv1 + bn1)."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    _inv_linear(p["fc1"], sd, "fc1.0")
+    _inv_linear(p["fc2"], sd, "fc2.0")
+    _export_reverse_trunk(p["trunk"], s["trunk"], sd)
     sd["de_conv1.weight"] = _inv_convt(p["de_conv1"]["kernel"])
     _inv_bn(p["bn1"], s["bn1"], sd, "bn1")
+    return sd
+
+
+def export_reverse_resnet(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_reverse_resnet`: full ReverseResNet decoder
+    variables (trunk layers at the root + de_conv1 + bn1) → the reference
+    ReverseResNet layout."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    _export_reverse_trunk(p, s, sd)
+    sd["de_conv1.weight"] = _inv_convt(p["de_conv1"]["kernel"])
+    _inv_bn(p["bn1"], s["bn1"], sd, "bn1")
+    return sd
+
+
+def export_resnet50(params: Mapping[str, Any], stats: Mapping[str, Any],
+                    with_fc: bool = True) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_resnet50`: trunk params/batch_stats → the
+    torchvision ResNet-50 state-dict layout. The classifier `fc` is emitted
+    ZEROED when `with_fc` (the import drops it and no reference forward ever
+    reads it — the reference freezes the trunk and consumes stage maps only,
+    reference src/classes/resnet/ResNetModel.py:138,186-212 — but the
+    vendored module keeps the attribute, so strict loads need the keys)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["conv1.weight"] = _inv_conv(params["conv1"]["kernel"])
+    _inv_bn(params["bn1"], stats["bn1"], sd, "bn1")
+    for li, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            src = f"layer{li + 1}_{bi}"
+            dst = f"layer{li + 1}.{bi}"
+            bp, bs = params[src], stats[src]
+            for ci in (1, 2, 3):
+                sd[f"{dst}.conv{ci}.weight"] = _inv_conv(bp[f"conv{ci}"]["kernel"])
+                _inv_bn(bp[f"bn{ci}"], bs[f"bn{ci}"], sd, f"{dst}.bn{ci}")
+            if "downsample_conv" in bp:
+                sd[f"{dst}.downsample.0.weight"] = _inv_conv(
+                    bp["downsample_conv"]["kernel"]
+                )
+                _inv_bn(bp["downsample_bn"], bs["downsample_bn"], sd,
+                        f"{dst}.downsample.1")
+    if with_fc:
+        sd["fc.weight"] = np.zeros((1000, 2048), np.float32)
+        sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def export_resnet_encoder(variables: Mapping[str, Any],
+                          with_fc: bool = True) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_resnet_encoder`: our ResNetEncoder variables →
+    the reference layout (trunk under `res_net.`, FastFlow stage LayerNorms
+    under `norms.{i}` with torch [C, H, W] affine shapes)."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd = {
+        f"res_net.{k}": v
+        for k, v in export_resnet50(p["trunk"], s["trunk"], with_fc).items()
+    }
+    for i in range(4):
+        sk = f"norm{i}_scale"
+        if sk not in p:
+            break
+        sd[f"norms.{i}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p[sk], np.float32), (2, 0, 1))
+        )
+        sd[f"norms.{i}.bias"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p[f"norm{i}_bias"], np.float32), (2, 0, 1))
+        )
+    return sd
+
+
+def export_resnet_ae(variables: Mapping[str, Any],
+                     with_fc: bool = True) -> Dict[str, np.ndarray]:
+    """ResNetAutoEncoder variables → the reference AutoEncoderResNet .pth
+    layout (`encoder.res_net.*` + `encoder.norms.*` + `decoder.*`; decoder
+    kind sniffed: `de_conv1` at the decoder root → ReverseResNet, else the
+    small decoder). Inverse of the `convert_recon_ae` resnet branch."""
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+    enc = export_resnet_encoder(
+        {"params": p["encoder"], "batch_stats": bs.get("encoder", {})},
+        with_fc,
+    )
+    dec_vars = {"params": p["decoder"], "batch_stats": bs.get("decoder", {})}
+    if "de_conv1" in p["decoder"]:
+        dec = export_reverse_resnet(dec_vars)
+    else:
+        dec = export_small_decoder(dec_vars)
+    sd = {f"encoder.{k}": v for k, v in enc.items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.items()})
     return sd
 
 
