@@ -127,6 +127,112 @@ def test_export_resnet_decoder_roundtrip_bit_exact():
     _assert_tree_equal(back, variables)
 
 
+class TorchVanillaEncoder(tnn.Module):
+    """Reference EncoderVanillaCNN layout (CnnEncoder.py:16-103): conv
+    attributes + the `encoder` Sequential re-registering the same convs."""
+
+    def __init__(self):
+        super().__init__()
+        chans = (3, 48, 96, 192, 384, 768)
+        convs = [
+            tnn.Conv2d(chans[i], chans[i + 1], 3, stride=1, padding=1)
+            for i in range(5)
+        ]
+        (self.conv1, self.conv2, self.conv3, self.conv4, self.conv5) = convs
+        seq = []
+        for i, c in enumerate(convs):
+            seq += [c, tnn.BatchNorm2d(chans[i + 1]), tnn.ReLU(),
+                    tnn.MaxPool2d(3, stride=2, padding=1)]
+        self.encoder = tnn.Sequential(*seq)
+
+    def forward(self, x):
+        return self.encoder(x)
+
+
+class TorchVanillaDecoder(tnn.Module):
+    """Reference DecoderVanillaCNN with z_space=0 (no decoder_lin)."""
+
+    def __init__(self):
+        super().__init__()
+        chans = (768, 384, 192, 96, 48, 3)
+        convs = [
+            tnn.ConvTranspose2d(chans[i], chans[i + 1], 3, stride=2,
+                                padding=1, output_padding=1)
+            for i in range(5)
+        ]
+        (self.recon_conv1, self.recon_conv2, self.recon_conv3,
+         self.recon_conv4, self.recon_conv5) = convs
+        seq = []
+        for i, c in enumerate(convs):
+            seq += [c, tnn.BatchNorm2d(chans[i + 1])]
+            seq += [tnn.ReLU()] if i < 4 else [tnn.Tanh()]
+        self.decoder_cnn = tnn.Sequential(*seq)
+
+    def forward(self, x):
+        return self.decoder_cnn(x)
+
+
+class TorchVanillaAE(tnn.Module):
+    """Reference VanillaAutoEncoder .pth layout (CnnAutoEncoder.py:27-60;
+    the torchmetrics ssim/mse members persist no state)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchVanillaEncoder()
+        self.decoder = TorchVanillaDecoder()
+
+    def forward(self, x):
+        return self.decoder(self.encoder(x))
+
+
+def test_vanilla_ae_import_golden():
+    """Reference-layout VanillaAutoEncoder .pth → convert_recon_ae →
+    forward parity with the torch eval-mode reconstruction (the first torch
+    golden for the vanilla CNN encoder's conv/pool semantics)."""
+    from vit_ad_tpu.models.autoencoder import VanillaAutoEncoder
+    from vit_ad_tpu.utils.torch_convert import convert_recon_ae
+
+    torch.manual_seed(11)
+    tm = TorchVanillaAE().eval()
+    _randomize(tm, seed=11)
+    x = np.random.default_rng(6).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    model = VanillaAutoEncoder(img_size=32, dtypes=F32)
+    conv = convert_recon_ae(state_dict_to_numpy(tm.state_dict()))
+    got = np.asarray(
+        model.apply(conv, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    train=False).reconstruction
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_export_vanilla_ae_full_pth_roundtrip(tmp_path):
+    from vit_ad_tpu.models.autoencoder import VanillaAutoEncoder
+    from vit_ad_tpu.utils.torch_convert import (
+        convert_recon_ae,
+        export_vanilla_ae,
+    )
+
+    model = VanillaAutoEncoder(img_size=32, dtypes=F32)
+    variables = model.init(jax.random.key(6), jnp.zeros((1, 32, 32, 3)),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    sd = export_vanilla_ae(variables)
+
+    tm = TorchVanillaAE()
+    tm.load_state_dict(_as_torch(sd), strict=True)
+
+    path = tmp_path / "vanilla_ae.pth"
+    torch.save(_as_torch(sd), path)
+    loaded = torch.load(path, weights_only=True)
+    back = convert_recon_ae(state_dict_to_numpy(loaded))
+    _assert_tree_equal(back["params"], variables["params"])
+    _assert_tree_equal(back["batch_stats"], variables["batch_stats"])
+
+
 @pytest.mark.slow
 def test_export_resnet_ae_full_pth_roundtrip(tmp_path):
     """ResNetAutoEncoder export: strict-loads into the reference

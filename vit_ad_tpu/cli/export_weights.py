@@ -13,9 +13,9 @@ every training CLI writes). Reconstruction AEs export as full reference
 AutoEncoder .pth files: transformer AEs (`encoder.model.*` timm layout +
 `decoder.*`, torch_convert.export_transformer_ae) and ResNet AEs
 (`encoder.res_net.*` + `encoder.norms.*` + `decoder.*`, export_resnet_ae —
-the frozen trunk's unused classifier fc is emitted zeroed). The vanilla-CNN
-/ EfficientNet AEs and the multi-stage ResNet ensembles are not exportable
-(no reference legacy import path exists for those either).
+the frozen trunk's unused classifier fc is emitted zeroed) and the vanilla
+CNN AE (export_vanilla_ae). The EfficientNet AE and the multi-stage ResNet
+ensembles are not exportable (no reference legacy import path either).
 """
 
 from __future__ import annotations
@@ -56,11 +56,13 @@ def main(argv=None) -> int:
         name = cfg.get("model_name", "")
         if name.startswith("ae_res_net"):
             sd = tc.export_resnet_ae(tree)
-        elif name.startswith("ae_") and "cnn" not in name and "eff_net" not in name:
+        elif name == "ae_cnn":
+            sd = tc.export_vanilla_ae(tree)
+        elif name.startswith("ae_") and "eff_net" not in name:
             sd = tc.export_transformer_ae(tree)
         else:
-            print(f"recon export supports the transformer and ResNet AEs "
-                  f"(the reference layouts with legacy import paths); "
+            print(f"recon export supports the vanilla/transformer/ResNet "
+                  f"AEs (the reference layouts with legacy import paths); "
                   f"got {name!r}", file=sys.stderr)
             return 2
     else:

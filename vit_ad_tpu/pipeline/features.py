@@ -230,10 +230,18 @@ def stage_image_epoch(
 
 
 def use_scan_epochs() -> bool:
-    """Scan-of-batches training epochs are default-on (pure scheduling
-    change, loss-stream parity locked by tests); VITAD_SCAN_EPOCH=0 forces
-    the per-step loop (e.g. to bisect a regression)."""
-    return os.environ.get("VITAD_SCAN_EPOCH", "1") != "0"
+    """Scan-of-batches training epochs: default-on for accelerator backends
+    (pure scheduling change, loss-stream parity locked by tests), default-off
+    on CPU — XLA:CPU does not route convolutions inside `while` bodies onto
+    the oneDNN fast path, making conv-trainer scan epochs ~50x slower than
+    the eager loop (measured: tiny NF epoch 6 ms loop vs 353 ms scan, while
+    the matmul-only MDN epoch is 1.02x — tools/epoch_bench.json). TPU
+    executes convs inside scans at full speed (the NF flow itself is a scan
+    of conv couplings, PERF.md). VITAD_SCAN_EPOCH=1/0 forces either way."""
+    v = os.environ.get("VITAD_SCAN_EPOCH")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() != "cpu"
 
 
 class EpochBatches:

@@ -1125,6 +1125,60 @@ def convert_resnet_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_vanilla_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference EncoderVanillaCNN state dict → VanillaCNNEncoder variables
+    (reference src/classes/CnnEncoder.py:16-103). Like the small decoder,
+    the reference registers each conv both as an attribute (`convN`) and
+    inside the `encoder` Sequential (index 4i — duplicates, dropped);
+    BatchNorms exist only under `encoder.{4i+1}`."""
+    sd = StrictStateDict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(5):
+        k, b = _conv(sd, f"conv{i + 1}")
+        params[f"conv{i + 1}"] = {"kernel": k, "bias": b}
+        bnp, bns = _bn(sd, f"encoder.{4 * i + 1}")
+        params[f"bn{i + 1}"] = bnp
+        stats[f"bn{i + 1}"] = bns
+        sd.drop(f"encoder.{4 * i}.")
+    sd.drop(suffix="num_batches_tracked")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def export_vanilla_encoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_vanilla_encoder` (incl. the duplicate Sequential
+    conv entries the reference registers)."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(5):
+        w = _inv_conv(p[f"conv{i + 1}"]["kernel"])
+        b = np.asarray(p[f"conv{i + 1}"]["bias"], np.float32)
+        for name in (f"conv{i + 1}", f"encoder.{4 * i}"):
+            sd[f"{name}.weight"] = w
+            sd[f"{name}.bias"] = b
+        _inv_bn(p[f"bn{i + 1}"], s[f"bn{i + 1}"], sd, f"encoder.{4 * i + 1}")
+    return sd
+
+
+def export_vanilla_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """VanillaAutoEncoder variables → the reference VanillaAutoEncoder .pth
+    layout (`encoder.*` EncoderVanillaCNN + `decoder.*` DecoderVanillaCNN,
+    both with their duplicate Sequential registrations). Inverse of the
+    `convert_recon_ae` vanilla branch."""
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+    enc = export_vanilla_encoder(
+        {"params": p["encoder"], "batch_stats": bs.get("encoder", {})}
+    )
+    dec = export_small_decoder(
+        {"params": p["decoder"], "batch_stats": bs.get("decoder", {})}
+    )
+    sd = {f"encoder.{k}": v for k, v in enc.items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.items()})
+    return sd
+
+
 def convert_reverse_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Reference ReverseResNet state dict → our ReverseResNet variables
     (full decoder: trunk layers + de_conv1 + bn1)."""
@@ -1145,11 +1199,12 @@ def convert_reverse_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def convert_recon_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Any reference recon AutoEncoder state dict → matching AE variables.
 
-    Dispatches on the encoder keys: `encoder.model.` (timm transformer AEs)
-    or `encoder.res_net.` (AutoEncoderResNet[SmallDecoder],
-    reference CnnAutoEncoder.py:111-154); the decoder kind is sniffed from
-    the decoder keys. The reference base AE registers torchmetrics SSIM and
-    MSELoss modules (`ssim.`, `mse.`) whose state, when present, carries no
+    Dispatches on the encoder keys: `encoder.model.` (timm transformer AEs),
+    `encoder.res_net.` (AutoEncoderResNet[SmallDecoder], reference
+    CnnAutoEncoder.py:111-154), or `encoder.conv1.` (VanillaAutoEncoder,
+    CnnAutoEncoder.py:25-86); the decoder kind is sniffed from the decoder
+    keys. The reference base AE registers torchmetrics SSIM and MSELoss
+    modules (`ssim.`, `mse.`) whose state, when present, carries no
     weights — dropped."""
     sd = {
         k: v for k, v in sd.items()
@@ -1171,6 +1226,16 @@ def convert_recon_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     ]
     if leftover:
         raise ValueError(f"unexpected AE keys: {leftover[:8]}")
+    if "conv1.bias" in enc_sd:  # vanilla CNN AE (the resnet conv1 is biasless)
+        enc = convert_vanilla_encoder(enc_sd)
+        dec = convert_small_decoder(dec_sd)
+        return {
+            "params": {"encoder": enc["params"], "decoder": dec["params"]},
+            "batch_stats": {
+                "encoder": enc["batch_stats"],
+                "decoder": dec.get("batch_stats", {}),
+            },
+        }
     enc = convert_resnet_encoder(enc_sd)
     if "de_conv1.weight" in dec_sd:
         dec = convert_reverse_resnet(dec_sd)
