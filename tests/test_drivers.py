@@ -221,6 +221,76 @@ def test_sweep_parallel_tpu_branch_pins_devices(tmp_path, monkeypatch):
     assert "TPU_VISIBLE_DEVICES" not in os.environ  # parent env restored
 
 
+def test_sweep_parallel_mesh_groups_devices(tmp_path, monkeypatch):
+    """With hp.mesh = DxM the TPU branch hands each worker a disjoint GROUP
+    of D*M chips so category fan-out and per-run mesh sharding compose
+    (trainings_loop -j N --mesh DxM)."""
+    import multiprocessing
+    import os
+
+    from vit_ad_tpu.config import HyperParams, MeshConfig
+    from vit_ad_tpu.pipeline.sweep import SweepRun, run_sweep_parallel
+
+    captured = []
+
+    class FakeProcess:
+        def __init__(self, target=None, args=()):
+            captured.append(dict(os.environ))
+            self.exitcode = 0
+
+        def start(self):
+            pass
+
+        def join(self):
+            pass
+
+    class FakeCtx:
+        Process = FakeProcess
+
+    monkeypatch.setattr(multiprocessing, "get_context", lambda kind: FakeCtx)
+    monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
+
+    runs = [SweepRun(category=c, data_root=str(tmp_path))
+            for c in ("bottle", "cable", "grid")]
+    hp = HyperParams(mesh=MeshConfig(data=2, model=1))
+    rows = run_sweep_parallel(
+        "nf", hp, runs, str(tmp_path / "out"), num_workers=2, platform="tpu",
+    )
+    assert rows == []
+    assert [env["TPU_VISIBLE_DEVICES"] for env in captured] == ["0,1", "2,3"]
+
+    # 'auto' (-1) mesh sizes are ambiguous under fan-out — explicit only
+    with pytest.raises(ValueError, match="explicit mesh sizes"):
+        run_sweep_parallel(
+            "nf", HyperParams(mesh=MeshConfig(data=-1, model=1)), runs,
+            str(tmp_path / "out2"), num_workers=2, platform="tpu",
+        )
+
+
+@pytest.mark.slow
+def test_sweep_parallel_mesh_worker_trains(tmp_path):
+    """A real CPU worker with --mesh 2x1 builds a 2-virtual-device backend
+    in its subprocess and trains the run mesh-sharded end-to-end."""
+    from vit_ad_tpu.config import DtypePolicy, HyperParams, MeshConfig
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.sweep import SweepRun, run_sweep_parallel
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "bottle", img_size=32, n_train=8)
+
+    hp = HyperParams(
+        model_name="enc_cnn", architecture="nf", epochs=2, patience=2,
+        batch_size=4, img_size=32, hidden_ratio=0.25, flow_steps=2,
+        dtypes=DtypePolicy.f32(), mesh=MeshConfig(data=2, model=1),
+    )
+    rows = run_sweep_parallel(
+        "nf", hp, [SweepRun(category="bottle", data_root=str(root))],
+        str(tmp_path / "out"), num_workers=1, platform="cpu",
+    )
+    assert len(rows) == 1 and "error" not in rows[0], rows
+    assert np.isfinite(rows[0]["image_auroc_score"])
+
+
 def test_bench_wait_for_backend(monkeypatch):
     """bench.py's bounded backend wait: retries failed probes until the
     budget is spent, returns immediately on success or when CPU is forced."""

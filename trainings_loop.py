@@ -29,16 +29,19 @@ def main(argv):
     categories = None
     workers = 1
 
+    mesh_spec = None
     overrides = {}
-    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:e:b:i:p:n:l:w:j:")
+    opts, _ = getopt.getopt(argv, "ha:d:o:m:c:e:b:i:p:n:l:w:j:", ["mesh="])
     for opt, arg in opts:
         if opt == "-h":
             print("trainings_loop.py -a <arch: nf|mdn|recon> -d <dataRoot> "
                   "-o <outDir> -m <model> -c <cat1,cat2,...> "
                   "[-e epochs -b batch -i imgSize -p patience -n gaussians "
-                  "-l lr -w wd -j workers]\n"
-                  "  -j N > 1 fans categories out across N devices "
-                  "(one pinned worker process per device)")
+                  "-l lr -w wd -j workers --mesh DxM]\n"
+                  "  -j N > 1 fans categories out across N device groups "
+                  "(one pinned worker process per group); --mesh DxM makes "
+                  "each group D*M chips and every run inside it trains "
+                  "mesh-sharded (e.g. 8 chips: -j 4 --mesh 2x1)")
             return
         if opt == "-a":
             arch = arg
@@ -66,6 +69,8 @@ def main(argv):
             overrides["weight_decay"] = float(arg)
         elif opt == "-j":
             workers = int(arg)
+        elif opt == "--mesh":
+            mesh_spec = arg
 
     is_btad = "btad" in data_root
     if categories is None:
@@ -94,6 +99,10 @@ def main(argv):
         arch = f"{arch}_resnet"
 
     hp = dataclasses.replace(hp, **overrides)
+    if mesh_spec:
+        from vit_ad_tpu.config import MeshConfig
+
+        hp = dataclasses.replace(hp, mesh=MeshConfig.parse(mesh_spec))
     runs = [
         SweepRun(category=c, data_root=data_root, train_pref=train_pref)
         for c in categories

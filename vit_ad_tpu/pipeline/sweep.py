@@ -205,16 +205,30 @@ def run_sweep_parallel(
     -category training is embarrassingly parallel, so N chips train N
     categories concurrently.
 
-    One subprocess per worker, each pinned to its own device: on TPU hosts
-    worker i sees only chip i (TPU_VISIBLE_DEVICES); on CPU each worker is
-    its own single-device backend. Work splits round-robin; done.json makes
-    re-entry resume exactly like the sequential path, and rows are collected
-    from done.json files so results are byte-identical either way."""
+    One subprocess per worker, each pinned to its own device GROUP: with the
+    default single-device hp.mesh, worker i sees only chip i
+    (TPU_VISIBLE_DEVICES); with `--mesh DxM` each worker sees a disjoint
+    group of D*M chips and every run inside it trains mesh-sharded — the two
+    parallelism axes compose (e.g. 8 chips = `-j 4 --mesh 2x1`: four
+    categories in flight, each DP-sharded over two chips). On CPU each
+    worker is its own backend with D*M virtual devices. Work splits
+    round-robin; done.json makes re-entry resume exactly like the sequential
+    path, and rows are collected from done.json files so results are
+    byte-identical either way."""
     import multiprocessing as mp
 
     os.makedirs(out_dir, exist_ok=True)
     if platform is None:
         platform = "cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else "tpu"
+
+    n_dev = 1
+    if base_hp.mesh.requested:
+        if base_hp.mesh.data < 1 or base_hp.mesh.model < 1:
+            raise ValueError(
+                "sweep workers need explicit mesh sizes (DxM); -1 ('all "
+                "devices') is ambiguous when the sweep is also fanning out"
+            )
+        n_dev = base_hp.mesh.data * base_hp.mesh.model
 
     ctx = mp.get_context("spawn")
     procs = []
@@ -228,12 +242,15 @@ def run_sweep_parallel(
             if platform == "cpu":
                 os.environ["VITAD_SWEEP_PLATFORM"] = "cpu"
                 os.environ["JAX_PLATFORMS"] = "cpu"
-                # one device per worker: the parallelism is across processes
+                # D*M virtual devices per worker (1 without a mesh: the
+                # parallelism is across processes)
                 os.environ["XLA_FLAGS"] = (
-                    "--xla_force_host_platform_device_count=1"
+                    f"--xla_force_host_platform_device_count={n_dev}"
                 )
             else:
-                os.environ["TPU_VISIBLE_DEVICES"] = str(i)
+                os.environ["TPU_VISIBLE_DEVICES"] = ",".join(
+                    str(i * n_dev + j) for j in range(n_dev)
+                )
             p = ctx.Process(
                 target=_worker_main,
                 args=(arch, base_hp, slice_i, out_dir, resume, i),
