@@ -629,6 +629,8 @@ def train_recon(
     latents_stack = None  # scan path: [S, B, ...] device latents
     latents_dev = None   # staged: per-batch device latents, aligned 1:1
     latents_train = None  # lazy fallback: host [N, ...] array, offset-sliced
+    valid_latents_stack = None  # valid-set latents are equally frozen
+    valid_latents_dev = None
     if use_latent_cache:
         @jax.jit
         def _latent(params, batch_stats, images_u8):
@@ -638,14 +640,13 @@ def train_recon(
                 x, train=False,
             ).latent
 
+        _latent_stack = jax.jit(
+            lambda p, bs, ims: jax.lax.map(lambda im: _latent(p, bs, im), ims)
+        )
         if train_stack is not None:
             # latents of padded rows equal the duplicated last valid row's
             # latent — identical to the host path's np.repeat padding
-            latents_stack = jax.jit(
-                lambda p, bs, ims: jax.lax.map(
-                    lambda im: _latent(p, bs, im), ims
-                )
-            )(params, batch_stats, train_stack.feats)
+            latents_stack = _latent_stack(params, batch_stats, train_stack.feats)
         elif train_batches_dev.staged:
             latents_dev = [
                 _latent(params, batch_stats, im)
@@ -657,6 +658,18 @@ def train_recon(
                 z = _latent(params, batch_stats, im)
                 chunks.append(np.asarray(z[: int(w)]))
             latents_train = np.concatenate(chunks, 0)
+        # the frozen encoder makes VALID latents a run constant too — cache
+        # them so every validation epoch is decoder-only (identical values:
+        # transformer encoders carry no mutable state, train=False forward)
+        if valid_stack is not None:
+            valid_latents_stack = _latent_stack(
+                params, batch_stats, valid_stack.feats
+            )
+        elif valid_batches_dev.staged:
+            valid_latents_dev = [
+                _latent(params, batch_stats, im)
+                for im, _, _ in valid_batches_dev()
+            ]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_epoch_scan(params, batch_stats, opt_state, images_s, valid_s,
@@ -677,11 +690,17 @@ def train_recon(
         return params, batch_stats, opt_state, losses
 
     @jax.jit
-    def valid_epoch_scan(params, batch_stats, images_s, valid_s):
+    def valid_epoch_scan(params, batch_stats, images_s, valid_s, latents_s):
         def body(carry, xs):
-            images, valid = xs
-            return carry, valid_loss_fn(params, batch_stats, images, valid)
-        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
+            images, valid, latents = xs
+            if latents is not None:
+                loss = valid_loss_cached(
+                    params, batch_stats, images, valid, latents
+                )
+            else:
+                loss = valid_loss_fn(params, batch_stats, images, valid)
+            return carry, loss
+        _, losses = jax.lax.scan(body, 0, (images_s, valid_s, latents_s))
         return losses
 
     @jax.jit
@@ -692,6 +711,22 @@ def train_recon(
         )
         err = jnp.mean(
             jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )
+        return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    @jax.jit
+    def valid_loss_cached(params, batch_stats, images_u8, valid, latents):
+        """valid_loss_fn with the frozen encoder's latent precomputed —
+        decoder-only eval forward, bit-identical values."""
+        x = preprocess(images_u8, mean_j, std_j)
+        recon = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            latents, train=False,
+            method=lambda m, zz, train: m.decoder(zz, train=train),
+        )
+        err = jnp.mean(
+            jnp.square(recon.astype(jnp.float32) - x.astype(jnp.float32)),
             axis=(1, 2, 3),
         )
         return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -738,12 +773,20 @@ def train_recon(
     def valid_epoch():
         if valid_stack is not None:
             losses = valid_epoch_scan(
-                params, batch_stats, valid_stack.feats, valid_stack.valid
+                params, batch_stats, valid_stack.feats, valid_stack.valid,
+                valid_latents_stack,
             )
             return _stacked_weighted_mean(losses, valid_stack.weights)
         vlosses, vweights = [], []
-        for images, valid, w in valid_batches_dev():
-            vlosses.append(valid_loss_fn(params, batch_stats, images, valid))
+        for bi, (images, valid, w) in enumerate(valid_batches_dev()):
+            if valid_latents_dev is not None:
+                vlosses.append(valid_loss_cached(
+                    params, batch_stats, images, valid, valid_latents_dev[bi]
+                ))
+            else:
+                vlosses.append(
+                    valid_loss_fn(params, batch_stats, images, valid)
+                )
             vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
