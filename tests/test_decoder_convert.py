@@ -184,8 +184,10 @@ def test_validate_pth_recon_roundtrip(tmp_path, rng):
         def __init__(self):
             super().__init__()
             self.encoder = tnn.Module()
-            self.encoder.model = TorchViT(img=32, patch=8, dim=32, depth=2,
-                                          heads=4, prefix=2)
+            # the reference registers the timm model at a family-named
+            # attribute (TransformerEncoder.py:134: self.deit = ...)
+            self.encoder.deit = TorchViT(img=32, patch=8, dim=32, depth=2,
+                                         heads=4, prefix=2)
             self.decoder = TorchSmallDecoder(z_space=32, s=1)
 
     torch.manual_seed(7)

@@ -127,6 +127,55 @@ def test_export_resnet_decoder_roundtrip_bit_exact():
     _assert_tree_equal(back, variables)
 
 
+def test_transformer_ae_encoder_attr_routing(monkeypatch):
+    """convert_transformer_ae must route each reference encoder attribute
+    (encoder.deit/vit/nest/efficientformer/esvit — the family-named timm
+    members, reference TransformerEncoder.py:57,92,134,193,267) to its
+    family converter with the prefix stripped, and surface encoder
+    batch_stats (EfficientFormer carries BN state)."""
+    import vit_ad_tpu.utils.torch_convert as tc
+
+    seen = {}
+
+    def fake(name, stats=None):
+        def conv(sd, **kw):
+            seen[name] = dict(sd)
+            out = {"params": {"tag": name}}
+            if stats:
+                out["batch_stats"] = stats
+            return out
+        return conv
+
+    monkeypatch.setattr(tc, "convert_nest", fake("nest"))
+    monkeypatch.setattr(
+        tc, "convert_efficientformer", fake("efficientformer", {"bn": 1})
+    )
+    monkeypatch.setattr(tc, "convert_swin", fake("esvit"))
+    monkeypatch.setattr(
+        tc, "convert_small_decoder",
+        lambda sd: {"params": {"d": 1}, "batch_stats": {"db": 1}},
+    )
+
+    for attr in ("nest", "efficientformer", "esvit"):
+        sd = {f"encoder.{attr}.w": np.zeros(1), "decoder.recon_conv1.weight":
+              np.zeros(1)}
+        out = tc.convert_transformer_ae(sd, img_size=64)
+        assert out["params"]["encoder"] == {"tag": attr}
+        assert seen[attr] == {"w": sd[f"encoder.{attr}.w"]}
+        if attr == "efficientformer":
+            assert out["batch_stats"]["encoder"] == {"bn": 1}
+        else:
+            assert "encoder" not in out["batch_stats"]
+        assert out["batch_stats"]["decoder"] == {"db": 1}
+
+    with pytest.raises(ValueError, match="no known encoder attribute"):
+        tc.convert_transformer_ae({"encoder.mystery.w": np.zeros(1)})
+    with pytest.raises(ValueError, match="unexpected AE keys"):
+        tc.convert_transformer_ae(
+            {"encoder.nest.w": np.zeros(1), "stray.key": np.zeros(1)}
+        )
+
+
 class TorchVanillaEncoder(tnn.Module):
     """Reference EncoderVanillaCNN layout (CnnEncoder.py:16-103): conv
     attributes + the `encoder` Sequential re-registering the same convs."""
@@ -315,12 +364,24 @@ def test_export_transformer_ae_full_pth_roundtrip(tmp_path):
                  "batch_stats": variables.get("batch_stats", {})}
     sd = export_transformer_ae(variables)
 
+    class TorchDeitWithHeads(TorchViT):
+        """timm deit_base_distilled keeps its (frozen, unused) classifier
+        heads in the state dict — the export emits them zeroed."""
+
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.head = tnn.Linear(kw["dim"], 1000)
+            self.head_dist = tnn.Linear(kw["dim"], 1000)
+
     class TorchAE(tnn.Module):
+        """Reference AutoEncoderDeit layout: the timm model lives at
+        `encoder.deit` (reference TransformerEncoder.py:134)."""
+
         def __init__(self):
             super().__init__()
             self.encoder = tnn.Module()
-            self.encoder.model = TorchViT(img=32, patch=8, dim=32, depth=2,
-                                          heads=4, prefix=2)
+            self.encoder.deit = TorchDeitWithHeads(img=32, patch=8, dim=32,
+                                                   depth=2, heads=4, prefix=2)
             # our decoder_kind="cnn" builds SmallDecoder(z_space=embed_dim)
             # over the [B, D] latent; s = ceil(32 / 2^5) = 1
             self.decoder = TorchSmallDecoder(z_space=32, s=1)

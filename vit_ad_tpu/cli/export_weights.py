@@ -45,29 +45,41 @@ def main(argv=None) -> int:
         return 2
     tree = load_tree(os.path.abspath(ckpts[0]))
 
-    if arch == "mdn":
-        sd = tc.export_mdn_head(tree)
-    elif arch == "nf":
-        from vit_ad_tpu.registry import get_model
-
-        enc = get_model(cfg["model_name"], int(cfg.get("img_size", 224)))
-        sd = tc.export_nf_head(tree, num_patches=enc.num_patches)
-    elif arch == "reconstruction":
-        name = cfg.get("model_name", "")
-        if name.startswith("ae_res_net"):
-            sd = tc.export_resnet_ae(tree)
-        elif name == "ae_cnn":
-            sd = tc.export_vanilla_ae(tree)
-        elif name.startswith("ae_") and "eff_net" not in name:
-            sd = tc.export_transformer_ae(tree)
-        else:
-            print(f"recon export supports the vanilla/transformer/ResNet "
-                  f"AEs (the reference layouts with legacy import paths); "
-                  f"got {name!r}", file=sys.stderr)
+    name = cfg.get("model_name", "")
+    try:
+        if arch in ("mdn", "nf") and "res_net" in name:
+            print("multi-stage ResNet-trunk runs store per-stage heads + "
+                  "trainable stage norms; the reference has no single-.pth "
+                  "format for them (it re-trains those in place)",
+                  file=sys.stderr)
             return 2
-    else:
-        print(f"architecture {arch!r} has no reference .pth head format "
-              "(exportable: mdn, nf, reconstruction)", file=sys.stderr)
+        if arch == "mdn":
+            sd = tc.export_mdn_head(tree)
+        elif arch == "nf":
+            from vit_ad_tpu.registry import get_model
+
+            enc = get_model(name, int(cfg.get("img_size", 224)))
+            sd = tc.export_nf_head(tree, num_patches=enc.num_patches)
+        elif arch == "reconstruction":
+            if name.startswith("ae_res_net"):
+                sd = tc.export_resnet_ae(tree)
+            elif name == "ae_cnn":
+                sd = tc.export_vanilla_ae(tree)
+            elif name.startswith(("ae_deit", "ae_vit")):
+                sd = tc.export_transformer_ae(tree)
+            else:
+                print(f"recon export supports the vanilla / ViT-DeiT "
+                      f"transformer / ResNet AEs (the reference layouts "
+                      f"with exporters); got {name!r}", file=sys.stderr)
+                return 2
+        else:
+            print(f"architecture {arch!r} has no reference .pth head format "
+                  "(exportable: mdn, nf, reconstruction)", file=sys.stderr)
+            return 2
+    except KeyError as e:
+        print(f"checkpoint tree does not match the {arch}/{name} export "
+              f"layout (missing {e}); only runs written by the standard "
+              f"training CLIs are exportable", file=sys.stderr)
         return 2
 
     import torch

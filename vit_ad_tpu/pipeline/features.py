@@ -201,9 +201,12 @@ def stage_image_epoch(
     valid [S, B]) so recon/VAE/ResNet-head trainers can run the whole epoch
     as one `lax.scan` dispatch. Batches arrive already padded to the static
     batch size (loader), so stacking reproduces the per-step stream
-    bit-identically. Sharded [None, "data", ...] over a mesh. Returns None
-    (callers keep the loop) when the set exceeds `max_bytes`
-    (VITAD_DEVICE_CACHE_MB) — same budget the per-batch staging uses."""
+    bit-identically. Sharded [None, "data", ...] over a mesh — the stack is
+    assembled on HOST under a mesh so device_put places each shard directly
+    (a device-side jnp.stack would transiently hold the WHOLE epoch in one
+    chip's HBM before resharding). Returns None (callers keep the loop)
+    when the set exceeds `max_bytes` (VITAD_DEVICE_CACHE_MB) — same budget
+    the per-batch staging uses."""
     if max_bytes is None:
         max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
 
@@ -213,20 +216,38 @@ def stage_image_epoch(
         if total > max_bytes:
             return None
         # may already be a device array (prefetch_to_device) — jnp.stack
-        # below consumes it without a host round-trip
+        # below consumes it without a host round-trip on the non-mesh path
         ims.append(batch.images)
         valids.append(np.asarray(batch.valid).astype(np.float32))
     if not ims:
         return None
     assert all(im.shape == ims[0].shape for im in ims), "ragged batches"
-    images = jnp.stack([jnp.asarray(im) for im in ims])
     valid = np.stack(valids)
     weights = valid.sum(axis=1)
     if mc is not None:
+        images = np.stack([np.asarray(im) for im in ims])
         images, valid_d = mc.shard_stacked(images, valid)
     else:
+        images = jnp.stack([jnp.asarray(im) for im in ims])
         valid_d = jax.device_put(valid)
     return EpochStack(images, valid_d, weights)
+
+
+def image_epoch_staging(
+    make_batches: Callable[[], Iterator[Batch]],
+    mc=None,
+) -> Tuple[Optional[EpochStack], Optional["EpochBatches"]]:
+    """The image trainers' staging policy in one place: (stack, batches)
+    where exactly one is set. Scan epochs wanted + in budget → the epoch
+    stack; over budget → the LAZY per-epoch pipeline directly (the
+    per-batch staging would re-decode the whole set only to hit the same
+    byte budget); scan disabled → per-batch device staging."""
+    if use_scan_epochs():
+        stack = stage_image_epoch(make_batches, mc)
+        if stack is not None:
+            return stack, None
+        return None, _lazy_image_batches(make_batches, mc)
+    return None, stage_image_batches(make_batches, mc)
 
 
 def use_scan_epochs() -> bool:
@@ -242,6 +263,25 @@ def use_scan_epochs() -> bool:
     if v is not None:
         return v != "0"
     return jax.default_backend() != "cpu"
+
+
+def _place_batch(mc, images, valid):
+    if mc is not None:
+        return mc.shard_batch(images, valid)
+    return jax.device_put(images), jax.device_put(valid)
+
+
+def _lazy_image_batches(make_batches, mc) -> "EpochBatches":
+    """Per-epoch lazy (decode-every-epoch) image stream as an EpochBatches —
+    the fallback when the set exceeds the device-cache budget."""
+    def lazy() -> Iterator[Tuple[jax.Array, jax.Array, float]]:
+        for batch in make_batches():
+            v = np.asarray(batch.valid).astype(np.float32)
+            w = float(v.sum())
+            im, vd = _place_batch(mc, batch.images, v)
+            yield im, vd, w
+
+    return EpochBatches(None, lazy)
 
 
 class EpochBatches:
@@ -285,11 +325,6 @@ def stage_image_batches(
     if max_bytes is None:
         max_bytes = int(os.environ.get("VITAD_DEVICE_CACHE_MB", 2048)) * 2**20
 
-    def _place(images, valid):
-        if mc is not None:
-            return mc.shard_batch(images, valid)
-        return jax.device_put(images), jax.device_put(valid)
-
     staged: Optional[list] = []
     total = 0
     for batch in make_batches():
@@ -301,14 +336,7 @@ def stage_image_batches(
         # _place's device_put is then a no-op rather than a host round-trip
         v = np.asarray(batch.valid).astype(np.float32)
         w = float(v.sum())
-        im, vd = _place(batch.images, v)
+        im, vd = _place_batch(mc, batch.images, v)
         staged.append((im, vd, w))
 
-    def lazy() -> Iterator[Tuple[jax.Array, jax.Array, float]]:
-        for batch in make_batches():
-            v = np.asarray(batch.valid).astype(np.float32)
-            w = float(v.sum())
-            im, vd = _place(batch.images, v)
-            yield im, vd, w
-
-    return EpochBatches(staged, lazy)
+    return EpochBatches(staged, _lazy_image_batches(make_batches, mc)._lazy)

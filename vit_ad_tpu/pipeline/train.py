@@ -31,8 +31,7 @@ from vit_ad_tpu.pipeline.features import (
     make_feature_extractor,
     stage_feature_batches,
     stage_feature_epoch,
-    stage_image_batches,
-    stage_image_epoch,
+    image_epoch_staging,
     use_scan_epochs,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
@@ -605,25 +604,14 @@ def train_recon(
             loss,
         )
 
-    # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
-    # the stacked staged uint8 batches, per-step loop as the fallback
-    train_stack = valid_stack = None
-    if use_scan_epochs():
-        train_stack = stage_image_epoch(
-            lambda: data.train_batches(hp.prefetch), mc
-        )
-        valid_stack = stage_image_epoch(
-            lambda: data.valid_batches(hp.prefetch), mc
-        )
-    # device-resident epoch batches: decode + transfer the train set once,
-    # replay from HBM every epoch (features.py stage_image_batches)
-    train_batches_dev = (
-        None if train_stack is not None
-        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
+    # scan-of-batches epochs (see train_mdn) over the decoded-once epoch
+    # batches; features.image_epoch_staging picks stack vs per-batch device
+    # staging vs the lazy decode-every-epoch fallback
+    train_stack, train_batches_dev = image_epoch_staging(
+        lambda: data.train_batches(hp.prefetch), mc
     )
-    valid_batches_dev = (
-        None if valid_stack is not None
-        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
+    valid_stack, valid_batches_dev = image_epoch_staging(
+        lambda: data.valid_batches(hp.prefetch), mc
     )
 
     latents_stack = None  # scan path: [S, B, ...] device latents
@@ -941,22 +929,13 @@ def train_mdn_resnet(
     )
 
     # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
-    # the stacked staged uint8 batches, per-step loop as the fallback
-    train_stack = valid_stack = None
-    if use_scan_epochs():
-        train_stack = stage_image_epoch(
-            lambda: data.train_batches(hp.prefetch), mc
-        )
-        valid_stack = stage_image_epoch(
-            lambda: data.valid_batches(hp.prefetch), mc
-        )
-    train_batches_dev = (
-        None if train_stack is not None
-        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
+    # the stacked staged uint8 batches; features.image_epoch_staging picks
+    # stack vs per-batch staging vs lazy fallback
+    train_stack, train_batches_dev = image_epoch_staging(
+        lambda: data.train_batches(hp.prefetch), mc
     )
-    valid_batches_dev = (
-        None if valid_stack is not None
-        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
+    valid_stack, valid_batches_dev = image_epoch_staging(
+        lambda: data.valid_batches(hp.prefetch), mc
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -1144,22 +1123,13 @@ def train_nf_resnet(
     eval_loss = jax.jit(loss_fn)
 
     # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
-    # the stacked staged uint8 batches, per-step loop as the fallback
-    train_stack = valid_stack = None
-    if use_scan_epochs():
-        train_stack = stage_image_epoch(
-            lambda: data.train_batches(hp.prefetch), mc
-        )
-        valid_stack = stage_image_epoch(
-            lambda: data.valid_batches(hp.prefetch), mc
-        )
-    train_batches_dev = (
-        None if train_stack is not None
-        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
+    # the stacked staged uint8 batches; features.image_epoch_staging picks
+    # stack vs per-batch staging vs lazy fallback
+    train_stack, train_batches_dev = image_epoch_staging(
+        lambda: data.train_batches(hp.prefetch), mc
     )
-    valid_batches_dev = (
-        None if valid_stack is not None
-        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
+    valid_stack, valid_batches_dev = image_epoch_staging(
+        lambda: data.valid_batches(hp.prefetch), mc
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -1336,22 +1306,13 @@ def train_vae(
         return mse + jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
-    # the stacked staged uint8 batches, per-step loop as the fallback
-    train_stack = valid_stack = None
-    if use_scan_epochs():
-        train_stack = stage_image_epoch(
-            lambda: data.train_batches(hp.prefetch), mc
-        )
-        valid_stack = stage_image_epoch(
-            lambda: data.valid_batches(hp.prefetch), mc
-        )
-    train_batches_dev = (
-        None if train_stack is not None
-        else stage_image_batches(lambda: data.train_batches(hp.prefetch), mc)
+    # the stacked staged uint8 batches; features.image_epoch_staging picks
+    # stack vs per-batch staging vs lazy fallback
+    train_stack, train_batches_dev = image_epoch_staging(
+        lambda: data.train_batches(hp.prefetch), mc
     )
-    valid_batches_dev = (
-        None if valid_stack is not None
-        else stage_image_batches(lambda: data.valid_batches(hp.prefetch), mc)
+    valid_stack, valid_batches_dev = image_epoch_staging(
+        lambda: data.valid_batches(hp.prefetch), mc
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

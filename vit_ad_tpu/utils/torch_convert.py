@@ -811,12 +811,16 @@ def export_resnet_ae(variables: Mapping[str, Any],
 
 
 def export_transformer_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
-    """Inverse of `convert_transformer_ae`: full TransformerAutoEncoder
-    variables → the reference AutoEncoder .pth layout (frozen timm encoder
-    under `encoder.model.`, decoder under `decoder.`), strict-loadable by
-    the reference's torch AE classes for re-evaluation with its own tooling
-    (reference validation_loop.py validate flows). Decoder kind is sniffed
-    from the params (`recon_conv1` → small decoder, `trunk` → resnet)."""
+    """Inverse of `convert_transformer_ae` for the ViT/DeiT families: full
+    TransformerAutoEncoder variables → the reference AutoEncoderDeit /
+    AutoEncoderViT .pth layout — the frozen timm encoder lives at the
+    FAMILY-NAMED attribute (`encoder.deit.` for 2-prefix distilled models,
+    `encoder.vit.` otherwise; reference TransformerEncoder.py:134,193), with
+    the timm classifier head(s) emitted ZEROED (frozen and unused by the
+    reference forward_features path, but present in its state dict), decoder
+    under `decoder.` — strict-loadable by the reference's torch AE classes.
+    Decoder kind is sniffed from the params (`recon_conv1` → small decoder,
+    `trunk` → resnet)."""
     p = variables["params"]
     dec_vars = {
         "params": p["decoder"],
@@ -827,7 +831,14 @@ def export_transformer_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]
     else:
         dec = export_resnet_decoder(dec_vars)
     enc = export_vit(p["encoder"])
-    sd = {f"encoder.model.{k}": v for k, v in enc.items()}
+    d = int(np.asarray(p["encoder"]["norm_scale"]).shape[-1])
+    distilled = np.asarray(p["encoder"]["prefix_tokens"]).shape[1] == 2
+    heads = ("head", "head_dist") if distilled else ("head",)
+    for h in heads:
+        enc[f"{h}.weight"] = np.zeros((1000, d), np.float32)
+        enc[f"{h}.bias"] = np.zeros(1000, np.float32)
+    attr = "deit" if distilled else "vit"
+    sd = {f"encoder.{attr}.{k}": v for k, v in enc.items()}
     sd.update({f"decoder.{k}": v for k, v in dec.items()})
     return sd
 
@@ -1063,17 +1074,41 @@ def convert_resnet_decoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_transformer_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """Full reference TransformerAutoEncoder state dict (frozen timm encoder
-    under `encoder.model.`, decoder under `decoder.`) →
-    TransformerAutoEncoder variables. Decoder kind is sniffed from the keys
-    (fc1.0 → resnet decoder, recon_conv1 → small decoder); encoder depth and
-    prefix-token count are inferred from the keys."""
-    enc_sd = {
-        k[len("encoder.model."):]: v
-        for k, v in sd.items()
-        if k.startswith("encoder.model.")
-    }
+# reference AE encoder attribute names: each AutoEncoder<X> registers
+# `self.encoder = Encoder<X>()`, and the Encoder wrapper holds the timm /
+# vendored model at a FAMILY-NAMED attribute (reference
+# src/classes/transformer/TransformerEncoder.py:57,92,134,193,267) — so the
+# .pth keys are `encoder.deit.*`, `encoder.vit.*`, `encoder.nest.*`,
+# `encoder.efficientformer.*`, `encoder.esvit.*`. 'model' is kept as a
+# legacy alias for .pth files this framework exported before round 3.
+_AE_ENCODER_ATTRS = ("deit", "vit", "nest", "efficientformer", "esvit",
+                     "model")
+
+
+def convert_transformer_ae(
+    sd: Dict[str, np.ndarray], img_size: int = 224
+) -> Dict[str, Any]:
+    """Full reference TransformerAutoEncoder state dict → our
+    TransformerAutoEncoder variables, for ALL five reference encoder
+    families (the encoder attribute name selects the converter; classifier
+    heads the frozen timm models carry are dropped by each converter).
+    Decoder kind is sniffed from the keys (fc1.0 → resnet decoder,
+    recon_conv1 → small decoder). `img_size` feeds the EsViT
+    relative-position interpolation (convert_swin)."""
+    attr = next(
+        (a for a in _AE_ENCODER_ATTRS
+         if any(k.startswith(f"encoder.{a}.") for k in sd)),
+        None,
+    )
+    if attr is None:
+        enc_keys = sorted(k for k in sd if k.startswith("encoder."))
+        raise ValueError(
+            f"no known encoder attribute in AE state dict; encoder keys "
+            f"start with: {enc_keys[:4]}"
+        )
+    prefix = f"encoder.{attr}."
+    enc_sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
     dec_sd = {
         k[len("decoder."):]: v
         for k, v in sd.items()
@@ -1081,22 +1116,35 @@ def convert_transformer_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }
     leftover = [
         k for k in sd
-        if not (k.startswith("encoder.model.") or k.startswith("decoder."))
+        if not (k.startswith(prefix) or k.startswith("decoder."))
     ]
     if leftover:
         raise ValueError(f"unexpected AE keys: {leftover[:8]}")
-    depth = 1 + max(
-        int(k.split(".")[1]) for k in enc_sd if k.startswith("blocks.")
-    )
-    n_prefix = 2 if ("dist_token" in enc_sd or "distillation_token" in enc_sd) else 1
-    enc = convert_vit(enc_sd, depth=depth, num_prefix_tokens=n_prefix)
+    if attr in ("deit", "vit", "model"):
+        depth = 1 + max(
+            int(k.split(".")[1]) for k in enc_sd if k.startswith("blocks.")
+        )
+        n_prefix = (
+            2 if ("dist_token" in enc_sd or "distillation_token" in enc_sd)
+            else 1
+        )
+        enc = convert_vit(enc_sd, depth=depth, num_prefix_tokens=n_prefix)
+    elif attr == "nest":
+        enc = convert_nest(enc_sd)
+    elif attr == "efficientformer":
+        enc = convert_efficientformer(enc_sd)  # carries encoder batch_stats
+    else:  # esvit: vendored SwinTransformer, head delattr'd by the reference
+        enc = convert_swin(enc_sd, img_size=img_size)
     if "fc1.0.weight" in dec_sd:
         dec = convert_resnet_decoder(dec_sd)
     else:
         dec = convert_small_decoder(dec_sd)
+    stats: Dict[str, Any] = {"decoder": dec.get("batch_stats", {})}
+    if enc.get("batch_stats"):
+        stats["encoder"] = enc["batch_stats"]
     return {
         "params": {"encoder": enc["params"], "decoder": dec["params"]},
-        "batch_stats": {"decoder": dec.get("batch_stats", {})},
+        "batch_stats": stats,
     }
 
 
@@ -1196,22 +1244,28 @@ def convert_reverse_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_recon_ae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def convert_recon_ae(
+    sd: Dict[str, np.ndarray], img_size: int = 224
+) -> Dict[str, Any]:
     """Any reference recon AutoEncoder state dict → matching AE variables.
 
-    Dispatches on the encoder keys: `encoder.model.` (timm transformer AEs),
-    `encoder.res_net.` (AutoEncoderResNet[SmallDecoder], reference
-    CnnAutoEncoder.py:111-154), or `encoder.conv1.` (VanillaAutoEncoder,
-    CnnAutoEncoder.py:25-86); the decoder kind is sniffed from the decoder
-    keys. The reference base AE registers torchmetrics SSIM and MSELoss
-    modules (`ssim.`, `mse.`) whose state, when present, carries no
-    weights — dropped."""
+    Dispatches on the encoder keys: `encoder.{deit,vit,nest,efficientformer,
+    esvit}.` (the transformer AEs' family-named timm attributes, reference
+    TransformerEncoder.py:57,92,134,193,267), `encoder.res_net.`
+    (AutoEncoderResNet[SmallDecoder], reference CnnAutoEncoder.py:111-154),
+    or `encoder.conv1.` (VanillaAutoEncoder, CnnAutoEncoder.py:25-86); the
+    decoder kind is sniffed from the decoder keys. The reference base AE
+    registers torchmetrics SSIM and MSELoss modules (`ssim.`, `mse.`) whose
+    state, when present, carries no weights — dropped."""
     sd = {
         k: v for k, v in sd.items()
         if not (k.startswith("ssim.") or k.startswith("mse."))
     }
-    if any(k.startswith("encoder.model.") for k in sd):
-        return convert_transformer_ae(sd)
+    if any(
+        k.startswith(f"encoder.{a}.")
+        for a in _AE_ENCODER_ATTRS for k in sd
+    ):
+        return convert_transformer_ae(sd, img_size=img_size)
     enc_sd = {
         k[len("encoder."):]: v for k, v in sd.items()
         if k.startswith("encoder.")
