@@ -250,6 +250,23 @@ def image_epoch_staging(
     return None, stage_image_batches(make_batches, mc)
 
 
+def make_scan_epoch(body: Callable, n_carry: int) -> Callable:
+    """jit + donate + `lax.scan` scaffold shared by every trainer's
+    scan-of-batches train epoch: `body(carry, xs) -> (carry, loss)` with the
+    trainer's step math; the first `n_carry` positional args form the scan
+    carry (params/opt-state/rng/batch-stats — DONATED, the epoch's whole
+    point is in-place state advance), the rest are the stacked xs leaves.
+    Returns `run(*carry, *xs) -> (*carry, losses)`."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_carry)))
+    def run(*args):
+        carry, losses = jax.lax.scan(body, args[:n_carry], args[n_carry:])
+        return (*carry, losses)
+
+    return run
+
+
 def use_scan_epochs() -> bool:
     """Scan-of-batches training epochs: default-on for accelerator backends
     (pure scheduling change, loss-stream parity locked by tests), default-off

@@ -32,6 +32,7 @@ from vit_ad_tpu.pipeline.features import (
     stage_feature_batches,
     stage_feature_epoch,
     image_epoch_staging,
+    make_scan_epoch,
     use_scan_epochs,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
@@ -201,22 +202,16 @@ def train_mdn(
         else stage_feature_batches(feats_valid, hp.batch_size, mc)
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch_scan(params, opt_state, epoch_rng, feats_s, valid_s):
-        def body(carry, xs):
-            params, opt_state, r = carry
-            feats, valid = xs
-            r, k = jax.random.split(r)
-            loss, grads = jax.value_and_grad(masked_loss)(
-                params, feats, valid, k
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, r), loss
-        (params, opt_state, epoch_rng), losses = jax.lax.scan(
-            body, (params, opt_state, epoch_rng), (feats_s, valid_s)
-        )
-        return params, opt_state, epoch_rng, losses
+    def _scan_body(carry, xs):
+        params, opt_state, r = carry
+        feats, valid = xs
+        r, k = jax.random.split(r)
+        loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid, k)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, opt_state, r), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=3)
 
     @jax.jit
     def valid_epoch_scan(params, feats_s, valid_s):
@@ -377,19 +372,15 @@ def train_nf(
         else stage_feature_batches(feats_valid, hp.batch_size, mc)
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch_scan(params, opt_state, feats_s, valid_s):
-        def body(carry, xs):
-            params, opt_state = carry
-            feats, valid = xs
-            loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda pp, u: pp + u, params, updates)
-            return (params, opt_state), loss
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (feats_s, valid_s)
-        )
-        return params, opt_state, losses
+    def _scan_body(carry, xs):
+        params, opt_state = carry
+        feats, valid = xs
+        loss, grads = jax.value_and_grad(masked_loss)(params, feats, valid)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda pp, u: pp + u, params, updates)
+        return (params, opt_state), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=2)
 
     @jax.jit
     def valid_epoch_scan(params, feats_s, valid_s):
@@ -659,23 +650,17 @@ def train_recon(
                 for im, _, _ in valid_batches_dev()
             ]
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch_scan(params, batch_stats, opt_state, images_s, valid_s,
-                         latents_s):
-        def body(carry, xs):
-            params, batch_stats, opt_state = carry
-            images, valid, latents = xs
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch_stats, images, valid, latents)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return (params, new_stats, opt_state), loss
-        (params, batch_stats, opt_state), losses = jax.lax.scan(
-            body, (params, batch_stats, opt_state),
-            (images_s, valid_s, latents_s),
-        )
-        return params, batch_stats, opt_state, losses
+    def _scan_body(carry, xs):
+        params, batch_stats, opt_state = carry
+        images, valid, latents = xs
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, images, valid, latents)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, new_stats, opt_state), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=3)
 
     @jax.jit
     def valid_epoch_scan(params, batch_stats, images_s, valid_s, latents_s):
@@ -938,22 +923,16 @@ def train_mdn_resnet(
         lambda: data.valid_batches(hp.prefetch), mc
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch_scan(params, opt_state, epoch_rng, images_s, valid_s):
-        def body(carry, xs):
-            params, opt_state, r = carry
-            images, valid = xs
-            r, k = jax.random.split(r)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, images, valid, k
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, r), loss
-        (params, opt_state, epoch_rng), losses = jax.lax.scan(
-            body, (params, opt_state, epoch_rng), (images_s, valid_s)
-        )
-        return params, opt_state, epoch_rng, losses
+    def _scan_body(carry, xs):
+        params, opt_state, r = carry
+        images, valid = xs
+        r, k = jax.random.split(r)
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, valid, k)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, opt_state, r), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=3)
 
     @jax.jit
     def valid_epoch_scan(params, images_s, valid_s):
@@ -1132,19 +1111,15 @@ def train_nf_resnet(
         lambda: data.valid_batches(hp.prefetch), mc
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch_scan(params, opt_state, images_s, valid_s):
-        def body(carry, xs):
-            params, opt_state = carry
-            images, valid = xs
-            loss, grads = jax.value_and_grad(loss_fn)(params, images, valid)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return (params, opt_state), loss
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (images_s, valid_s)
-        )
-        return params, opt_state, losses
+    def _scan_body(carry, xs):
+        params, opt_state = carry
+        images, valid = xs
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, valid)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, opt_state), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=2)
 
     @jax.jit
     def valid_epoch_scan(params, images_s, valid_s):
@@ -1315,24 +1290,18 @@ def train_vae(
         lambda: data.valid_batches(hp.prefetch), mc
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch_scan(params, batch_stats, opt_state, epoch_rng,
-                         images_s, valid_s):
-        def body(carry, xs):
-            params, batch_stats, opt_state, r = carry
-            images, valid = xs
-            r, k = jax.random.split(r)
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch_stats, images, valid, k)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return (params, new_stats, opt_state, r), loss
-        (params, batch_stats, opt_state, epoch_rng), losses = jax.lax.scan(
-            body, (params, batch_stats, opt_state, epoch_rng),
-            (images_s, valid_s),
-        )
-        return params, batch_stats, opt_state, epoch_rng, losses
+    def _scan_body(carry, xs):
+        params, batch_stats, opt_state, r = carry
+        images, valid = xs
+        r, k = jax.random.split(r)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, images, valid, k)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, new_stats, opt_state, r), loss
+
+    train_epoch_scan = make_scan_epoch(_scan_body, n_carry=4)
 
     @jax.jit
     def valid_epoch_scan(params, batch_stats, epoch_rng, images_s, valid_s):
