@@ -239,3 +239,94 @@ def test_nf_pth_roundtrip_matches_torch_evaluator(rehearsal, tmp_path):
         ours["image_auroc_score"], img_auroc)
     assert abs(ours["pixel_auroc_score"] - pix_auroc) < 1e-3, (
         ours["pixel_auroc_score"], pix_auroc)
+
+
+def test_recon_ae_export_matches_torch_evaluator(rehearsal, tmp_path):
+    """The EXPORT direction of the dress rehearsal: an AE trained by OUR
+    train_recon exports to the reference AutoEncoderDeit .pth layout, a
+    torch replica strict-loads it, and an independent torch evaluator
+    implementing the reference ValidatorRecon loop (channel-mean squared
+    error map, image score = amax; reference ValidatorRecon.py:92-136)
+    reproduces our evaluate_recon metrics — so a reference user can
+    re-evaluate our trained AEs with their own tooling."""
+    from test_decoder_convert import TorchSmallDecoder
+    from test_torch_convert import TorchViT
+    from torch import nn as tnn
+
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.models.autoencoder import TransformerAutoEncoder
+    from vit_ad_tpu.pipeline.train import train_recon
+    from vit_ad_tpu.utils.torch_convert import export_transformer_ae
+
+    model = TransformerAutoEncoder(
+        encoder=rehearsal["encoder"], decoder_kind="cnn", img_size=IMG,
+        dtypes=F32,
+    )
+    hp = HyperParams(
+        architecture="reconstruction", epochs=3, patience=3,
+        learning_rate=1e-3, weight_decay=1e-4, batch_size=8, img_size=IMG,
+        dtypes=F32,
+    )
+    data = DataPipeline(batch_size=8, base_path=f"{rehearsal['root']}/widget",
+                        data_path="train/good", img_size=IMG)
+    test = DataPipeline(batch_size=8, base_path=f"{rehearsal['root']}/widget",
+                        data_path="test", img_size=IMG, validation_mode=True)
+    res = train_recon(hp, data, test, model=model)
+    ours = res.metrics
+
+    sd = export_transformer_ae(res.head_params)
+
+    class TorchDeitWithHeads(TorchViT):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.head = tnn.Linear(kw["dim"], 1000)
+            self.head_dist = tnn.Linear(kw["dim"], 1000)
+
+    class TorchAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = tnn.Module()
+            self.encoder.deit = TorchDeitWithHeads(
+                img=IMG, patch=8, dim=D, depth=2, heads=4, prefix=2
+            )
+            self.decoder = TorchSmallDecoder(z_space=D, s=1)
+
+        def forward(self, x):
+            toks = self.encoder.deit(x)
+            return self.decoder(toks[:, 0])  # cls-token latent
+
+    tm = TorchAE()
+    tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    tm.eval()
+
+    # independent evaluator over the raw test images, reference
+    # preprocessing (/255, ImageNet normalize, NCHW)
+    mean, std = default_norm_stats()
+    images, labels, masks = [], [], []
+    for batch in test.test_batches():
+        n = int(batch.valid.sum())
+        images.append(np.asarray(batch.images)[:n])
+        labels.append(np.asarray(batch.labels[:n]))
+        masks.append(np.asarray(batch.masks[:n]))
+    images = np.concatenate(images)
+    labels, masks = np.concatenate(labels), np.concatenate(masks)
+
+    with torch.no_grad():
+        x = torch.from_numpy(images.astype(np.float32) / 255.0)
+        x = (x - torch.tensor(mean)) / torch.tensor(std)
+        x = x.permute(0, 3, 1, 2)
+        recon = tm(x)
+        err = ((recon - x) ** 2).mean(dim=1)      # [N, H, W] channel-mean
+        image_scores = err.reshape(err.shape[0], -1).max(dim=1).values
+
+    img_auroc = _mannwhitney_auroc(labels, image_scores.numpy())
+    pix_auroc = _mannwhitney_auroc(masks, err.numpy())
+
+    assert abs(ours["image_auroc_score"] - img_auroc) < 1e-3, (
+        ours["image_auroc_score"], img_auroc)
+    assert abs(ours["pixel_auroc_score"] - pix_auroc) < 1e-3, (
+        ours["pixel_auroc_score"], pix_auroc)
+    assert np.std(image_scores.numpy()) > 0
