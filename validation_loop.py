@@ -331,7 +331,9 @@ def validate_pth(
             jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
             train=True,
         )
-        variables = tc.merge_variables(target, tc.convert_recon_ae(sd))
+        variables = tc.merge_variables(
+            target, tc.convert_recon_ae(sd, img_size=hp.img_size)
+        )
         return evaluate_recon(model, variables, test, hp, mean, std)
 
     raise ValueError(
