@@ -306,7 +306,9 @@ def _wait_for_backend() -> None:
         return  # CPU run requested — there is no accelerator to wait for
     budget = float(os.environ.get("BENCH_INIT_WAIT", 3600))
     deadline = time.time() + budget
-    probe = "import jax; [d for d in jax.devices() if d.platform != 'cpu']"
+    # assert: jax initializing with only CPU devices (silent accelerator
+    # fallback) must exit nonzero, or the wait returns on a down tunnel
+    probe = "import jax; assert [d for d in jax.devices() if d.platform != 'cpu']"
     while True:
         rc = subprocess.call(
             [sys.executable, "-c", probe],

@@ -150,9 +150,10 @@ def measure(names, iters=20, fork=False):
             if os.path.exists(BENCH_PATH):
                 with open(BENCH_PATH) as f:
                     rows = json.load(f)
-            if name in rows:
+            if name in rows and "value" in rows[name]:
                 print(f"{name}: cached {rows[name]['value']} img/s")
                 continue
+            # error rows don't block a retry: the child overwrites its row
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--models", name, "--iters", str(iters)],
@@ -160,8 +161,10 @@ def measure(names, iters=20, fork=False):
             )
             if r.returncode != 0:
                 print(f"{name}: subprocess rc={r.returncode}")
-        with open(BENCH_PATH) as f:
-            return json.load(f)
+        if os.path.exists(BENCH_PATH):
+            with open(BENCH_PATH) as f:
+                return json.load(f)
+        return {}
 
     import bench
 
@@ -170,7 +173,7 @@ def measure(names, iters=20, fork=False):
         with open(BENCH_PATH) as f:
             rows = json.load(f)
     for name in names:
-        if name in rows:
+        if name in rows and "value" in rows[name]:
             print(f"{name}: cached {rows[name]['value']} img/s")
             continue
         try:

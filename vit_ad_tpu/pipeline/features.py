@@ -267,6 +267,26 @@ def make_scan_epoch(body: Callable, n_carry: int) -> Callable:
     return run
 
 
+def make_valid_scan_epoch(eval_loss: Callable) -> Callable:
+    """Validation-side sibling of `make_scan_epoch`: score every staged
+    valid batch in ONE dispatch with no state carry (nothing is donated —
+    params are reused by the train step). `eval_loss(params, batch, valid)
+    -> loss`; returns `run(params, batches_s, valid_s) -> [steps] losses`.
+    Trainers with extra xs (recon latents) or an rng carry (VAE) keep their
+    own variants."""
+
+    @jax.jit
+    def run(params, batches_s, valid_s):
+        def body(carry, xs):
+            batch, valid = xs
+            return carry, eval_loss(params, batch, valid)
+
+        _, losses = jax.lax.scan(body, 0, (batches_s, valid_s))
+        return losses
+
+    return run
+
+
 def use_scan_epochs() -> bool:
     """Scan-of-batches training epochs: default-on for accelerator backends
     (pure scheduling change, loss-stream parity locked by tests), default-off

@@ -33,6 +33,7 @@ from vit_ad_tpu.pipeline.features import (
     stage_feature_epoch,
     image_epoch_staging,
     make_scan_epoch,
+    make_valid_scan_epoch,
     use_scan_epochs,
 )
 from vit_ad_tpu.pipeline.optimizers import torch_adam
@@ -213,13 +214,7 @@ def train_mdn(
 
     train_epoch_scan = make_scan_epoch(_scan_body, n_carry=3)
 
-    @jax.jit
-    def valid_epoch_scan(params, feats_s, valid_s):
-        def body(carry, xs):
-            feats, valid = xs
-            return carry, eval_loss(params, feats, valid)
-        _, losses = jax.lax.scan(body, 0, (feats_s, valid_s))
-        return losses
+    valid_epoch_scan = make_valid_scan_epoch(eval_loss)
 
     def train_epoch(epoch):
         nonlocal rng, head_params, opt_state, train_batches_dev
@@ -382,13 +377,7 @@ def train_nf(
 
     train_epoch_scan = make_scan_epoch(_scan_body, n_carry=2)
 
-    @jax.jit
-    def valid_epoch_scan(params, feats_s, valid_s):
-        def body(carry, xs):
-            feats, valid = xs
-            return carry, eval_loss(params, feats, valid)
-        _, losses = jax.lax.scan(body, 0, (feats_s, valid_s))
-        return losses
+    valid_epoch_scan = make_valid_scan_epoch(eval_loss)
 
     def train_epoch(epoch):
         nonlocal head_params, opt_state, train_batches_dev
@@ -934,13 +923,7 @@ def train_mdn_resnet(
 
     train_epoch_scan = make_scan_epoch(_scan_body, n_carry=3)
 
-    @jax.jit
-    def valid_epoch_scan(params, images_s, valid_s):
-        def body(carry, xs):
-            images, valid = xs
-            return carry, eval_loss(params, images, valid)
-        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
-        return losses
+    valid_epoch_scan = make_valid_scan_epoch(eval_loss)
 
     def train_epoch(epoch):
         nonlocal rng, params, opt_state
@@ -1121,13 +1104,7 @@ def train_nf_resnet(
 
     train_epoch_scan = make_scan_epoch(_scan_body, n_carry=2)
 
-    @jax.jit
-    def valid_epoch_scan(params, images_s, valid_s):
-        def body(carry, xs):
-            images, valid = xs
-            return carry, eval_loss(params, images, valid)
-        _, losses = jax.lax.scan(body, 0, (images_s, valid_s))
-        return losses
+    valid_epoch_scan = make_valid_scan_epoch(eval_loss)
 
     def train_epoch(epoch):
         nonlocal params, opt_state
