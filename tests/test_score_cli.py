@@ -1,0 +1,113 @@
+"""Label-free folder scoring (cli/score.py): a run dir + ANY image folder →
+per-image anomaly scores, consistent with the labeled evaluator's scores.
+
+The reference has no serving-side entry point (validation_loop needs the
+MVTec directory contract with ground-truth masks); this locks the rebuild's
+scoring CLI to the validators' exact score semantics."""
+
+import csv
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")  # repo root (startTraining_* live there)
+
+
+@pytest.fixture(scope="module")
+def category(tmp_path_factory):
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+
+    root = tmp_path_factory.mktemp("mvtec_score")
+    make_mvtec_category(
+        str(root), "cat", img_size=32, n_train=16, n_test_good=4,
+        n_test_defect=4,
+    )
+    return f"{root}/cat"
+
+
+@pytest.fixture(scope="module")
+def run_dir(category, tmp_path_factory):
+    """Train a tiny MDN run through the real CLI (writes config.json +
+    best_params* the way every product run does)."""
+    import startTraining_mdn
+
+    workdir = tmp_path_factory.mktemp("score_run")
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        result = startTraining_mdn.main(
+            [
+                "-m", "enc_deit", "-n", "3", "-e", "3", "-p", "2", "-b", "8",
+                "-i", "32", "-l", "3e-3", "-d", category, "-t", "train/good",
+                "-v", "test",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    import glob
+
+    runs = glob.glob(str(workdir / "runs" / "*"))
+    assert len(runs) == 1
+    return runs[0], result.metrics
+
+
+def test_score_folder_matches_evaluator(category, run_dir, tmp_path):
+    """Scoring the labeled test folder label-free must reproduce the
+    training-time eval AUROC exactly: same models, same per-image scores
+    (MDN's global normalization is order-independent over a fixed set)."""
+    from vit_ad_tpu.cli.score import main as score_main
+    from vit_ad_tpu.data.dataset import infer_label
+    from vit_ad_tpu.pipeline.metrics import roc_auc_score
+
+    run, train_metrics = run_dir
+    out = tmp_path / "scores_out"
+    rc = score_main([
+        "-r", run, "-d", f"{category}/test", "-o", str(out),
+        "--heatmaps", "2",
+    ])
+    assert rc == 0
+
+    with open(out / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 8  # 4 good + 4 defect
+    scores = np.array([float(r["image_score"]) for r in rows])
+    labels = np.array([infer_label(r["path"]) for r in rows])
+    assert np.all(np.isfinite(scores))
+    auroc = roc_auc_score(labels, scores)
+    assert auroc == pytest.approx(train_metrics["image_auroc_score"], abs=1e-9)
+
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["images"] == 8
+    assert summary["arch"] == "mdn"
+    assert summary["score_max"] == pytest.approx(scores.max())
+
+    pngs = list((out / "heatmaps").glob("*.png"))
+    assert len(pngs) == 2
+
+
+def test_score_folder_unlabeled_flat_dir(run_dir, tmp_path):
+    """A flat folder of images with no dataset layout at all (the serving
+    case) scores without labels, masks, or directory contracts."""
+    from PIL import Image
+
+    from vit_ad_tpu.cli.score import score_folder
+
+    run, _ = run_dir
+    img_dir = tmp_path / "fresh"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.png")
+
+    summary = score_folder(run, str(img_dir), out_dir=str(tmp_path / "out"))
+    assert summary["images"] == 3
+    with open(tmp_path / "out" / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [os.path.basename(r["path"]) for r in rows] == [
+        "img_0.png", "img_1.png", "img_2.png",
+    ]
+    assert all(np.isfinite(float(r["image_score"])) for r in rows)

@@ -21,31 +21,23 @@ import numpy as np
 
 
 def _hp_from_config(cfg: dict):
-    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.pipeline.loading import hp_from_config
 
-    hp = HyperParams()
-    for k, v in cfg.items():
-        if hasattr(hp, k):
-            setattr(hp, k, v)
-    return hp
+    return hp_from_config(cfg)
 
 
 def validate_run(run_dir: str, data_root: str, test_pref: str = "test"):
     """Re-evaluate one run directory; returns the metric dict."""
-    import jax
-
     from vit_ad_tpu.data.loader import DataPipeline
-    from vit_ad_tpu.pipeline.train import _norm_stats
-    from vit_ad_tpu.registry import get_model
-    from vit_ad_tpu.utils.checkpoint import load_params
+    from vit_ad_tpu.pipeline.loading import (
+        build_run_models,
+        evaluate_models,
+        find_checkpoint,
+        load_run_config,
+    )
 
-    with open(os.path.join(run_dir, "config.json")) as f:
-        cfg = json.load(f)
-    hp = _hp_from_config(cfg)
-    ckpts = glob.glob(os.path.join(run_dir, "best_params*"))
-    if not ckpts:
-        raise FileNotFoundError(f"no checkpoint in {run_dir}")
-    ckpt = os.path.abspath(ckpts[0])  # orbax requires absolute paths
+    hp, cfg = load_run_config(run_dir)
+    ckpt = find_checkpoint(run_dir)
 
     # -d may be a dataset ROOT (join with the run's category) or the
     # category dir itself — prefer the joined path when it exists
@@ -71,116 +63,8 @@ def validate_run(run_dir: str, data_root: str, test_pref: str = "test"):
 
         mean, std = default_norm_stats()
 
-    arch = hp.architecture
-    if "res_net" in hp.model_name and arch in ("mdn", "nf"):
-        return _validate_resnet_run(hp, arch, ckpt, test, mean, std)
-    if arch == "mdn":
-        from vit_ad_tpu.models.mdn import GaussianMDN
-        from vit_ad_tpu.pipeline.eval import evaluate_mdn
-
-        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
-        from vit_ad_tpu.pipeline.train import default_encoder_params
-
-        enc_params = default_encoder_params(encoder, hp)
-        embed_dim = encoder.embed_dim
-        mdn = GaussianMDN(features=embed_dim, num_gaussians=hp.num_gaussians)
-        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, embed_dim)))
-        head = load_params(ckpt, target)
-        return evaluate_mdn(encoder, enc_params, mdn, head, test, hp, mean, std)
-    if arch == "nf":
-        from vit_ad_tpu.models.flow import NormalizingFlow
-        from vit_ad_tpu.pipeline.eval import evaluate_nf
-
-        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
-        from vit_ad_tpu.pipeline.train import default_encoder_params
-
-        enc_params = default_encoder_params(encoder, hp)
-        p = encoder.num_patches
-        flow = NormalizingFlow(
-            num_channels=encoder.embed_dim, img_size=hp.img_size,
-            num_patches=p, hidden_ratio=hp.hidden_ratio,
-            flow_steps=hp.flow_steps, dtypes=hp.dtypes,
-        )
-        side = int(np.sqrt(p))
-        target = flow.init(
-            jax.random.key(0), jnp.zeros((1, side, side, encoder.embed_dim))
-        )
-        head = load_params(ckpt, target)
-        return evaluate_nf(encoder, enc_params, flow, head, test, hp, mean, std)
-    # reconstruction
-    from vit_ad_tpu.pipeline.eval import evaluate_recon
-
-    model = get_model(hp.model_name, hp.img_size, hp.dtypes)
-    target = model.init(
-        jax.random.key(0),
-        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
-        train=True,
-    )
-    variables = load_params(ckpt, target)
-    return evaluate_recon(model, variables, test, hp, mean, std)
-
-
-def _validate_resnet_run(hp, arch, ckpt, test, mean, std):
-    """Rebuild the multi-stage ResNet head ensembles and restore the joint
-    {'heads': [...], 'encoder': ...} checkpoint the resnet trainers save."""
-    import jax
-
-    from vit_ad_tpu.models.resnet import (
-        STAGE_CHANNELS,
-        STAGE_SCALES,
-        ResNetEncoder,
-    )
-    from vit_ad_tpu.utils.checkpoint import load_params
-
-    encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
-    enc_variables = encoder.init(
-        jax.random.split(jax.random.key(hp.seed))[1],
-        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
-    )
-    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
-
-    if arch == "mdn":
-        from vit_ad_tpu.models.mdn import GaussianMDN
-        from vit_ad_tpu.pipeline.eval import evaluate_mdn_resnet
-
-        stages = (2, 3)
-        mdns = [
-            GaussianMDN(features=STAGE_CHANNELS[i], num_gaussians=hp.num_gaussians)
-            for i in stages
-        ]
-        heads = [
-            m.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
-            for i, m in zip(stages, mdns)
-        ]
-        target = {"heads": heads, "encoder": enc_variables["params"]}
-        best = load_params(ckpt, target)
-        return evaluate_mdn_resnet(
-            encoder, {"params": best["encoder"], **enc_stats},
-            mdns, best["heads"], test, hp, mean, std, stages=stages,
-        )
-
-    from vit_ad_tpu.models.flow import NormalizingFlow
-    from vit_ad_tpu.pipeline.eval import evaluate_nf_resnet
-
-    stages = (0, 1, 2)
-    flows, heads = [], []
-    for i in stages:
-        side = hp.img_size // STAGE_SCALES[i]
-        flow = NormalizingFlow(
-            num_channels=STAGE_CHANNELS[i], img_size=hp.img_size,
-            num_patches=side * side, hidden_ratio=hp.hidden_ratio,
-            flow_steps=hp.flow_steps, dtypes=hp.dtypes,
-        )
-        flows.append(flow)
-        heads.append(
-            flow.init(jax.random.key(0), jnp.zeros((1, side, side, STAGE_CHANNELS[i])))
-        )
-    target = {"heads": heads, "encoder": enc_variables["params"]}
-    best = load_params(ckpt, target)
-    return evaluate_nf_resnet(
-        encoder, {"params": best["encoder"], **enc_stats},
-        flows, best["heads"], test, hp, mean, std, stages=stages,
-    )
+    models = build_run_models(hp, ckpt)
+    return evaluate_models(models, test, mean, std)
 
 
 def load_encoder_checkpoint(encoder, model_name: str, encoder_ckpt: str,

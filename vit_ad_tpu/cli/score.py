@@ -1,0 +1,185 @@
+"""Score a folder of unlabeled images with a trained run.
+
+The serving-side counterpart of `validation_loop.py`: re-evaluation needs a
+labeled MVTec/BTAD-layout test set with ground-truth masks, but a production
+user has a run directory and a folder of fresh images. This CLI loads the
+run (config.json + orbax best_params*, any of the five head families incl.
+the multi-stage ResNet ensembles), scores every image, and writes per-image
+anomaly scores + optional heatmap overlays — no labels, no metrics.
+
+    python -m vit_ad_tpu.cli.score -r runs/<name> -d /path/to/images \\
+        [-o out_dir] [--heatmaps N] [--train-data DIR] [-b BATCH]
+
+Outputs (under -o, default <run>/scores):
+  scores.csv      path,image_score — one row per input image, input order
+  summary.json    n_images, score stats, run config echo
+  heatmaps/       top-N overlay PNGs (anomaly map over the image, jet)
+
+Scoring semantics are the validators' own (pipeline/eval.py): NF/recon image
+score = max over the anomaly map; MDN = 1 - min(prob) with the probability
+normalization GLOBAL over the scored set (reference ValidatorMDN.py:133) —
+MDN scores are comparable within one invocation, not across invocations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def list_images(images_dir: str) -> List[str]:
+    """Every image under images_dir (recursive), sorted — deterministic
+    input order, mirrored row-for-row by scores.csv."""
+    out: List[str] = []
+    for root, _, fs in os.walk(images_dir):
+        for f in fs:
+            if f.lower().endswith(IMAGE_EXTENSIONS):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _norm_stats_for(hp, train_data: str):
+    """Match training-time standardization: `--train-data` recomputes the
+    reference's compute_mean_stdev stats for centering runs; everything else
+    uses the ImageNet defaults the trainers use."""
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.data.loader import DataPipeline
+
+    if hp.centering:
+        if not train_data:
+            raise SystemExit(
+                "this run trained with --centering (per-dataset mean/std); "
+                "pass --train-data <the training image dir> so scoring "
+                "standardizes the same way"
+            )
+        pipe = DataPipeline(batch_size=hp.batch_size, img_size=hp.img_size,
+                            files=list_images(train_data))
+        # compute_mean_std streams train_files; files= fills test_files
+        pipe.train_files = pipe.test_files
+        return pipe.compute_mean_std()
+    return default_norm_stats()
+
+
+def score_folder(
+    run_dir: str,
+    images_dir: str,
+    out_dir: Optional[str] = None,
+    heatmaps: int = 0,
+    batch: int = 0,
+    train_data: str = "",
+) -> dict:
+    """Score every image under images_dir with the run's models; write
+    scores.csv / summary.json / heatmaps/ under out_dir and return the
+    summary dict."""
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.pipeline.loading import load_run, score_models
+
+    files = list_images(images_dir)
+    if not files:
+        raise SystemExit(f"no images found under {images_dir!r}")
+
+    models, cfg = load_run(run_dir)
+    hp = models.hp
+    if batch:
+        hp.batch_size = batch
+    mean, std = _norm_stats_for(hp, train_data)
+
+    pipe = DataPipeline(batch_size=hp.batch_size, img_size=hp.img_size,
+                        files=files)
+    s = score_models(models, pipe, mean, std)
+
+    out_dir = out_dir or os.path.join(run_dir, "scores")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "scores.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["path", "image_score"])
+        for path, score in zip(files, s.image_scores):
+            w.writerow([path, repr(float(score))])
+
+    if heatmaps:
+        _save_heatmaps(s, files, hp, mean, std, out_dir, heatmaps)
+
+    summary = {
+        "run": run_dir,
+        "images": len(files),
+        "arch": cfg.get("architecture", hp.architecture),
+        "model": hp.model_name,
+        "score_min": float(np.min(s.image_scores)),
+        "score_mean": float(np.mean(s.image_scores)),
+        "score_max": float(np.max(s.image_scores)),
+        "top": [
+            {"path": files[i], "image_score": float(s.image_scores[i])}
+            for i in np.argsort(s.image_scores)[::-1][:5]
+        ],
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
+def _save_heatmaps(s, files, hp, mean, std, out_dir: str, n: int) -> None:
+    """Overlay PNGs for the n highest-scoring images (the ones a production
+    user triages first). Maps are display-normalized over the scored set so
+    one color scale spans every PNG of the invocation."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from vit_ad_tpu.data.dataset import AnomalyDataset
+
+    hm_dir = os.path.join(out_dir, "heatmaps")
+    os.makedirs(hm_dir, exist_ok=True)
+    lo = float(s.pixel_scores.min())
+    hi = float(s.pixel_scores.max())
+    span = (hi - lo) or 1.0
+    order = np.argsort(s.image_scores)[::-1][:n]
+    ds = AnomalyDataset([files[i] for i in order], hp.img_size)  # images only
+    for rank, i in enumerate(order):
+        img = ds[rank]
+        fig, ax = plt.subplots(figsize=(4, 4))
+        ax.axis("off")
+        ax.imshow(np.asarray(img).astype(np.uint8))
+        ax.imshow((s.pixel_scores[i] - lo) / span, cmap="jet", vmin=0.0,
+                  vmax=1.0, alpha=0.4)
+        name = os.path.splitext(os.path.basename(files[i]))[0]
+        fig.savefig(os.path.join(hm_dir, f"{rank:03d}_{name}.png"),
+                    bbox_inches="tight", dpi=100)
+        plt.close(fig)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="score a folder of images with a trained run")
+    ap.add_argument("-r", "--run", required=True,
+                    help="run dir (config.json + best_params*)")
+    ap.add_argument("-d", "--images", required=True,
+                    help="directory of images to score (recursive)")
+    ap.add_argument("-o", "--out", default="",
+                    help="output dir (default <run>/scores)")
+    ap.add_argument("--heatmaps", type=int, default=0,
+                    help="save overlay PNGs for the N highest scores")
+    ap.add_argument("-b", "--batch", type=int, default=0,
+                    help="override the run's batch size")
+    ap.add_argument("--train-data", default="",
+                    help="training image dir (required for --centering runs)")
+    args = ap.parse_args(argv)
+    summary = score_folder(
+        args.run, args.images, out_dir=args.out or None,
+        heatmaps=args.heatmaps, batch=args.batch, train_data=args.train_data,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -60,11 +60,17 @@ class AnomalyDataset:
         img_size: int,
         validation: bool = False,
         only_labels: bool = False,
+        missing_mask_ok: bool = False,
     ) -> None:
         self.file_names = file_names
         self.img_size = img_size
         self.validation = validation
         self.only_labels = only_labels
+        # label-free folder scoring (DataPipeline(files=...)): images carry
+        # no ground truth, so a missing mask means zeros. Labeled dataset
+        # flows keep the loud FileNotFoundError — a broken MVTec/BTAD layout
+        # must not silently zero the pixel metrics.
+        self.missing_mask_ok = missing_mask_ok
 
     def __len__(self) -> int:
         return len(self.file_names)
@@ -83,7 +89,7 @@ class AnomalyDataset:
 
     def _load_mask(self, image_path: str) -> np.ndarray:
         mp = mask_path_for(image_path)
-        if mp is None:
+        if mp is None or (self.missing_mask_ok and not os.path.exists(mp)):
             return np.zeros((self.img_size, self.img_size), dtype=np.uint8)
         from vit_ad_tpu.data import native
 

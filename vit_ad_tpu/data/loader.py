@@ -113,17 +113,29 @@ class DataPipeline:
     def __init__(
         self,
         batch_size: int,
-        base_path: str,
-        data_path: str,
+        base_path: str = "",
+        data_path: str = "",
         valid_path: Optional[str] = None,
         img_size: int = 224,
         validation_mode: bool = False,
         amount_data: int = 0,
+        files: Optional[List[str]] = None,
     ) -> None:
         self.batch_size = batch_size
         self.img_size = img_size
         self.validation_mode = validation_mode
-        if validation_mode:
+        self.explicit_files = files is not None
+        if files is not None:
+            # explicit file list (label-free folder scoring, cli/score.py):
+            # order preserved — no seed-24 shuffle, no directory-suffix walk,
+            # and missing ground-truth masks read as zeros
+            if not files:
+                raise FileNotFoundError("empty file list")
+            self.validation_mode = True
+            self.test_files = list(files)
+            self.train_files = []
+            self.valid_files = []
+        elif validation_mode:
             self.test_files = join_to_file_list(base_path, data_path)
             if amount_data > 0:
                 self.test_files = self.test_files[:amount_data]
@@ -161,7 +173,8 @@ class DataPipeline:
         )
 
     def test_batches(self, prefetch: int = 2) -> Iterator[Batch]:
-        ds = AnomalyDataset(self.test_files, self.img_size, validation=True)
+        ds = AnomalyDataset(self.test_files, self.img_size, validation=True,
+                            missing_mask_ok=self.explicit_files)
         return prefetch_to_device(
             _batches_from_dataset(ds, self.batch_size), prefetch
         )

@@ -21,7 +21,7 @@ semantics preserved per head:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,41 @@ from vit_ad_tpu.models.mdn import GaussianMDN
 from vit_ad_tpu.ops.resize import interpolate_bilinear
 from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.pipeline import metrics as M
+
+
+class ScoreOutput(NamedTuple):
+    """Label-free scoring payload: the `score_*` half of each validator,
+    shared with the standalone scoring CLI (`cli/score.py`). `labels`/`masks`
+    are whatever the data layer path-inferred — the `evaluate_*` metric
+    wrappers consume them; unlabeled-folder scoring ignores them."""
+
+    image_scores: np.ndarray            # [N] anomaly score per image
+    pixel_scores: np.ndarray            # [N, H, W] anomaly map per image
+    labels: np.ndarray                  # [N] path-inferred 0/1
+    masks: np.ndarray                   # [N, H, W] ground-truth or zeros
+    origs: Optional[np.ndarray]         # first keep_origs uint8 images
+
+
+def _metrics_and_figures(
+    s: ScoreOutput, hp: HyperParams, figures_dir: Optional[str],
+    logger: Any, vmax: Optional[float] = None, recons=None,
+) -> Dict[str, float]:
+    """Shared metrics tail of every evaluator: ScoreOutput → metric dict
+    (+ optional eval figures)."""
+    result = M.EvalResult(
+        image_scores=s.image_scores,
+        image_labels=s.labels.astype(np.float64),
+        pixel_scores=s.pixel_scores,
+        pixel_labels=s.masks.astype(np.float64),
+        origs=s.origs,
+        recons=recons,
+    )
+    out = M.calc_all_metrics(result, hp.fp_threshold)
+    if figures_dir:
+        kw = {} if vmax is None else {"vmax": vmax}
+        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
+                          logger=logger, **kw)
+    return out
 
 
 def _eval_scan_chunk() -> int:
@@ -302,7 +337,7 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
     )
 
 
-def evaluate_mdn(
+def score_mdn(
     encoder: nn.Module,
     enc_params: Any,
     mdn: GaussianMDN,
@@ -311,11 +346,12 @@ def evaluate_mdn(
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
-    figures_dir: Optional[str] = None,
-    logger: Any = None,
-) -> Dict[str, float]:
+    keep_origs: int = 0,
+) -> ScoreOutput:
     """MDN scoring pipeline (reference ValidatorMdn.valid_loop_transformer,
-    src/pipeline/ValidatorMDN.py:104-185)."""
+    src/pipeline/ValidatorMDN.py:104-185). NOTE: the image score depends on
+    the global max log-likelihood of the SET being scored (module
+    docstring) — scores are comparable within one call, not across calls."""
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
@@ -329,7 +365,7 @@ def evaluate_mdn(
     ll, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: loglik_j(enc_params, mdn_params, im),
-        keep_origs=9 if figures_dir else 0,
+        keep_origs=keep_origs,
         scan_score=_scan_scorer(loglik_map, enc_params, mdn_params),
         mc=_eval_mesh(hp),
     )
@@ -346,22 +382,28 @@ def evaluate_mdn(
         )
     )
     pixel_scores = (pixel_scores * -1.0) + 1.0
-
-    result = M.EvalResult(
-        image_scores=image_scores,
-        image_labels=labels.astype(np.float64),
-        pixel_scores=pixel_scores,
-        pixel_labels=gt_masks.astype(np.float64),
-        origs=origs,
-    )
-    out = M.calc_all_metrics(result, hp.fp_threshold)
-    if figures_dir:
-        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
-                          logger=logger)
-    return out
+    return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
 
 
-def evaluate_nf(
+def evaluate_mdn(
+    encoder: nn.Module,
+    enc_params: Any,
+    mdn: GaussianMDN,
+    mdn_params: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
+) -> Dict[str, float]:
+    """score_mdn + the reference metric suite."""
+    s = score_mdn(encoder, enc_params, mdn, mdn_params, test_data, hp,
+                  mean, std, keep_origs=9 if figures_dir else 0)
+    return _metrics_and_figures(s, hp, figures_dir, logger)
+
+
+def score_nf(
     encoder: nn.Module,
     enc_params: Any,
     flow,
@@ -370,9 +412,8 @@ def evaluate_nf(
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
-    figures_dir: Optional[str] = None,
-    logger: Any = None,
-) -> Dict[str, float]:
+    keep_origs: int = 0,
+) -> ScoreOutput:
     """NF scoring pipeline (reference ValidatorNF.valid_loop_transformer_nf,
     src/pipeline/ValidatorNF.py:107-150): anomaly map from the flow forward;
     image score = max over the map (:137-142)."""
@@ -394,29 +435,19 @@ def evaluate_nf(
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: anomaly_j(enc_params, flow_params, im),
-        keep_origs=9 if figures_dir else 0,
+        keep_origs=keep_origs,
         scan_score=_scan_scorer(anomaly_maps, enc_params, flow_params),
         mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
-
-    result = M.EvalResult(
-        image_scores=image_scores,
-        image_labels=labels.astype(np.float64),
-        pixel_scores=maps,
-        pixel_labels=gt_masks.astype(np.float64),
-        origs=origs,
-    )
-    out = M.calc_all_metrics(result, hp.fp_threshold)
-    if figures_dir:
-        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
-                          logger=logger)
-    return out
+    return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
 
-def evaluate_recon(
-    model: nn.Module,
-    variables: Any,
+def evaluate_nf(
+    encoder: nn.Module,
+    enc_params: Any,
+    flow,
+    flow_params: Any,
     test_data: DataPipeline,
     hp: HyperParams,
     mean: Optional[np.ndarray] = None,
@@ -424,6 +455,21 @@ def evaluate_recon(
     figures_dir: Optional[str] = None,
     logger: Any = None,
 ) -> Dict[str, float]:
+    """score_nf + the reference metric suite."""
+    s = score_nf(encoder, enc_params, flow, flow_params, test_data, hp,
+                 mean, std, keep_origs=9 if figures_dir else 0)
+    return _metrics_and_figures(s, hp, figures_dir, logger)
+
+
+def score_recon(
+    model: nn.Module,
+    variables: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    keep_origs: int = 0,
+) -> ScoreOutput:
     """Reconstruction scoring (reference ValidatorRecon.valid_loop_mse,
     src/pipeline/ValidatorRecon.py:92-136): anomaly map = channel-mean of the
     elementwise squared error; image score = max over the map (:115-117)."""
@@ -440,39 +486,44 @@ def evaluate_recon(
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: error_j(variables, im),
-        keep_origs=9 if figures_dir else 0,
+        keep_origs=keep_origs,
         scan_score=_scan_scorer(error_maps, variables),
         mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+    return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
+
+def evaluate_recon(
+    model: nn.Module,
+    variables: Any,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
+) -> Dict[str, float]:
+    """score_recon + the reference metric suite (recon grids rendered with
+    the reference's vmax=0.15, ValidatorRecon.py:60-90)."""
+    s = score_recon(model, variables, test_data, hp, mean, std,
+                    keep_origs=9 if figures_dir else 0)
     recons = None
-    if figures_dir and origs is not None:
+    if figures_dir and s.origs is not None:
+        mean_j = None if mean is None else jnp.asarray(mean)
+        std_j = None if std is None else jnp.asarray(std)
+
         @jax.jit
         def recon_fn(v, images_u8):
             x = preprocess(images_u8, mean_j, std_j)
             return model.apply(v, x, train=False).reconstruction
 
-        recons = np.asarray(recon_fn(variables, jnp.asarray(origs)))
-
-    result = M.EvalResult(
-        image_scores=image_scores,
-        image_labels=labels.astype(np.float64),
-        pixel_scores=maps,
-        pixel_labels=gt_masks.astype(np.float64),
-        origs=origs,
-        recons=recons,
-    )
-    out = M.calc_all_metrics(result, hp.fp_threshold)
-    if figures_dir:
-        # the reference renders recon heatmaps with vmax=0.15
-        # (ValidatorRecon.calc_all_metrics, src/pipeline/ValidatorRecon.py:60-90)
-        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
-                          vmax=0.15, logger=logger)
-    return out
+        recons = np.asarray(recon_fn(variables, jnp.asarray(s.origs)))
+    return _metrics_and_figures(s, hp, figures_dir, logger, vmax=0.15,
+                                recons=recons)
 
 
-def evaluate_mdn_resnet(
+def score_mdn_resnet(
     encoder: nn.Module,
     enc_variables: Any,
     mdns,
@@ -482,9 +533,8 @@ def evaluate_mdn_resnet(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     stages=(2, 3),
-    figures_dir: Optional[str] = None,
-    logger: Any = None,
-) -> Dict[str, float]:
+    keep_origs: int = 0,
+) -> ScoreOutput:
     """Multi-stage MDN scoring (reference ValidatorMdn.valid_loop_resnet,
     src/pipeline/ValidatorMDN.py:186-273): per-stage probability maps are
     upsampled (align_corners=True), inverted to anomaly, and averaged.
@@ -518,7 +568,7 @@ def evaluate_mdn_resnet(
     stage_lls, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: stage_j(enc_variables, list(mdn_params), im),
-        keep_origs=9 if figures_dir else 0,
+        keep_origs=keep_origs,
         scan_score=_scan_scorer(stage_logliks, enc_variables, list(mdn_params)),
         mc=_eval_mesh(hp),
     )
@@ -537,22 +587,30 @@ def evaluate_mdn_resnet(
         stage_anomalies.append((up * -1.0) + 1.0)
     pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
     image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
-
-    result = M.EvalResult(
-        image_scores=image_scores,
-        image_labels=labels.astype(np.float64),
-        pixel_scores=pixel_scores,
-        pixel_labels=gt_masks.astype(np.float64),
-        origs=origs,
-    )
-    out = M.calc_all_metrics(result, hp.fp_threshold)
-    if figures_dir:
-        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
-                          logger=logger)
-    return out
+    return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
 
 
-def evaluate_nf_resnet(
+def evaluate_mdn_resnet(
+    encoder: nn.Module,
+    enc_variables: Any,
+    mdns,
+    mdn_params,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    stages=(2, 3),
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
+) -> Dict[str, float]:
+    """score_mdn_resnet + the reference metric suite."""
+    s = score_mdn_resnet(encoder, enc_variables, mdns, mdn_params, test_data,
+                         hp, mean, std, stages=stages,
+                         keep_origs=9 if figures_dir else 0)
+    return _metrics_and_figures(s, hp, figures_dir, logger)
+
+
+def score_nf_resnet(
     encoder: nn.Module,
     enc_variables: Any,
     flows,
@@ -562,9 +620,8 @@ def evaluate_nf_resnet(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     stages=(0, 1, 2),
-    figures_dir: Optional[str] = None,
-    logger: Any = None,
-) -> Dict[str, float]:
+    keep_origs: int = 0,
+) -> ScoreOutput:
     """Multi-stage NF scoring (reference ValidatorNF.valid_loop_resnet_nf,
     src/pipeline/ValidatorNF.py:152-219): mean of the three stage anomaly
     maps, image score = max (:183-199)."""
@@ -588,21 +645,29 @@ def evaluate_nf_resnet(
     maps, labels, gt_masks, origs = _collect(
         test_data.test_batches(hp.prefetch),
         lambda im: anomaly_j(enc_variables, list(flow_params), im),
-        keep_origs=9 if figures_dir else 0,
+        keep_origs=keep_origs,
         scan_score=_scan_scorer(anomaly_maps, enc_variables, list(flow_params)),
         mc=_eval_mesh(hp),
     )
     image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+    return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
-    result = M.EvalResult(
-        image_scores=image_scores,
-        image_labels=labels.astype(np.float64),
-        pixel_scores=maps,
-        pixel_labels=gt_masks.astype(np.float64),
-        origs=origs,
-    )
-    out = M.calc_all_metrics(result, hp.fp_threshold)
-    if figures_dir:
-        save_eval_figures(result, out, figures_dir, hp.fp_threshold,
-                          logger=logger)
-    return out
+
+def evaluate_nf_resnet(
+    encoder: nn.Module,
+    enc_variables: Any,
+    flows,
+    flow_params,
+    test_data: DataPipeline,
+    hp: HyperParams,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    stages=(0, 1, 2),
+    figures_dir: Optional[str] = None,
+    logger: Any = None,
+) -> Dict[str, float]:
+    """score_nf_resnet + the reference metric suite."""
+    s = score_nf_resnet(encoder, enc_variables, flows, flow_params,
+                        test_data, hp, mean, std, stages=stages,
+                        keep_origs=9 if figures_dir else 0)
+    return _metrics_and_figures(s, hp, figures_dir, logger)

@@ -1,0 +1,217 @@
+"""Rebuild a trained run's models from its run directory.
+
+The model-rebuilding half of checkpoint re-evaluation (reference
+validation_loop.py:248-274 rebuilds model+Validator per saved .pth file).
+Here every training run directory written by startTraining_*.py carries a
+config.json and an orbax best_params* checkpoint; this module turns one into
+live models + restored params, with a score/evaluate dispatch shared by
+labeled re-evaluation (validation_loop.py) and label-free folder scoring
+(cli/score.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_ad_tpu.config import HyperParams
+
+
+def hp_from_config(cfg: dict) -> HyperParams:
+    """HyperParams from a run's config.json (unknown keys ignored; 'dtypes'
+    and 'mesh' are excluded from to_log_dict, so restored runs score
+    single-device at the default dtype policy unless re-requested)."""
+    hp = HyperParams()
+    for k, v in cfg.items():
+        if hasattr(hp, k):
+            setattr(hp, k, v)
+    return hp
+
+
+def load_run_config(run_dir: str) -> Tuple[HyperParams, Dict[str, Any]]:
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = json.load(f)
+    return hp_from_config(cfg), cfg
+
+
+def find_checkpoint(run_dir: str) -> str:
+    ckpts = glob.glob(os.path.join(run_dir, "best_params*"))
+    if not ckpts:
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    return os.path.abspath(ckpts[0])  # orbax requires absolute paths
+
+
+@dataclass
+class RunModels:
+    """Live models + restored params for one run.
+
+    `kind` selects the score/evaluate dispatch; `parts` is the positional
+    model/params prefix the matching `pipeline.eval.score_*` /
+    `evaluate_*` function expects before (test_data, hp, ...).
+    """
+
+    kind: str  # 'mdn' | 'nf' | 'recon' | 'mdn_resnet' | 'nf_resnet'
+    hp: HyperParams
+    parts: Tuple[Any, ...]
+    stages: Optional[Tuple[int, ...]] = None
+
+
+def _build_resnet_models(hp: HyperParams, arch: str, ckpt: str) -> RunModels:
+    """Rebuild the multi-stage ResNet head ensembles and restore the joint
+    {'heads': [...], 'encoder': ...} checkpoint the resnet trainers save."""
+    from vit_ad_tpu.models.resnet import (
+        STAGE_CHANNELS,
+        STAGE_SCALES,
+        ResNetEncoder,
+    )
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    enc_variables = encoder.init(
+        jax.random.split(jax.random.key(hp.seed))[1],
+        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+    )
+    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+
+    if arch == "mdn":
+        from vit_ad_tpu.models.mdn import GaussianMDN
+
+        stages = (2, 3)
+        mdns = [
+            GaussianMDN(features=STAGE_CHANNELS[i],
+                        num_gaussians=hp.num_gaussians)
+            for i in stages
+        ]
+        heads = [
+            m.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
+            for i, m in zip(stages, mdns)
+        ]
+        target = {"heads": heads, "encoder": enc_variables["params"]}
+        best = load_params(ckpt, target)
+        return RunModels(
+            kind="mdn_resnet", hp=hp, stages=stages,
+            parts=(encoder, {"params": best["encoder"], **enc_stats},
+                   mdns, best["heads"]),
+        )
+
+    from vit_ad_tpu.models.flow import NormalizingFlow
+
+    stages = (0, 1, 2)
+    flows, heads = [], []
+    for i in stages:
+        side = hp.img_size // STAGE_SCALES[i]
+        flow = NormalizingFlow(
+            num_channels=STAGE_CHANNELS[i], img_size=hp.img_size,
+            num_patches=side * side, hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps, dtypes=hp.dtypes,
+        )
+        flows.append(flow)
+        heads.append(
+            flow.init(jax.random.key(0),
+                      jnp.zeros((1, side, side, STAGE_CHANNELS[i])))
+        )
+    target = {"heads": heads, "encoder": enc_variables["params"]}
+    best = load_params(ckpt, target)
+    return RunModels(
+        kind="nf_resnet", hp=hp, stages=stages,
+        parts=(encoder, {"params": best["encoder"], **enc_stats},
+               flows, best["heads"]),
+    )
+
+
+def build_run_models(hp: HyperParams, ckpt: str) -> RunModels:
+    """Rebuild the run's models (deterministic per-seed init for the frozen
+    encoder, reference behavior) and restore the trained head/decoder params
+    from the orbax checkpoint."""
+    from vit_ad_tpu.registry import get_model
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    arch = hp.architecture
+    if "res_net" in hp.model_name and arch in ("mdn", "nf"):
+        return _build_resnet_models(hp, arch, ckpt)
+    if arch == "mdn":
+        from vit_ad_tpu.models.mdn import GaussianMDN
+        from vit_ad_tpu.pipeline.train import default_encoder_params
+
+        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+        enc_params = default_encoder_params(encoder, hp)
+        embed_dim = encoder.embed_dim
+        mdn = GaussianMDN(features=embed_dim, num_gaussians=hp.num_gaussians)
+        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, embed_dim)))
+        head = load_params(ckpt, target)
+        return RunModels(kind="mdn", hp=hp,
+                         parts=(encoder, enc_params, mdn, head))
+    if arch == "nf":
+        from vit_ad_tpu.models.flow import NormalizingFlow
+        from vit_ad_tpu.pipeline.train import default_encoder_params
+
+        encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+        enc_params = default_encoder_params(encoder, hp)
+        p = encoder.num_patches
+        flow = NormalizingFlow(
+            num_channels=encoder.embed_dim, img_size=hp.img_size,
+            num_patches=p, hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps, dtypes=hp.dtypes,
+        )
+        side = int(np.sqrt(p))
+        target = flow.init(
+            jax.random.key(0), jnp.zeros((1, side, side, encoder.embed_dim))
+        )
+        head = load_params(ckpt, target)
+        return RunModels(kind="nf", hp=hp,
+                         parts=(encoder, enc_params, flow, head))
+    # reconstruction
+    model = get_model(hp.model_name, hp.img_size, hp.dtypes)
+    target = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+        train=True,
+    )
+    variables = load_params(ckpt, target)
+    return RunModels(kind="recon", hp=hp, parts=(model, variables))
+
+
+def load_run(run_dir: str) -> Tuple[RunModels, Dict[str, Any]]:
+    """One-call form: run directory → (RunModels, raw config dict)."""
+    hp, cfg = load_run_config(run_dir)
+    return build_run_models(hp, find_checkpoint(run_dir)), cfg
+
+
+def _dispatch(m: RunModels, prefix: str):
+    from vit_ad_tpu.pipeline import eval as E
+
+    table = {
+        "mdn": E.score_mdn if prefix == "score" else E.evaluate_mdn,
+        "nf": E.score_nf if prefix == "score" else E.evaluate_nf,
+        "recon": E.score_recon if prefix == "score" else E.evaluate_recon,
+        "mdn_resnet": (E.score_mdn_resnet if prefix == "score"
+                       else E.evaluate_mdn_resnet),
+        "nf_resnet": (E.score_nf_resnet if prefix == "score"
+                      else E.evaluate_nf_resnet),
+    }
+    return table[m.kind]
+
+
+def score_models(m: RunModels, test_data, mean=None, std=None,
+                 keep_origs: int = 0):
+    """Label-free scoring dispatch: RunModels → pipeline.eval.ScoreOutput."""
+    kw: Dict[str, Any] = {"keep_origs": keep_origs}
+    if m.stages is not None:
+        kw["stages"] = m.stages
+    return _dispatch(m, "score")(*m.parts, test_data, m.hp, mean, std, **kw)
+
+
+def evaluate_models(m: RunModels, test_data, mean=None, std=None,
+                    figures_dir=None, logger=None) -> Dict[str, float]:
+    """Labeled re-evaluation dispatch: RunModels → reference metric dict."""
+    kw: Dict[str, Any] = {"figures_dir": figures_dir, "logger": logger}
+    if m.stages is not None:
+        kw["stages"] = m.stages
+    return _dispatch(m, "evaluate")(*m.parts, test_data, m.hp, mean, std, **kw)
