@@ -88,6 +88,52 @@ def test_score_folder_matches_evaluator(category, run_dir, tmp_path):
     assert len(pngs) == 2
 
 
+def test_score_pth_legacy_weights(category, tmp_path, monkeypatch):
+    """--pth mode: reference-format legacy weights score a folder directly
+    (the migration path: keep your trained .pth, point at images); scores
+    must agree with validate_pth's labeled evaluation of the same folder."""
+    import torch
+
+    import validation_loop as vl
+    from test_legacy_pth import TorchGMDN
+    from vit_ad_tpu.cli.score import main as score_main
+    from vit_ad_tpu.config import DtypePolicy
+    from vit_ad_tpu.data.dataset import infer_label
+    from vit_ad_tpu.models.vit import ViTEncoder
+    from vit_ad_tpu.pipeline.metrics import roc_auc_score
+
+    d = 32
+    torch.manual_seed(7)
+    pth = tmp_path / "4_gaussians_600-epochs_cat.pth"
+    torch.save(TorchGMDN(d, 4).state_dict(), pth)
+
+    def tiny_get_model(name, img_size, dtypes):
+        return ViTEncoder(img_size=img_size, patch_size=8, embed_dim=d,
+                          depth=2, num_heads=4, num_prefix_tokens=2,
+                          dtypes=DtypePolicy.f32())
+
+    import vit_ad_tpu.registry
+
+    monkeypatch.setattr(vit_ad_tpu.registry, "get_model", tiny_get_model)
+
+    out = tmp_path / "out"
+    root = os.path.dirname(category)
+    rc = score_main([
+        "--pth", str(pth), "-a", "mdn", "-m", "enc_deit", "-i", "32",
+        "-d", f"{category}/test", "-o", str(out),
+    ])
+    assert rc == 0
+    with open(out / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 8
+    scores = np.array([float(r["image_score"]) for r in rows])
+    labels = np.array([infer_label(r["path"]) for r in rows])
+    auroc = roc_auc_score(labels, scores)
+
+    ref = vl.validate_pth(str(pth), "enc_deit", "mdn", root, img_size=32)
+    assert auroc == pytest.approx(ref["image_auroc_score"], abs=1e-9)
+
+
 def test_score_folder_unlabeled_flat_dir(run_dir, tmp_path):
     """A flat folder of images with no dataset layout at all (the serving
     case) scores without labels, masks, or directory contracts."""

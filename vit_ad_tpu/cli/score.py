@@ -10,6 +10,14 @@ anomaly scores + optional heatmap overlays — no labels, no metrics.
     python -m vit_ad_tpu.cli.score -r runs/<name> -d /path/to/images \\
         [-o out_dir] [--heatmaps N] [--train-data DIR] [-b BATCH]
 
+Reference-format legacy `.pth` weights serve directly too (a reference user
+keeps their trained checkpoints and just points this at a folder; two .pth
+files = the ResNet-MDN two-file convention; `-E` supplies the pretrained
+trunk reference heads were trained against):
+
+    python -m vit_ad_tpu.cli.score --pth 100_gaussians_bottle.pth -a mdn \\
+        -E deit_base_distilled_patch16_224.pth -d /path/to/images
+
 Outputs (under -o, default <run>/scores):
   scores.csv      path,image_score — one row per input image, input order
   summary.json    n_images, score stats, run config echo
@@ -75,17 +83,75 @@ def score_folder(
     batch: int = 0,
     train_data: str = "",
 ) -> dict:
-    """Score every image under images_dir with the run's models; write
-    scores.csv / summary.json / heatmaps/ under out_dir and return the
-    summary dict."""
+    """Score every image under images_dir with a run directory's models."""
+    from vit_ad_tpu.pipeline.loading import load_run
+
+    models, cfg = load_run(run_dir)
+    return _score_with_models(
+        models, run_dir, cfg, images_dir,
+        out_dir or os.path.join(run_dir, "scores"),
+        heatmaps, batch, train_data,
+    )
+
+
+def score_pth(
+    pths: List[str],
+    arch: str,
+    images_dir: str,
+    out_dir: Optional[str] = None,
+    model_name: str = "enc_deit",
+    img_size: int = 224,
+    hidden_ratio: float = 0.16,
+    flow_steps: int = 20,
+    encoder_ckpt: str = "",
+    heatmaps: int = 0,
+    batch: int = 0,
+    train_data: str = "",
+) -> dict:
+    """Score a folder with reference-format legacy `.pth` weights — a
+    reference user serves fresh images with their EXISTING trained
+    checkpoints, no re-training (mdn/nf heads, full recon AEs; two .pth
+    files = the ResNet-MDN two-file convention). Pass `encoder_ckpt` for
+    reference-trained heads (pretrained trunk, see
+    pipeline/loading.build_pth_models)."""
+    from vit_ad_tpu.pipeline.loading import (
+        build_pth_models,
+        build_pth_resnet_mdn_models,
+    )
+
+    if len(pths) == 2:
+        if arch != "mdn":
+            raise SystemExit("two .pth files = the ResNet-MDN convention; "
+                             "use -a mdn")
+        models = build_pth_resnet_mdn_models(
+            pths[0], pths[1], img_size=img_size, encoder_ckpt=encoder_ckpt,
+        )
+    else:
+        models = build_pth_models(
+            pths[0], model_name, arch, img_size=img_size,
+            hidden_ratio=hidden_ratio, flow_steps=flow_steps,
+            encoder_ckpt=encoder_ckpt,
+        )
+    return _score_with_models(
+        models, pths[0], {"architecture": arch}, images_dir,
+        out_dir or os.path.splitext(pths[0])[0] + "_scores",
+        heatmaps, batch, train_data,
+    )
+
+
+def _score_with_models(
+    models, source: str, cfg: dict, images_dir: str, out_dir: str,
+    heatmaps: int, batch: int, train_data: str,
+) -> dict:
+    """Shared scoring body: write scores.csv / summary.json / heatmaps/
+    under out_dir and return the summary dict."""
     from vit_ad_tpu.data.loader import DataPipeline
-    from vit_ad_tpu.pipeline.loading import load_run, score_models
+    from vit_ad_tpu.pipeline.loading import score_models
 
     files = list_images(images_dir)
     if not files:
         raise SystemExit(f"no images found under {images_dir!r}")
 
-    models, cfg = load_run(run_dir)
     hp = models.hp
     if batch:
         hp.batch_size = batch
@@ -95,7 +161,6 @@ def score_folder(
                         files=files)
     s = score_models(models, pipe, mean, std)
 
-    out_dir = out_dir or os.path.join(run_dir, "scores")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "scores.csv"), "w", newline="") as f:
         w = csv.writer(f)
@@ -107,7 +172,7 @@ def score_folder(
         _save_heatmaps(s, files, hp, mean, std, out_dir, heatmaps)
 
     summary = {
-        "run": run_dir,
+        "run": source,
         "images": len(files),
         "arch": cfg.get("architecture", hp.architecture),
         "model": hp.model_name,
@@ -157,9 +222,14 @@ def _save_heatmaps(s, files, hp, mean, std, out_dir: str, n: int) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
-        description="score a folder of images with a trained run")
-    ap.add_argument("-r", "--run", required=True,
-                    help="run dir (config.json + best_params*)")
+        description="score a folder of images with a trained run or with "
+                    "reference-format legacy .pth weights")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("-r", "--run",
+                     help="run dir (config.json + best_params*)")
+    src.add_argument("--pth", nargs="+", metavar="PTH",
+                     help="reference-format .pth weights (two files = the "
+                          "ResNet-MDN two-file convention); needs -a")
     ap.add_argument("-d", "--images", required=True,
                     help="directory of images to score (recursive)")
     ap.add_argument("-o", "--out", default="",
@@ -170,11 +240,33 @@ def main(argv=None) -> int:
                     help="override the run's batch size")
     ap.add_argument("--train-data", default="",
                     help="training image dir (required for --centering runs)")
+    # --pth mode only (mirrors validation_loop's legacy flags):
+    ap.add_argument("-a", "--arch", default="",
+                    help="mdn|nf|recon (with --pth)")
+    ap.add_argument("-m", "--model", default="enc_deit",
+                    help="encoder/AE registry key (with --pth)")
+    ap.add_argument("-E", "--encoder-ckpt", default="",
+                    help="pretrained trunk for legacy heads (with --pth)")
+    ap.add_argument("-i", "--img-size", type=int, default=224)
+    ap.add_argument("-f", "--flow-steps", type=int, default=20)
+    ap.add_argument("--hidden-ratio", type=float, default=0.16)
     args = ap.parse_args(argv)
-    summary = score_folder(
-        args.run, args.images, out_dir=args.out or None,
-        heatmaps=args.heatmaps, batch=args.batch, train_data=args.train_data,
-    )
+    if args.pth:
+        if not args.arch:
+            ap.error("--pth needs -a <mdn|nf|recon>")
+        summary = score_pth(
+            args.pth, args.arch, args.images, out_dir=args.out or None,
+            model_name=args.model, img_size=args.img_size,
+            hidden_ratio=args.hidden_ratio, flow_steps=args.flow_steps,
+            encoder_ckpt=args.encoder_ckpt, heatmaps=args.heatmaps,
+            batch=args.batch, train_data=args.train_data,
+        )
+    else:
+        summary = score_folder(
+            args.run, args.images, out_dir=args.out or None,
+            heatmaps=args.heatmaps, batch=args.batch,
+            train_data=args.train_data,
+        )
     print(json.dumps(summary))
     return 0
 

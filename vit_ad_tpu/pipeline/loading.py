@@ -184,6 +184,205 @@ def load_run(run_dir: str) -> Tuple[RunModels, Dict[str, Any]]:
     return build_run_models(hp, find_checkpoint(run_dir)), cfg
 
 
+# ---- legacy reference-format torch .pth checkpoints ------------------------
+
+
+def parse_pth_filename(filename: str, arch: str):
+    """Reference filename convention (reference validation_loop.py:38-41,
+    92-95,163-166,212-215): MDN files lead with the gaussian count, every
+    file ends with the data class; 'nut'/'metal' tails mean metal_nut.
+    Returns (num_gaussians | None, dataclass)."""
+    stem = os.path.basename(filename)
+    stem = stem[:-4] if stem.endswith(".pth") else stem
+    dataclass = stem.split("_")[-1]
+    if dataclass in ("nut", "metal"):
+        dataclass = "metal_nut"
+    num_gaussians = None
+    if arch == "mdn":
+        num_gaussians = int(stem.split("_")[0])
+    return num_gaussians, dataclass
+
+
+def load_encoder_checkpoint(encoder, model_name: str, encoder_ckpt: str,
+                            img_size: int, target):
+    """Pretrained trunk weights for legacy-head re-evaluation: the
+    reference's heads were trained on frozen pretrained encoders (reference
+    TransformerEncoder.py:57,134); without pretrained trunk weights a
+    re-evaluated reference head is meaningless. Accepts either
+      * a torch ``.pth`` in the upstream layout (timm / torchvision / EsViT
+        release) — converted through the strict converter for the model, or
+      * an orbax checkpoint directory written by
+        ``python -m vit_ad_tpu.cli.convert_weights``.
+    """
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    if encoder_ckpt.endswith(".pth"):
+        from vit_ad_tpu.cli.convert_weights import MODEL_ARCH, convert_state_dict
+
+        if model_name not in MODEL_ARCH:
+            raise ValueError(
+                f"no torch converter registered for {model_name!r}; "
+                f"known: {sorted(MODEL_ARCH)}"
+            )
+        sd = tc.strip_prefix(tc.load_pth(encoder_ckpt), "module.")
+        _, converted = convert_state_dict(MODEL_ARCH[model_name], sd, img_size)
+        return tc.merge_variables(target, converted)
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    return load_params(os.path.abspath(encoder_ckpt), target)
+
+
+def build_pth_models(
+    pth_path: str,
+    model_name: str,
+    arch: str,
+    img_size: int = 224,
+    hidden_ratio: float = 0.16,
+    flow_steps: int = 20,
+    encoder_ckpt: str = "",
+    dtypes=None,
+) -> RunModels:
+    """Rebuild live models from a reference-format torch `.pth` head
+    checkpoint (reference validation_loop.validate_mdn/:35, validate_nf/:161):
+    parse num_gaussians/dataclass from the filename, convert the torch state
+    dict through the strict converters, rebuild encoder+head.
+
+    `encoder_ckpt` supplies the pretrained trunk the head was trained
+    against (upstream torch `.pth` or a convert_weights orbax dir — see
+    load_encoder_checkpoint). Without it the encoder is the deterministic
+    seed-random init: fine for heads trained by THIS framework against the
+    same seed, meaningless for reference-trained heads (a warning is
+    printed)."""
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.registry import get_model
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    num_gaussians, dataclass = parse_pth_filename(pth_path, arch)
+    hp = HyperParams(
+        model_name=model_name, architecture=arch, img_size=img_size,
+        hidden_ratio=hidden_ratio, flow_steps=flow_steps,
+        num_gaussians=num_gaussians or 150, data_class=dataclass,
+    )
+    if dtypes is not None:
+        # e.g. DtypePolicy.f32() for bit-tight cross-framework comparisons
+        # (tests/test_cross_framework.py); default stays the bf16 TPU policy
+        hp.dtypes = dtypes
+
+    if arch == "recon":
+        # reference recon .pth = the whole AutoEncoder state dict (frozen
+        # encoder + trained decoder, reference TrainingsHelper.py:112-122)
+        sd = tc.load_pth(pth_path)
+        model = get_model(hp.model_name, hp.img_size, hp.dtypes)
+        target = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+            train=True,
+        )
+        variables = tc.merge_variables(
+            target, tc.convert_recon_ae(sd, img_size=hp.img_size)
+        )
+        return RunModels(kind="recon", hp=hp, parts=(model, variables))
+
+    encoder = get_model(hp.model_name, hp.img_size, hp.dtypes)
+    enc_params = default_encoder_params(encoder, hp)
+    if encoder_ckpt:
+        enc_params = load_encoder_checkpoint(
+            encoder, hp.model_name, encoder_ckpt, hp.img_size, enc_params
+        )
+    else:
+        print(
+            f"build_pth_models ({arch}): no encoder checkpoint given (-E) — "
+            "evaluating against the seed-random trunk; reference-trained "
+            "heads need their pretrained trunk weights for meaningful scores"
+        )
+    sd = tc.load_pth(pth_path)
+
+    if arch == "mdn":
+        from vit_ad_tpu.models.mdn import GaussianMDN
+
+        d = encoder.embed_dim
+        mdn = GaussianMDN(features=d, num_gaussians=hp.num_gaussians)
+        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, d)))
+        head = tc.merge_variables(target, tc.convert_mdn_head(sd))
+        return RunModels(kind="mdn", hp=hp,
+                         parts=(encoder, enc_params, mdn, head))
+
+    if arch == "nf":
+        from vit_ad_tpu.models.flow import NormalizingFlow
+
+        converted, perms = tc.convert_nf_head(sd, hp.flow_steps)
+        p = encoder.num_patches
+        flow = NormalizingFlow(
+            num_channels=encoder.embed_dim, img_size=hp.img_size,
+            num_patches=p, hidden_ratio=hp.hidden_ratio,
+            flow_steps=hp.flow_steps, perms=perms, dtypes=hp.dtypes,
+        )
+        side = int(np.sqrt(p))
+        target = flow.init(
+            jax.random.key(0), jnp.zeros((1, side, side, encoder.embed_dim))
+        )
+        head = tc.merge_variables(target, converted)
+        return RunModels(kind="nf", hp=hp,
+                         parts=(encoder, enc_params, flow, head))
+
+    raise ValueError(
+        f"legacy .pth re-evaluation supports mdn|nf|recon, got {arch!r}"
+    )
+
+
+def build_pth_resnet_mdn_models(
+    pth_stage2: str,
+    pth_stage3: str,
+    img_size: int = 224,
+    encoder_ckpt: str = "",
+) -> RunModels:
+    """Rebuild the reference's two-file ResNet-MDN legacy checkpoints
+    (reference validation_loop.validate_mdn_resnet:87-160 pairs one .pth per
+    stage GMM positionally; stage channels 1024/2048 = res_net stages 2,3).
+
+    `encoder_ckpt` should point at ImageNet resnet50 weights (torchvision
+    .pth or a convert_weights orbax dir): the reference's GMMs were trained
+    on a frozen ImageNet-pretrained trunk (reference CnnEncoder.py:140-145),
+    so without it the evaluation runs against a random trunk (warned)."""
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, ResNetEncoder
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    num_gaussians, dataclass = parse_pth_filename(pth_stage2, "mdn")
+    hp = HyperParams(
+        model_name="res_net", architecture="mdn", img_size=img_size,
+        num_gaussians=num_gaussians or 150, data_class=dataclass,
+    )
+    encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
+    enc_variables = encoder.init(
+        jax.random.split(jax.random.key(hp.seed))[1],
+        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
+    )
+    if encoder_ckpt:
+        enc_variables = load_encoder_checkpoint(
+            encoder, "res_net", encoder_ckpt, hp.img_size, enc_variables
+        )
+    else:
+        print(
+            "build_pth_resnet_mdn_models: no encoder checkpoint given (-E) — "
+            "evaluating against a random resnet50 trunk; the reference's "
+            "GMM heads were trained on ImageNet-pretrained features"
+        )
+    stages = (2, 3)
+    mdns, heads = [], []
+    for i, pth in zip(stages, (pth_stage2, pth_stage3)):
+        d = STAGE_CHANNELS[i]
+        mdn = GaussianMDN(features=d, num_gaussians=hp.num_gaussians)
+        target = mdn.init(jax.random.key(0), jnp.zeros((1, 1, d)))
+        head = tc.merge_variables(
+            target, tc.convert_mdn_head(tc.load_pth(pth))
+        )
+        mdns.append(mdn)
+        heads.append(head)
+    return RunModels(kind="mdn_resnet", hp=hp, stages=stages,
+                     parts=(encoder, enc_variables, mdns, heads))
+
+
 def _dispatch(m: RunModels, prefix: str):
     from vit_ad_tpu.pipeline import eval as E
 
