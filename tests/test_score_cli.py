@@ -134,6 +134,35 @@ def test_score_pth_legacy_weights(category, tmp_path, monkeypatch):
     assert auroc == pytest.approx(ref["image_auroc_score"], abs=1e-9)
 
 
+def test_score_folder_mesh_matches_single_device(category, run_dir, tmp_path):
+    """Multi-chip serving: --mesh 4x2 scoring over the virtual 8-device CPU
+    mesh reproduces single-device scores (DP batch sharding is a pure
+    scheduling change)."""
+    from vit_ad_tpu.cli.score import score_folder
+
+    run, _ = run_dir
+    single = score_folder(run, f"{category}/test",
+                          out_dir=str(tmp_path / "single"))
+    meshed = score_folder(run, f"{category}/test",
+                          out_dir=str(tmp_path / "mesh"), mesh="4x2")
+    with open(tmp_path / "single" / "scores.csv") as f:
+        s_rows = list(csv.DictReader(f))
+    with open(tmp_path / "mesh" / "scores.csv") as f:
+        m_rows = list(csv.DictReader(f))
+    assert [r["path"] for r in s_rows] == [r["path"] for r in m_rows]
+    s_scores = np.array([float(r["image_score"]) for r in s_rows])
+    m_scores = np.array([float(r["image_score"]) for r in m_rows])
+    # run-dir models rebuild at the default bf16 compute policy
+    # (hp_from_config drops 'dtypes'), and splitting the batch across
+    # devices changes matmul tiling → bf16 rounding drift of ~1e-3 on these
+    # O(0.1) scores. The f32 exact-parity check lives in
+    # test_eval_scan.test_evaluate_nf_mesh_scoring; here we lock the
+    # serving-level invariant: near-identical scores, same top hit.
+    np.testing.assert_allclose(m_scores, s_scores, rtol=2e-2, atol=5e-3)
+    assert int(np.argmax(m_scores)) == int(np.argmax(s_scores))
+    assert meshed["images"] == single["images"]
+
+
 def test_score_folder_unlabeled_flat_dir(run_dir, tmp_path):
     """A flat folder of images with no dataset layout at all (the serving
     case) scores without labels, masks, or directory contracts."""

@@ -82,6 +82,7 @@ def score_folder(
     heatmaps: int = 0,
     batch: int = 0,
     train_data: str = "",
+    mesh: str = "",
 ) -> dict:
     """Score every image under images_dir with a run directory's models."""
     from vit_ad_tpu.pipeline.loading import load_run
@@ -90,7 +91,7 @@ def score_folder(
     return _score_with_models(
         models, run_dir, cfg, images_dir,
         out_dir or os.path.join(run_dir, "scores"),
-        heatmaps, batch, train_data,
+        heatmaps, batch, train_data, mesh,
     )
 
 
@@ -107,6 +108,7 @@ def score_pth(
     heatmaps: int = 0,
     batch: int = 0,
     train_data: str = "",
+    mesh: str = "",
 ) -> dict:
     """Score a folder with reference-format legacy `.pth` weights — a
     reference user serves fresh images with their EXISTING trained
@@ -135,13 +137,13 @@ def score_pth(
     return _score_with_models(
         models, pths[0], {"architecture": arch}, images_dir,
         out_dir or os.path.splitext(pths[0])[0] + "_scores",
-        heatmaps, batch, train_data,
+        heatmaps, batch, train_data, mesh,
     )
 
 
 def _score_with_models(
     models, source: str, cfg: dict, images_dir: str, out_dir: str,
-    heatmaps: int, batch: int, train_data: str,
+    heatmaps: int, batch: int, train_data: str, mesh: str = "",
 ) -> dict:
     """Shared scoring body: write scores.csv / summary.json / heatmaps/
     under out_dir and return the summary dict."""
@@ -155,6 +157,12 @@ def _score_with_models(
     hp = models.hp
     if batch:
         hp.batch_size = batch
+    if mesh:
+        # multi-chip serving: the evaluators self-setup from hp.mesh and
+        # shard scoring batches over the data axis (pipeline/eval._eval_mesh)
+        from vit_ad_tpu.config import MeshConfig
+
+        hp.mesh = MeshConfig.parse(mesh)
     mean, std = _norm_stats_for(hp, train_data)
 
     pipe = DataPipeline(batch_size=hp.batch_size, img_size=hp.img_size,
@@ -240,6 +248,10 @@ def main(argv=None) -> int:
                     help="override the run's batch size")
     ap.add_argument("--train-data", default="",
                     help="training image dir (required for --centering runs)")
+    ap.add_argument("--mesh", default="",
+                    help="shard scoring batches over a device mesh, DxM or "
+                         "'auto' (multi-chip serving; same flag as the "
+                         "trainers)")
     # --pth mode only (mirrors validation_loop's legacy flags):
     ap.add_argument("-a", "--arch", default="",
                     help="mdn|nf|recon (with --pth)")
@@ -251,6 +263,7 @@ def main(argv=None) -> int:
     ap.add_argument("-f", "--flow-steps", type=int, default=20)
     ap.add_argument("--hidden-ratio", type=float, default=0.16)
     args = ap.parse_args(argv)
+    mesh = args.mesh
     if args.pth:
         if not args.arch:
             ap.error("--pth needs -a <mdn|nf|recon>")
@@ -259,13 +272,13 @@ def main(argv=None) -> int:
             model_name=args.model, img_size=args.img_size,
             hidden_ratio=args.hidden_ratio, flow_steps=args.flow_steps,
             encoder_ckpt=args.encoder_ckpt, heatmaps=args.heatmaps,
-            batch=args.batch, train_data=args.train_data,
+            batch=args.batch, train_data=args.train_data, mesh=mesh,
         )
     else:
         summary = score_folder(
             args.run, args.images, out_dir=args.out or None,
             heatmaps=args.heatmaps, batch=args.batch,
-            train_data=args.train_data,
+            train_data=args.train_data, mesh=mesh,
         )
     print(json.dumps(summary))
     return 0
