@@ -52,6 +52,11 @@ def parse_args(
 ) -> Optional[Tuple[HyperParams, str, str, str]]:
     """Parse reference-style flags into (hp, data_path, train_pref,
     test_pref); returns None if -h printed help."""
+    # multi-host (pod) runs connect here, before the backend initializes —
+    # after this, jax.devices() is the GLOBAL list and --mesh spans hosts
+    from vit_ad_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     shortopts = "hm:p:e:a:l:w:b:s:d:i:v:t:" + extra_short
     opts, _ = getopt.getopt(argv, shortopts, ["centering", "mesh="])
     for opt, arg in opts:

@@ -30,13 +30,18 @@ class EarlyStopping:
 
     def update(self, loss: float, params: Any, epoch: int) -> bool:
         """Record an epoch result. Returns True when training should stop."""
+        from vit_ad_tpu.parallel.multihost import host_snapshot, is_primary
+
         if self.best_loss is None or loss < self.best_loss:
             self.best_loss = loss
-            # device_get: keep the snapshot in host RAM, off the HBM budget
-            self.best_params = jax.device_get(params)
+            # host snapshot: keep best weights in host RAM, off the HBM
+            # budget (allgather-aware — multi-host TP shards live on other
+            # hosts' chips)
+            self.best_params = host_snapshot(params)
             self.best_epoch = epoch
             self.counter = 0
-            if self.save_fn is not None:
+            if self.save_fn is not None and is_primary():
+                # every process holds the identical snapshot; one writes it
                 self.save_fn(self.best_params, epoch, loss)
         else:
             self.counter += 1

@@ -34,6 +34,7 @@ from vit_ad_tpu.data.loader import Batch, DataPipeline, preprocess
 from vit_ad_tpu.models.mdn import GaussianMDN
 from vit_ad_tpu.ops.resize import interpolate_bilinear
 from vit_ad_tpu.parallel.context import MeshContext
+from vit_ad_tpu.parallel.multihost import fetch_global
 from vit_ad_tpu.pipeline import metrics as M
 
 
@@ -139,10 +140,12 @@ def _collect(
             ims = mc.shard_batch(ims)
         out = score_fn(ims)
         n = int(batch.valid.sum())
+        # fetch_global = np.asarray single-host; allgathers the data-axis
+        # shards first when the mesh spans hosts (parallel/multihost.py)
         if isinstance(out, tuple):
-            payloads.append([np.asarray(o[:n]) for o in out])
+            payloads.append([fetch_global(o)[:n] for o in out])
         else:
-            payloads.append(np.asarray(out[:n]))
+            payloads.append(fetch_global(out)[:n])
         labels.append(np.asarray(batch.labels[:n]))
         masks.append(np.asarray(batch.masks[:n]))
         if kept < keep_origs:
@@ -188,7 +191,7 @@ def _collect_scan(
             else jnp.asarray(staged)
         )
         outs.append(scan_score(staged))  # queue the dispatch; fetch below
-    host = [jax.tree.map(np.asarray, o) for o in outs]  # ONE draining pass
+    host = [jax.tree.map(fetch_global, o) for o in outs]  # ONE draining pass
     flat: list = []
     for o in host:
         group = o if isinstance(o, tuple) else (o,)

@@ -50,11 +50,15 @@ def extract_features(
 ) -> np.ndarray:
     """Run the extractor over a batch stream, dropping padded rows.
     Returns features [N, P, D] on host."""
+    from vit_ad_tpu.parallel.multihost import fetch_global
+
     chunks = []
     for batch in batches:
         feats = extractor(batch.images)
         n_valid = int(batch.valid.sum())
-        chunks.append(np.asarray(feats[:n_valid]))
+        # fetch_global = np.asarray single-host; with TP-sharded encoder
+        # params on a multi-host mesh the output spans hosts → allgather
+        chunks.append(fetch_global(feats)[:n_valid])
     return np.concatenate(chunks, axis=0)
 
 
