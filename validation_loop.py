@@ -151,6 +151,11 @@ def validate_pth_resnet_mdn(
 
 
 def main(argv):
+    # multi-host re-evaluation: connect before the backend initializes
+    # (no-op unless the VITAD_* cluster env is set)
+    from vit_ad_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     runs_dir = "runs"
     data_root = ""
     test_pref = "test"

@@ -263,6 +263,11 @@ def main(argv=None) -> int:
     ap.add_argument("-f", "--flow-steps", type=int, default=20)
     ap.add_argument("--hidden-ratio", type=float, default=0.16)
     args = ap.parse_args(argv)
+    # multi-host serving: connect before the backend initializes so --mesh
+    # spans hosts (no-op unless the VITAD_* cluster env is set)
+    from vit_ad_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     mesh = args.mesh
     if args.pth:
         if not args.arch:

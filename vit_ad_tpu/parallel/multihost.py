@@ -61,7 +61,11 @@ def maybe_initialize_distributed() -> bool:
     if os.environ.get("VITAD_MULTIHOST") == "1":
         jax.distributed.initialize()
         return True
-    return jax.process_count() > 1
+    # no cluster requested: return WITHOUT touching jax.process_count() —
+    # that would initialize the backend mid-CLI-parse (before the trainer's
+    # own platform/device handling, and a 25-minute stall when a remote
+    # accelerator plugin is attached but unreachable)
+    return False
 
 
 def is_multihost() -> bool:
