@@ -32,7 +32,17 @@ log "=== 2/3 bench_epoch: mdn,nf,recon scan-of-batches epochs ==="
 python tools/bench_epoch.py --which mdn,nf,recon --n-train 160 --batch 32 \
     2>&1 | grep -v "^WARNING"
 
-log "=== 3/3 bench.py flagship confirm ==="
+log "=== 3/5 bench.py flagship confirm ==="
 python bench.py
+
+log "=== 4/5 trace decomposition: enc_eff_former (no bound analysis yet) ==="
+python tools/profile_trace.py --model enc_eff_former --batch 128 --top 25 \
+    > tools/trace_eff_former.txt 2>&1
+tail -30 tools/trace_eff_former.txt
+
+log "=== 5/5 trace decomposition: enc_nest ==="
+python tools/profile_trace.py --model enc_nest --batch 128 --top 25 \
+    > tools/trace_nest.txt 2>&1
+tail -30 tools/trace_nest.txt
 
 log "queue done"
