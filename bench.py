@@ -288,7 +288,7 @@ def _cpu_reference() -> float:
     return val
 
 
-def _wait_for_backend() -> None:
+def _wait_for_backend() -> bool:
     """Bounded wait for the accelerator backend to come up.
 
     The axon tunnel occasionally drops for minutes at a time; a backend-init
@@ -296,14 +296,15 @@ def _wait_for_backend() -> None:
     failing, and the failure is cached process-wide by jax. Probe in a
     SUBPROCESS (so a failed probe doesn't poison this process's backend
     cache) and retry until BENCH_INIT_WAIT seconds (default 3600) are
-    exhausted, then proceed regardless — jax.devices() in main() will fall
-    back to CPU or raise with the real error.
+    exhausted. Returns True when an accelerator answered (or a CPU run was
+    explicitly requested), False when the budget ran out with the tunnel
+    still down.
     """
     import subprocess
     import sys
 
     if (os.environ.get("VITAD_PLATFORM") or os.environ.get("JAX_PLATFORMS")) == "cpu":
-        return  # CPU run requested — there is no accelerator to wait for
+        return True  # CPU run requested — there is no accelerator to wait for
     budget = float(os.environ.get("BENCH_INIT_WAIT", 3600))
     deadline = time.time() + budget
     # assert: jax initializing with only CPU devices (silent accelerator
@@ -314,13 +315,40 @@ def _wait_for_backend() -> None:
             [sys.executable, "-c", probe],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
-        if rc == 0 or time.time() >= deadline:
-            return
+        if rc == 0:
+            return True
+        if time.time() >= deadline:
+            return False
         time.sleep(min(60.0, max(1.0, deadline - time.time())))
 
 
+def _backend_unavailable_exit() -> None:
+    """Emit an explicit infra-failure JSON line and exit nonzero.
+
+    Without this, an exhausted wait would fall through to jax.devices(),
+    which silently falls back to the host CPU and records the flagship at
+    ~60 img/s — an apparent 50x regression that is really a dead tunnel.
+    An honest failure marker beats a misleading number.
+    """
+    import sys
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (DeiT-base+NF-20 inference, 224px, bf16)",
+                "value": 0,
+                "unit": "img/s",
+                "error": "accelerator backend unavailable after BENCH_INIT_WAIT; "
+                         "refusing to substitute a host-CPU measurement",
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def main() -> None:
-    _wait_for_backend()
+    if not _wait_for_backend():
+        _backend_unavailable_exit()
     import jax
 
     from vit_ad_tpu.config import DtypePolicy
@@ -359,7 +387,8 @@ if __name__ == "__main__":
         # registry key, so future BENCH rounds can track more than the
         # flagship. The no-arg invocation (driver contract) is unchanged.
         name = sys.argv[sys.argv.index("--backbone") + 1]
-        _wait_for_backend()
+        if not _wait_for_backend():
+            _backend_unavailable_exit()
         print(json.dumps(bench_backbone(name)))
     else:
         main()

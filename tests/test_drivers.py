@@ -312,16 +312,18 @@ def test_bench_wait_for_backend(monkeypatch):
     monkeypatch.delenv("VITAD_PLATFORM", raising=False)
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
 
-    bench._wait_for_backend()
+    assert bench._wait_for_backend() is True
     assert calls["n"] == 3          # two failures, then success
     assert len(sleeps) == 2 and all(0 < s <= 60 for s in sleeps)
 
-    # zero budget → exactly one probe, no sleep, even on failure
+    # zero budget → exactly one probe, no sleep, and an exhausted wait
+    # reports False (main() then emits the infra-failure JSON + rc 1
+    # instead of silently benchmarking the host CPU)
     calls["n"] = -10_000            # always fail
     monkeypatch.setattr(subprocess, "call", lambda *a, **k: 1)
     sleeps.clear()
     monkeypatch.setenv("BENCH_INIT_WAIT", "0")
-    bench._wait_for_backend()
+    assert bench._wait_for_backend() is False
     assert sleeps == []
 
     # forced-CPU env skips probing entirely
@@ -330,4 +332,22 @@ def test_bench_wait_for_backend(monkeypatch):
         subprocess, "call",
         lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed")),
     )
-    bench._wait_for_backend()
+    assert bench._wait_for_backend() is True
+
+
+def test_bench_backend_unavailable_exit(capsys):
+    """The exhausted-wait path prints one explicit error JSON line and exits
+    nonzero — it must never fall through to a host-CPU flagship number."""
+    import json as json_mod
+
+    import pytest
+
+    import bench
+
+    with pytest.raises(SystemExit) as ex:
+        bench._backend_unavailable_exit()
+    assert ex.value.code == 1
+    line = capsys.readouterr().out.strip()
+    payload = json_mod.loads(line)
+    assert payload["value"] == 0
+    assert "unavailable" in payload["error"]
