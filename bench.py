@@ -102,7 +102,7 @@ def _build(device, dtypes, fused: bool):
 
 
 def _throughput(score, device, batch, warmup, iters, scan_score=None,
-                scan_chunk=5) -> float:
+                scan_chunk=5, max_chunks=100) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -140,7 +140,7 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
         np.asarray(scan_score(images_n))
         dt1 = time.perf_counter() - t0
         if dt1 < 1.0:
-            grown = min(100, int(np.ceil(scan_chunk * 1.0 / max(dt1, 1e-3))))
+            grown = min(max_chunks, int(np.ceil(scan_chunk * 1.0 / max(dt1, 1e-3))))
             if grown > scan_chunk:
                 scan_chunk = grown
                 images_n = stage(scan_chunk)
@@ -269,6 +269,45 @@ def bench_backbone(name: str, batch: int = None, iters: int = ITERS) -> dict:
     return out
 
 
+def bench_latency(name: str = None, iters: int = 2000) -> dict:
+    """Serving latency: steady-state device ms/img at batch 1.
+
+    Measured scan-amortized (a lax.scan of B=1 forwards over pre-staged
+    distinct images, one final fetch), i.e. the pipelined per-image device
+    latency a serving stream sees once warm. Host dispatch overhead is
+    excluded by construction — on a locally-attached TPU it is ~µs; on the
+    axon tunnel the first image of a stream additionally pays the ~24 ms
+    roundtrip. B=1 stages are tiny (224²·3 uint8/img), so the adaptive
+    dispatch-growth cap is lifted to `iters` chunks (~0.3 GB at 2000).
+    `name=None` measures the flagship DeiT-base+NF-20 pipeline."""
+    import jax
+
+    from vit_ad_tpu.config import DtypePolicy
+
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    device = accel[0] if accel else jax.devices()[0]
+    if name is None:
+        _, scan_score = _build(device, DtypePolicy(), fused=True)
+        label = "DeiT-base+NF-20 inference"
+    else:
+        scan_score, _ = build_model_score(name, device, DtypePolicy(), batch=1)
+        label = f"{name} forward"
+    ips = max(
+        _throughput(
+            lambda im: None, device, batch=1, warmup=WARMUP, iters=iters,
+            scan_score=scan_score, scan_chunk=min(200, iters),
+            max_chunks=iters,
+        )
+        for _ in range(2)  # best-of-2: transient tunnel stalls only slow runs
+    )
+    return {
+        "metric": f"serving latency ({label}, B=1, steady-state device ms/img)",
+        "value": round(1000.0 / ips, 3),
+        "unit": "ms/img",
+        "throughput_b1_img_s": round(ips, 1),
+    }
+
+
 def _cpu_reference() -> float:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -382,7 +421,16 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
-    if "--backbone" in sys.argv:
+    if "--latency" in sys.argv:
+        # serving-latency mode: B=1 steady-state device ms/img, flagship by
+        # default or any registry key via --backbone
+        name = None
+        if "--backbone" in sys.argv:
+            name = sys.argv[sys.argv.index("--backbone") + 1]
+        if not _wait_for_backend():
+            _backend_unavailable_exit()
+        print(json.dumps(bench_latency(name)))
+    elif "--backbone" in sys.argv:
         # per-backbone mode (round-2 VERDICT item 7): one JSON line for any
         # registry key, so future BENCH rounds can track more than the
         # flagship. The no-arg invocation (driver contract) is unchanged.

@@ -335,6 +335,39 @@ def test_bench_wait_for_backend(monkeypatch):
     assert bench._wait_for_backend() is True
 
 
+def test_bench_latency_mode(monkeypatch):
+    """--latency mode: B=1, flagship by default, ms/img = 1000/ips, and the
+    adaptive-chunk memory cap is lifted (B=1 stages are tiny)."""
+    import bench
+
+    seen = {}
+
+    def fake_build(device, dtypes, fused):
+        assert fused
+        return (lambda im: None), (lambda ims: ims)
+
+    def fake_tp(score, device, batch, warmup, iters, scan_score=None,
+                scan_chunk=5, max_chunks=100):
+        seen.update(batch=batch, scan_chunk=scan_chunk, max_chunks=max_chunks)
+        return 400.0  # img/s at B=1
+
+    monkeypatch.setattr(bench, "_build", fake_build)
+    monkeypatch.setattr(bench, "_throughput", fake_tp)
+    out = bench.bench_latency(None)
+    assert seen["batch"] == 1
+    assert seen["max_chunks"] == 2000 and seen["scan_chunk"] == 200
+    assert out["unit"] == "ms/img" and abs(out["value"] - 2.5) < 1e-9
+    assert "DeiT-base+NF-20" in out["metric"]
+
+    def fake_bms(name, device, dtypes, batch):
+        seen["name"] = name
+        return (lambda ims: ims), (lambda im: None)
+
+    monkeypatch.setattr(bench, "build_model_score", fake_bms)
+    out = bench.bench_latency("enc_res_net")
+    assert seen["name"] == "enc_res_net" and "enc_res_net" in out["metric"]
+
+
 def test_bench_backend_unavailable_exit(capsys):
     """The exhausted-wait path prints one explicit error JSON line and exits
     nonzero — it must never fall through to a host-CPU flagship number."""
