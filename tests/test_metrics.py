@@ -77,8 +77,10 @@ def test_calc_all_metrics_names_and_values(rng):
         "pixel_auroc_score",
         "image_prauc_score",
         "pro_score_0.3fp",
+        "aupro_score_0.3fp",
         "fp_thres",
     }
+    assert 0.0 <= out["aupro_score_0.3fp"] <= 1.0
     assert out["image_auroc_score"] == pytest.approx(
         skm.roc_auc_score(image_labels, image_scores)
     )
@@ -92,3 +94,97 @@ def test_calc_all_metrics_names_and_values(rng):
         skm.roc_auc_score(pixel_labels.ravel(), fluently.ravel())
     )
     assert 0.65 < out["image_auroc_score"] <= 1.0
+
+
+# ---- true AUPRO (per-region overlap, the standard MVTec protocol) ----------
+
+
+def _aupro_bruteforce(labels, scores, fpr_limit=0.3):
+    """Literal threshold sweep: at every distinct score value t, predictions
+    = (scores >= t); PRO = mean over connected GT regions of the covered
+    fraction; FPR over good pixels. Trapezoid up to fpr_limit with linear
+    interpolation at the crossing, normalized. Independent of the
+    vectorized implementation (explicit masks per threshold)."""
+    from scipy import ndimage
+
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, np.float64)
+    region_masks = []
+    for i in range(labels.shape[0]):
+        comp, n = ndimage.label(labels[i] != 0)
+        for r in range(1, n + 1):
+            region_masks.append((i, comp == r))
+    neg_mask = labels == 0
+    pts = []
+    for t in np.unique(scores)[::-1]:  # descending
+        pred = scores >= t
+        pro = np.mean([pred[i][m].mean() for i, m in region_masks])
+        fpr = pred[neg_mask].mean()
+        pts.append((fpr, pro))
+    fpr = np.array([p[0] for p in pts])
+    pro = np.array([p[1] for p in pts])
+    if fpr[0] > 0:
+        fpr, pro = np.r_[0.0, fpr], np.r_[0.0, pro]
+    # clip at the limit
+    if fpr[-1] > fpr_limit:
+        j = int(np.argmax(fpr > fpr_limit))
+        w = (fpr_limit - fpr[j - 1]) / (fpr[j] - fpr[j - 1])
+        pro_at = pro[j - 1] + w * (pro[j] - pro[j - 1])
+        fpr = np.r_[fpr[:j], fpr_limit]
+        pro = np.r_[pro[:j], pro_at]
+    return float(np.trapezoid(pro, fpr) / fpr_limit)
+
+
+@pytest.mark.parametrize("limit", [0.3, 0.1, 1.0])
+def test_aupro_matches_bruteforce(rng, limit):
+    n, h, w = 3, 12, 12
+    labels = np.zeros((n, h, w))
+    labels[0, 2:5, 2:5] = 1          # one 3x3 region
+    labels[1, 1:3, 8:11] = 1         # two regions in one image
+    labels[1, 7:11, 1:4] = 1
+    labels[2, 5, 5] = 1              # single-pixel region
+    scores = rng.normal(size=(n, h, w)) * 0.5 + labels
+    got = M.aupro_score(labels, scores, fpr_limit=limit)
+    want = _aupro_bruteforce(labels, scores, fpr_limit=limit)
+    assert got == pytest.approx(want, abs=1e-12)
+    assert 0.0 <= got <= 1.0
+
+
+def test_aupro_perfect_and_inverted():
+    labels = np.zeros((1, 8, 8))
+    labels[0, 2:5, 3:6] = 1
+    scores = labels + 0.0
+    assert M.aupro_score(labels, scores) == pytest.approx(1.0)
+    # inverted scores: regions only covered at FPR 1, nothing below the limit
+    assert M.aupro_score(labels, -scores, fpr_limit=0.3) == pytest.approx(
+        0.0, abs=1e-12
+    )
+
+
+def test_aupro_region_weighting_differs_from_pixel_metrics(rng):
+    """A tiny region fully missed drags AUPRO by 1/n_regions regardless of
+    its pixel count — the property the thresholded-AUROC 'pro' lacks."""
+    labels = np.zeros((1, 16, 16))
+    labels[0, 0:8, 0:8] = 1          # 64-pixel region, perfectly scored
+    labels[0, 12, 12] = 1            # 1-pixel region, missed entirely
+    scores = np.zeros((1, 16, 16))
+    scores[0, 0:8, 0:8] = 1.0
+    scores[0, 12, 12] = -1.0
+    # region average: (1 + 0) / 2 at every sub-limit FPR
+    assert M.aupro_score(labels, scores, fpr_limit=0.3) == pytest.approx(0.5)
+
+
+def test_aupro_needs_both_classes():
+    with pytest.raises(ValueError):
+        M.aupro_score(np.zeros((1, 4, 4)), np.zeros((1, 4, 4)))
+    with pytest.raises(ValueError):
+        M.aupro_score(np.ones((1, 4, 4)), np.zeros((1, 4, 4)))
+
+
+def test_aupro_subsampled_grid_close(rng):
+    labels = np.zeros((2, 16, 16))
+    labels[:, 4:9, 4:9] = 1
+    scores = rng.normal(size=(2, 16, 16)) * 0.4 + labels
+    exact = M.aupro_score(labels, scores)
+    approx = M.aupro_score(labels, scores, max_steps=64)
+    assert approx == pytest.approx(exact, abs=0.02)

@@ -57,7 +57,16 @@ def convert_state_dict(arch: str, sd, img_size: int = 224):
         from vit_ad_tpu.models.resnet import ResNetEncoder
 
         encoder = ResNetEncoder(img_size=img_size)
-        converted = tc.convert_resnet50(sd)
+        # two torch layouts arrive here: bare torchvision resnet50 keys
+        # (conv1.weight, ...) and the reference's full ResNetEncoder
+        # (trunk under `res_net.` + trainable stage `norms.{i}` — what
+        # export_weights emits for multi-stage runs so trained norms
+        # survive the round trip; the reference itself never saves them,
+        # reference TrainingsHelper.py:112-122 saves `models=mdn_list` only)
+        if any(k.startswith("res_net.") for k in sd):
+            converted = tc.convert_resnet_encoder(sd)
+        else:
+            converted = tc.convert_resnet50(sd)
     elif arch == "esvit":
         from vit_ad_tpu.models.swin import esvit_swin_tiny
 

@@ -14,8 +14,12 @@ AutoEncoder .pth files: transformer AEs (`encoder.model.*` timm layout +
 `decoder.*`, torch_convert.export_transformer_ae) and ResNet AEs
 (`encoder.res_net.*` + `encoder.norms.*` + `decoder.*`, export_resnet_ae —
 the frozen trunk's unused classifier fc is emitted zeroed) and the vanilla
-CNN AE (export_vanilla_ae). The EfficientNet AE and the multi-stage ResNet
-ensembles are not exportable (no reference legacy import path either).
+CNN AE (export_vanilla_ae). Multi-stage ResNet-trunk MDN/NF runs export one
+reference-layout file per stage head plus the trained ResNetEncoder (pass a
+directory as --dst; the reference saves only the head list and loses its
+trained stage norms — TrainingsHelper.py:112-122 — so the encoder file is
+an improvement over the reference's own artifacts). The EfficientNet AE is
+not exportable (no reference legacy import path either).
 """
 
 from __future__ import annotations
@@ -25,6 +29,70 @@ import glob
 import json
 import os
 import sys
+
+
+def _save_pth(sd, path) -> None:
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+
+def _export_resnet_multistage(run_dir: str, dst: str, cfg: dict,
+                              arch: str) -> int:
+    """Multi-stage ResNet-trunk runs → one reference-layout `.pth` per stage
+    head + the trained encoder.
+
+    Mirrors what the reference's own training leaves behind — early_stopping
+    saves each stage head's state dict as a separate file (reference
+    TrainingsHelper.py:112-122 over `models=mdn_list`/`nf_list`,
+    LearnerMDN.py:387, LearnerNF.py:352) — and goes one further: the
+    reference never saves the ResNetEncoder, so its trained stage LayerNorms
+    are unrecoverable after a run; we export them (`ResNetEncoder_*.pth`,
+    reference CnnEncoder.py:150-158 layout) so both frameworks can restore
+    the full model. MDN stage files are named `{K}_stage{i}_{dataclass}.pth`
+    — directly parseable by the reference's validate_mdn_resnet
+    (validation_loop.py:91-95: leading gaussian count, trailing dataclass)
+    and by our own `validation_loop.validate_pth_resnet_mdn` (whose `-E`
+    flag accepts the exported encoder file, so the trained norms are used)."""
+    from vit_ad_tpu.pipeline.loading import (
+        _build_resnet_models,
+        find_checkpoint,
+        hp_from_config,
+    )
+    from vit_ad_tpu.utils import torch_convert as tc
+
+    if dst.endswith(".pth"):
+        print("multi-stage ResNet runs export several files; pass an output "
+              "DIRECTORY as --dst", file=sys.stderr)
+        return 2
+    hp = hp_from_config(cfg)
+    m = _build_resnet_models(hp, arch, find_checkpoint(run_dir))
+    _, enc_variables, _, heads = m.parts
+    os.makedirs(dst, exist_ok=True)
+    dataclass = hp.data_class or "run"
+
+    written = []
+    if arch == "mdn":
+        for si, head in zip(m.stages, heads):
+            path = os.path.join(
+                dst, f"{hp.num_gaussians}_stage{si}_{dataclass}.pth")
+            _save_pth(tc.export_mdn_head(head), path)
+            written.append(path)
+    else:
+        from vit_ad_tpu.models.resnet import STAGE_SCALES
+
+        for si, head in zip(m.stages, heads):
+            side = hp.img_size // STAGE_SCALES[si]
+            path = os.path.join(dst, f"NormalizingFlow_{si}_{dataclass}.pth")
+            _save_pth(tc.export_nf_head(head, num_patches=side * side), path)
+            written.append(path)
+
+    enc_path = os.path.join(dst, f"ResNetEncoder_{dataclass}.pth")
+    _save_pth(tc.export_resnet_encoder(enc_variables), enc_path)
+    written.append(enc_path)
+    for p in written:
+        print(f"exported -> {p}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -43,16 +111,14 @@ def main(argv=None) -> int:
     if not ckpts:
         print(f"no best_params* checkpoint in {args.run}", file=sys.stderr)
         return 2
-    tree = load_tree(os.path.abspath(ckpts[0]))
 
     name = cfg.get("model_name", "")
     try:
         if arch in ("mdn", "nf") and "res_net" in name:
-            print("multi-stage ResNet-trunk runs store per-stage heads + "
-                  "trainable stage norms; the reference has no single-.pth "
-                  "format for them (it re-trains those in place)",
-                  file=sys.stderr)
-            return 2
+            # joint {'heads': [...], 'encoder': ...} checkpoint — restored
+            # against its target tree inside (list-typed nodes need one)
+            return _export_resnet_multistage(args.run, args.dst, cfg, arch)
+        tree = load_tree(os.path.abspath(ckpts[0]))
         if arch == "mdn":
             sd = tc.export_mdn_head(tree)
         elif arch == "nf":
