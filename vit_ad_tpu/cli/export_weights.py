@@ -10,7 +10,8 @@ so a user can migrate in either direction:
 
 The run directory needs `config.json` + a `best_params*` checkpoint (what
 every training CLI writes). Reconstruction AEs export as full reference
-AutoEncoder .pth files: transformer AEs (`encoder.model.*` timm layout +
+AutoEncoder .pth files: transformer AEs for all five families (the
+family-named `encoder.{deit,vit,nest,efficientformer,esvit}.*` layouts +
 `decoder.*`, torch_convert.export_transformer_ae) and ResNet AEs
 (`encoder.res_net.*` + `encoder.norms.*` + `decoder.*`, export_resnet_ae —
 the frozen trunk's unused classifier fc is emitted zeroed) and the vanilla
@@ -131,12 +132,14 @@ def main(argv=None) -> int:
                 sd = tc.export_resnet_ae(tree)
             elif name == "ae_cnn":
                 sd = tc.export_vanilla_ae(tree)
-            elif name.startswith(("ae_deit", "ae_vit")):
+            elif name.startswith(("ae_deit", "ae_vit", "ae_nest",
+                                  "ae_esvit", "ae_eff_former")):
                 sd = tc.export_transformer_ae(tree)
             else:
-                print(f"recon export supports the vanilla / ViT-DeiT "
-                      f"transformer / ResNet AEs (the reference layouts "
-                      f"with exporters); got {name!r}", file=sys.stderr)
+                print(f"recon export supports the vanilla AE, the ResNet "
+                      f"AEs, and all five transformer AE families; got "
+                      f"{name!r} (ae_eff_net has no reference legacy "
+                      f"format)", file=sys.stderr)
                 return 2
         else:
             print(f"architecture {arch!r} has no reference .pth head format "

@@ -646,6 +646,215 @@ def export_vit(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _inv_ln(leaf: Mapping[str, Any], out: Dict[str, np.ndarray],
+            name: str) -> None:
+    """Our LayerNorm wrapper ({"LayerNorm_0": {scale, bias}}) → torch
+    `{name}.weight/bias` (inverse of the converters' `ln()` helper)."""
+    inner = leaf["LayerNorm_0"]
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.asarray(inner["scale"], np.float32)
+    )
+    out[f"{name}.bias"] = np.ascontiguousarray(
+        np.asarray(inner["bias"], np.float32)
+    )
+
+
+def export_nest(
+    params: Mapping[str, Any],
+    num_heads=(3, 6, 12),
+    num_classes: int = 1000,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_nest`: NesT params → the timm `jx_nest_tiny`
+    state-dict layout (the model the reference wraps frozen at
+    `encoder.nest`, reference TransformerEncoder.py:57). Levels/depths are
+    derived from the param keys; `num_heads` must match the model (it sets
+    the attn-proj head-merge re-permutation — timm merges heads as
+    (head_dim, heads), ours as (heads, head_dim), see convert_nest). The
+    classifier `head` the frozen timm model carries is emitted ZEROED
+    (unused by forward_features but present in reference state dicts)."""
+    f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    sd: Dict[str, np.ndarray] = {}
+    pe = params["patch_embed"]
+    sd["patch_embed.proj.weight"] = _inv_conv(pe["kernel"])
+    sd["patch_embed.proj.bias"] = f32(pe["bias"])
+    li = 0
+    while f"pos_embed_{li}" in params:
+        sd[f"levels.{li}.pos_embed"] = f32(params[f"pos_embed_{li}"])
+        if li > 0:
+            pool = params[f"pool{li - 1}"]
+            sd[f"levels.{li}.pool.conv.weight"] = _inv_conv(pool["conv"]["kernel"])
+            sd[f"levels.{li}.pool.conv.bias"] = f32(pool["conv"]["bias"])
+            _inv_ln(pool["norm"], sd, f"levels.{li}.pool.norm")
+        bj = 0
+        while f"level{li}_block{bj}" in params:
+            bp = params[f"level{li}_block{bj}"]
+            t = f"levels.{li}.transformer_encoder.{bj}"
+            _inv_ln(bp["norm1"], sd, f"{t}.norm1")
+            _inv_linear(bp["qkv"], sd, f"{t}.attn.qkv")
+            pk = np.asarray(bp["proj"]["kernel"], np.float32)  # [C_in, C_out]
+            c = pk.shape[0]
+            heads = num_heads[li]
+            pk = pk.reshape(heads, c // heads, c).transpose(1, 0, 2).reshape(c, c)
+            sd[f"{t}.attn.proj.weight"] = np.ascontiguousarray(pk.T)
+            sd[f"{t}.attn.proj.bias"] = f32(bp["proj"]["bias"])
+            _inv_ln(bp["norm2"], sd, f"{t}.norm2")
+            _inv_linear(bp["mlp"]["fc1"], sd, f"{t}.mlp.fc1")
+            _inv_linear(bp["mlp"]["fc2"], sd, f"{t}.mlp.fc2")
+            bj += 1
+        li += 1
+    _inv_ln(params["norm"], sd, "norm")
+    d = int(np.asarray(params["norm"]["LayerNorm_0"]["scale"]).shape[0])
+    sd["head.weight"] = np.zeros((num_classes, d), np.float32)
+    sd["head.bias"] = np.zeros(num_classes, np.float32)
+    return sd
+
+
+def export_efficientformer(
+    variables: Mapping[str, Any], num_classes: int = 1000
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_efficientformer`: EfficientFormer variables → the
+    timm `efficientformer_l3` state-dict layout (frozen at
+    `encoder.efficientformer` in the reference, TransformerEncoder.py:92).
+    Stage depths and the 2d/1d block split are derived from the param keys
+    (timm's parameter-less `Flat` module shifts torch block indices by one
+    before the 1d blocks); `attention_bias_idxs` buffers are recomputed in
+    timm's |dy|*res + |dx| indexing; the timm classifier `head`/`head_dist`
+    pair is emitted ZEROED (distilled model, unused by forward_features)."""
+    import re
+
+    p, s = variables["params"], variables.get("batch_stats", {})
+    f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    sd: Dict[str, np.ndarray] = {}
+
+    def inv_conv_bn(src_p, src_s, conv_name, bn_name):
+        sd[f"{conv_name}.weight"] = _inv_conv(src_p["conv"]["kernel"])
+        if "bias" in src_p["conv"]:
+            sd[f"{conv_name}.bias"] = f32(src_p["conv"]["bias"])
+        _inv_bn(src_p["bn"], src_s["bn"], sd, bn_name)
+
+    inv_conv_bn(p["stem1"], s["stem1"], "stem.conv1", "stem.norm1")
+    inv_conv_bn(p["stem2"], s["stem2"], "stem.conv2", "stem.norm2")
+
+    blocks: Dict[int, int] = {}
+    for k in p:
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", k)
+        if m:
+            si, bj = int(m.group(1)), int(m.group(2))
+            blocks[si] = max(blocks.get(si, 0), bj + 1)
+    for si in range(max(blocks) + 1):
+        if si > 0:
+            inv_conv_bn(
+                p[f"downsample{si}"], s[f"downsample{si}"],
+                f"stages.{si}.downsample.conv", f"stages.{si}.downsample.norm",
+            )
+        depth = blocks[si]
+        n_3d = sum(
+            1 for bj in range(depth) if "qkv" in p[f"stage{si}_block{bj}"]
+        )
+        for bj in range(depth):
+            bp = p[f"stage{si}_block{bj}"]
+            tj = bj if bj < depth - n_3d else bj + 1  # Flat slot shift
+            src = f"stages.{si}.blocks.{tj}"
+            sd[f"{src}.layer_scale_1"] = f32(bp["layer_scale_1"])
+            sd[f"{src}.layer_scale_2"] = f32(bp["layer_scale_2"])
+            if "qkv" in bp:  # MetaBlock1d
+                _inv_ln(bp["norm1"], sd, f"{src}.norm1")
+                _inv_linear(bp["qkv"], sd, f"{src}.token_mixer.qkv")
+                ab = f32(bp["attention_biases"])  # [heads, res*res]
+                sd[f"{src}.token_mixer.attention_biases"] = ab
+                res = int(round(np.sqrt(ab.shape[1])))
+                yy, xx = np.divmod(np.arange(res * res), res)
+                sd[f"{src}.token_mixer.attention_bias_idxs"] = (
+                    np.abs(yy[:, None] - yy[None, :]) * res
+                    + np.abs(xx[:, None] - xx[None, :])
+                ).astype(np.int64)
+                _inv_linear(bp["proj"], sd, f"{src}.token_mixer.proj")
+                _inv_ln(bp["norm2"], sd, f"{src}.norm2")
+                _inv_linear(bp["mlp"]["fc1"], sd, f"{src}.mlp.fc1")
+                _inv_linear(bp["mlp"]["fc2"], sd, f"{src}.mlp.fc2")
+            else:  # MetaBlock2d
+                ss = s[f"stage{si}_block{bj}"]
+                inv_conv_bn(bp["mlp_fc1"], ss["mlp_fc1"],
+                            f"{src}.mlp.fc1", f"{src}.mlp.norm1")
+                inv_conv_bn(bp["mlp_fc2"], ss["mlp_fc2"],
+                            f"{src}.mlp.fc2", f"{src}.mlp.norm2")
+    _inv_ln(p["norm"], sd, "norm")
+    d = int(np.asarray(p["norm"]["LayerNorm_0"]["scale"]).shape[0])
+    for h in ("head", "head_dist"):
+        sd[f"{h}.weight"] = np.zeros((num_classes, d), np.float32)
+        sd[f"{h}.bias"] = np.zeros(num_classes, np.float32)
+    return sd
+
+
+def _swin_rel_pos_index(window: int) -> np.ndarray:
+    """Pair-wise relative-position index for a square window — the exact
+    vendored-module formula (reference SwinTransformerModule.py:120-134)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    )
+    cf = coords.reshape(2, -1)
+    rel = (cf[:, :, None] - cf[:, None, :]).transpose(1, 2, 0).copy()
+    rel[..., 0] += window - 1
+    rel[..., 1] += window - 1
+    rel[..., 0] *= 2 * window - 1
+    return rel.sum(-1).astype(np.int64)
+
+
+def export_swin(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_swin`: SwinTransformer params (the inner tree
+    convert_swin nests under 'esvit') → the vendored EsViT module's
+    state-dict layout (reference SwinTransformerModule.py:689-852). The
+    scan-stacked (unshifted, shifted) pairs unstack to per-block
+    `layers.{si}.blocks.{bj}` keys; `relative_position_index` buffers are
+    recomputed per block (persistent in the vendored module, :134) while
+    `attn_mask` is NOT emitted (a lazy cache, never in reference state
+    dicts, :292-314) and no head keys exist (the reference delattrs the
+    head before loading, TransformerEncoder.py:256). Bias tables export at
+    the model's effective (resolution-clamped) window — no interpolation,
+    matching what the reference saves after its own surgery."""
+    f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    sd: Dict[str, np.ndarray] = {}
+    pe = params["patch_embed"]
+    sd["patch_embed.proj.weight"] = _inv_conv(pe["kernel"])
+    sd["patch_embed.proj.bias"] = f32(pe["bias"])
+    _inv_ln(params["patch_norm"], sd, "patch_embed.norm")
+    _inv_ln(params["norm"], sd, "norm")
+    si = 0
+    while f"layer{si}" in params:
+        stage = params[f"layer{si}"]
+        n_pairs = int(np.asarray(stage["a_norm1_scale"]).shape[0])
+        for tag, parity in (("a", 0), ("b", 1)):
+            for j in range(n_pairs):
+                t = f"layers.{si}.blocks.{2 * j + parity}"
+                g = lambda leaf: np.asarray(stage[f"{tag}_{leaf}"][j], np.float32)
+                sd[f"{t}.norm1.weight"] = f32(g("norm1_scale"))
+                sd[f"{t}.norm1.bias"] = f32(g("norm1_bias"))
+                sd[f"{t}.attn.qkv.weight"] = f32(g("qkv_kernel").T)
+                sd[f"{t}.attn.qkv.bias"] = f32(g("qkv_bias"))
+                table = g("bias_table")
+                sd[f"{t}.attn.relative_position_bias_table"] = f32(table)
+                window = int(round((table.shape[0] ** 0.5 + 1) / 2))
+                sd[f"{t}.attn.relative_position_index"] = _swin_rel_pos_index(
+                    window
+                )
+                sd[f"{t}.attn.proj.weight"] = f32(g("proj_kernel").T)
+                sd[f"{t}.attn.proj.bias"] = f32(g("proj_bias"))
+                sd[f"{t}.norm2.weight"] = f32(g("norm2_scale"))
+                sd[f"{t}.norm2.bias"] = f32(g("norm2_bias"))
+                sd[f"{t}.mlp.fc1.weight"] = f32(g("fc1_kernel").T)
+                sd[f"{t}.mlp.fc1.bias"] = f32(g("fc1_bias"))
+                sd[f"{t}.mlp.fc2.weight"] = f32(g("fc2_kernel").T)
+                sd[f"{t}.mlp.fc2.bias"] = f32(g("fc2_bias"))
+        if f"layer{si}_downsample" in params:
+            dp = params[f"layer{si}_downsample"]
+            _inv_ln(dp["norm"], sd, f"layers.{si}.downsample.norm")
+            sd[f"layers.{si}.downsample.reduction.weight"] = f32(
+                np.asarray(dp["reduction"]["kernel"], np.float32).T
+            )
+        si += 1
+    return sd
+
+
 def export_small_decoder(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of `convert_small_decoder`: SmallDecoder variables → the
     reference DecoderVanillaCNN / DecoderCNNLinEnd layout — including the
@@ -810,17 +1019,22 @@ def export_resnet_ae(variables: Mapping[str, Any],
     return sd
 
 
-def export_transformer_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
-    """Inverse of `convert_transformer_ae` for the ViT/DeiT families: full
-    TransformerAutoEncoder variables → the reference AutoEncoderDeit /
-    AutoEncoderViT .pth layout — the frozen timm encoder lives at the
-    FAMILY-NAMED attribute (`encoder.deit.` for 2-prefix distilled models,
-    `encoder.vit.` otherwise; reference TransformerEncoder.py:134,193), with
-    the timm classifier head(s) emitted ZEROED (frozen and unused by the
-    reference forward_features path, but present in its state dict), decoder
+def export_transformer_ae(
+    variables: Mapping[str, Any], nest_num_heads=(3, 6, 12)
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_transformer_ae` for ALL five reference encoder
+    families: full TransformerAutoEncoder variables → the reference
+    AutoEncoder{Deit,ViT,Nest,EfficientFormer,EsVit} .pth layouts — the
+    frozen encoder lives at the FAMILY-NAMED attribute (`encoder.deit.` /
+    `encoder.vit.` / `encoder.nest.` / `encoder.efficientformer.` /
+    `encoder.esvit.`, reference TransformerEncoder.py:57,92,134,193,267),
+    with timm classifier head(s) emitted ZEROED where the frozen model
+    carries them (EsViT has none — the reference delattrs it), decoder
     under `decoder.` — strict-loadable by the reference's torch AE classes.
-    Decoder kind is sniffed from the params (`recon_conv1` → small decoder,
-    `trunk` → resnet)."""
+    The family and decoder kind are sniffed from the param tree
+    (`recon_conv1` → small decoder, else resnet decoder);
+    `nest_num_heads` feeds export_nest's head-merge re-permutation
+    (jx_nest_tiny default)."""
     p = variables["params"]
     dec_vars = {
         "params": p["decoder"],
@@ -830,14 +1044,28 @@ def export_transformer_ae(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]
         dec = export_small_decoder(dec_vars)
     else:
         dec = export_resnet_decoder(dec_vars)
-    enc = export_vit(p["encoder"])
-    d = int(np.asarray(p["encoder"]["norm_scale"]).shape[-1])
-    distilled = np.asarray(p["encoder"]["prefix_tokens"]).shape[1] == 2
-    heads = ("head", "head_dist") if distilled else ("head",)
-    for h in heads:
-        enc[f"{h}.weight"] = np.zeros((1000, d), np.float32)
-        enc[f"{h}.bias"] = np.zeros(1000, np.float32)
-    attr = "deit" if distilled else "vit"
+    enc_p = p["encoder"]
+    if "esvit" in enc_p:
+        attr = "esvit"
+        enc = export_swin(enc_p["esvit"])
+    elif "stem1" in enc_p:
+        attr = "efficientformer"
+        enc = export_efficientformer({
+            "params": enc_p,
+            "batch_stats": variables.get("batch_stats", {}).get("encoder", {}),
+        })
+    elif "pos_embed_0" in enc_p:
+        attr = "nest"
+        enc = export_nest(enc_p, num_heads=nest_num_heads)
+    else:
+        enc = export_vit(enc_p)
+        d = int(np.asarray(enc_p["norm_scale"]).shape[-1])
+        distilled = np.asarray(enc_p["prefix_tokens"]).shape[1] == 2
+        heads = ("head", "head_dist") if distilled else ("head",)
+        for h in heads:
+            enc[f"{h}.weight"] = np.zeros((1000, d), np.float32)
+            enc[f"{h}.bias"] = np.zeros(1000, np.float32)
+        attr = "deit" if distilled else "vit"
     sd = {f"encoder.{attr}.{k}": v for k, v in enc.items()}
     sd.update({f"decoder.{k}": v for k, v in dec.items()})
     return sd
