@@ -39,7 +39,7 @@ from typing import List, Optional
 
 import numpy as np
 
-IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp")
+from vit_ad_tpu.data.files import IMAGE_EXTENSIONS
 
 
 def list_images(images_dir: str) -> List[str]:
