@@ -241,6 +241,62 @@ def test_nf_pth_roundtrip_matches_torch_evaluator(rehearsal, tmp_path):
         ours["pixel_auroc_score"], pix_auroc)
 
 
+def _make_torch_ae():
+    """Reference AutoEncoderDeit replica at the rehearsal's tiny geometry:
+    timm model (with its frozen classifier heads) at `encoder.deit`
+    (reference TransformerEncoder.py:134), small decoder over the cls-token
+    latent."""
+    from test_decoder_convert import TorchSmallDecoder
+    from test_torch_convert import TorchViT
+    from torch import nn as tnn
+
+    class TorchDeitWithHeads(TorchViT):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.head = tnn.Linear(kw["dim"], 1000)
+            self.head_dist = tnn.Linear(kw["dim"], 1000)
+
+    class TorchAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = tnn.Module()
+            self.encoder.deit = TorchDeitWithHeads(
+                img=IMG, patch=8, dim=D, depth=2, heads=4, prefix=2
+            )
+            self.decoder = TorchSmallDecoder(z_space=D, s=1)
+
+        def forward(self, x):
+            toks = self.encoder.deit(x)
+            return self.decoder(toks[:, 0])  # cls-token latent
+
+    return TorchAE()
+
+
+def _collect_test_images(test):
+    images, labels, masks = [], [], []
+    for batch in test.test_batches():
+        n = int(batch.valid.sum())
+        images.append(np.asarray(batch.images)[:n])
+        labels.append(np.asarray(batch.labels[:n]))
+        masks.append(np.asarray(batch.masks[:n]))
+    return (np.concatenate(images), np.concatenate(labels),
+            np.concatenate(masks))
+
+
+def _torch_recon_scores(tm, images, mean, std):
+    """Independent reference-ValidatorRecon evaluator: normalized input,
+    channel-mean squared-error map, image score = amax
+    (reference ValidatorRecon.py:92-136)."""
+    with torch.no_grad():
+        x = torch.from_numpy(images.astype(np.float32) / 255.0)
+        x = (x - torch.tensor(mean)) / torch.tensor(std)
+        x = x.permute(0, 3, 1, 2)
+        recon = tm(x)
+        err = ((recon - x) ** 2).mean(dim=1)      # [N, H, W] channel-mean
+        image_scores = err.reshape(err.shape[0], -1).max(dim=1).values
+    return image_scores.numpy(), err.numpy(), x
+
+
 def test_recon_ae_export_matches_torch_evaluator(rehearsal, tmp_path):
     """The EXPORT direction of the dress rehearsal: an AE trained by OUR
     train_recon exports to the reference AutoEncoderDeit .pth layout, a
@@ -249,10 +305,6 @@ def test_recon_ae_export_matches_torch_evaluator(rehearsal, tmp_path):
     error map, image score = amax; reference ValidatorRecon.py:92-136)
     reproduces our evaluate_recon metrics — so a reference user can
     re-evaluate our trained AEs with their own tooling."""
-    from test_decoder_convert import TorchSmallDecoder
-    from test_torch_convert import TorchViT
-    from torch import nn as tnn
-
     from vit_ad_tpu.data.dataset import default_norm_stats
     from vit_ad_tpu.models.autoencoder import TransformerAutoEncoder
     from vit_ad_tpu.pipeline.train import train_recon
@@ -276,26 +328,7 @@ def test_recon_ae_export_matches_torch_evaluator(rehearsal, tmp_path):
 
     sd = export_transformer_ae(res.head_params)
 
-    class TorchDeitWithHeads(TorchViT):
-        def __init__(self, **kw):
-            super().__init__(**kw)
-            self.head = tnn.Linear(kw["dim"], 1000)
-            self.head_dist = tnn.Linear(kw["dim"], 1000)
-
-    class TorchAE(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.encoder = tnn.Module()
-            self.encoder.deit = TorchDeitWithHeads(
-                img=IMG, patch=8, dim=D, depth=2, heads=4, prefix=2
-            )
-            self.decoder = TorchSmallDecoder(z_space=D, s=1)
-
-        def forward(self, x):
-            toks = self.encoder.deit(x)
-            return self.decoder(toks[:, 0])  # cls-token latent
-
-    tm = TorchAE()
+    tm = _make_torch_ae()
     tm.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
         strict=True,
@@ -305,28 +338,81 @@ def test_recon_ae_export_matches_torch_evaluator(rehearsal, tmp_path):
     # independent evaluator over the raw test images, reference
     # preprocessing (/255, ImageNet normalize, NCHW)
     mean, std = default_norm_stats()
-    images, labels, masks = [], [], []
-    for batch in test.test_batches():
-        n = int(batch.valid.sum())
-        images.append(np.asarray(batch.images)[:n])
-        labels.append(np.asarray(batch.labels[:n]))
-        masks.append(np.asarray(batch.masks[:n]))
-    images = np.concatenate(images)
-    labels, masks = np.concatenate(labels), np.concatenate(masks)
+    images, labels, masks = _collect_test_images(test)
+    image_scores, err, _ = _torch_recon_scores(tm, images, mean, std)
 
-    with torch.no_grad():
-        x = torch.from_numpy(images.astype(np.float32) / 255.0)
-        x = (x - torch.tensor(mean)) / torch.tensor(std)
-        x = x.permute(0, 3, 1, 2)
-        recon = tm(x)
-        err = ((recon - x) ** 2).mean(dim=1)      # [N, H, W] channel-mean
-        image_scores = err.reshape(err.shape[0], -1).max(dim=1).values
-
-    img_auroc = _mannwhitney_auroc(labels, image_scores.numpy())
-    pix_auroc = _mannwhitney_auroc(masks, err.numpy())
+    img_auroc = _mannwhitney_auroc(labels, image_scores)
+    pix_auroc = _mannwhitney_auroc(masks, err)
 
     assert abs(ours["image_auroc_score"] - img_auroc) < 1e-3, (
         ours["image_auroc_score"], img_auroc)
     assert abs(ours["pixel_auroc_score"] - pix_auroc) < 1e-3, (
         ours["pixel_auroc_score"], pix_auroc)
-    assert np.std(image_scores.numpy()) > 0
+    assert np.std(image_scores) > 0
+
+
+def test_recon_ae_pth_roundtrip_matches_torch_evaluator(rehearsal, tmp_path):
+    """The IMPORT direction for recon — the reference→us migration scenario
+    the other two heads already cover: an AE TRAINED IN TORCH with the
+    reference's loss loop (Adam over the decoder, frozen timm encoder, MSE
+    on normalized images; reference LearnerRecon.py:390-448), saved as a
+    reference-layout .pth (the WHOLE AutoEncoder state dict incl. the
+    encoder, reference TrainingsHelper.py:112-122), re-evaluated through
+    validate_pth (convert_recon_ae → full-AE rebuild → evaluate_recon) ≡ an
+    independent torch evaluator running the reference ValidatorRecon loop
+    on the same torch model. Completes the {mdn, nf, recon} × {import,
+    export} rehearsal matrix."""
+    from vit_ad_tpu.data.dataset import default_norm_stats
+    from vit_ad_tpu.models.autoencoder import TransformerAutoEncoder
+
+    torch.manual_seed(21)
+    tm = _make_torch_ae()
+    for p in tm.encoder.deit.parameters():  # frozen pretrained encoder
+        p.requires_grad = False
+    mean, std = default_norm_stats()
+
+    train = DataPipeline(batch_size=64,
+                         base_path=f"{rehearsal['root']}/widget",
+                         data_path="train/good", img_size=IMG)
+    imgs = np.concatenate([
+        np.asarray(b.images)[: int(b.valid.sum())]
+        for b in train.train_batches()
+    ])
+    x = torch.from_numpy(imgs.astype(np.float32) / 255.0)
+    x = ((x - torch.tensor(mean)) / torch.tensor(std)).permute(0, 3, 1, 2)
+
+    opt = torch.optim.Adam(
+        [p for p in tm.parameters() if p.requires_grad], lr=1e-3
+    )
+    tm.train()
+    for _ in range(30):
+        opt.zero_grad()
+        loss = ((tm(x) - x) ** 2).mean()
+        loss.backward()
+        opt.step()
+    tm.eval()
+
+    pth = tmp_path / "recon-rehearsal_widget.pth"
+    torch.save(tm.state_dict(), pth)
+
+    import validation_loop as vl
+
+    ae = TransformerAutoEncoder(encoder=rehearsal["encoder"],
+                                decoder_kind="cnn", img_size=IMG, dtypes=F32)
+    with _patched_registry(ae):
+        ours = vl.validate_pth(str(pth), "ae_deit", "recon",
+                               rehearsal["root"], img_size=IMG, dtypes=F32)
+
+    test = DataPipeline(batch_size=64, base_path=f"{rehearsal['root']}/widget",
+                        data_path="test", img_size=IMG, validation_mode=True)
+    images, labels, masks = _collect_test_images(test)
+    image_scores, err, _ = _torch_recon_scores(tm, images, mean, std)
+
+    img_auroc = _mannwhitney_auroc(labels, image_scores)
+    pix_auroc = _mannwhitney_auroc(masks, err)
+
+    assert abs(ours["image_auroc_score"] - img_auroc) < 1e-3, (
+        ours["image_auroc_score"], img_auroc)
+    assert abs(ours["pixel_auroc_score"] - pix_auroc) < 1e-3, (
+        ours["pixel_auroc_score"], pix_auroc)
+    assert np.std(image_scores) > 0
