@@ -1,124 +1,114 @@
-"""tools/compare_results.py — joining our sweep CSV against the reference's
-wandb-export baselines (BASELINE.md acceptance check)."""
+"""tools/compare_results.py — the BASELINE.md §6 acceptance harness.
+
+Locks the reference-CSV parser against the REAL artifacts (the wandb run
+exports under /root/reference/csv_results_*, read-only) so the tool is
+known-good the moment real MVTec/BTAD data + pretrained weights become
+available, and unit-tests the tolerance logic on synthetic rows."""
 
 import csv
 import os
 import sys
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from compare_results import compare, load_ours, load_reference  # noqa: E402
 
-import compare_results as cr  # noqa: E402
+REF = "/root/reference"
+MVTEC_15 = {
+    "bottle", "cable", "capsule", "carpet", "grid", "hazelnut", "leather",
+    "metal_nut", "pill", "screw", "tile", "toothbrush", "transistor", "wood",
+    "zipper",
+}
+METRICS = ["image_auroc_score", "pixel_auroc_score"]
 
-REF_HEADER = [
-    "Name", "State", "Tags", "architecture", "encoder", "dataclass",
-    "dataset", "image_auroc_score", "pixel_auroc_score",
-]
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference artifacts not mounted"
+)
 
 
-def _write_csv(path, header, rows):
+@needs_ref
+def test_parses_nf_mvtec_lastblock_baseline():
+    """The flagship baseline sheet: 15 categories, per-category image AUROC,
+    and the BASELINE.md / SURVEY §6 headline means reproduced from the raw
+    export (mean image AUROC 0.9559, pixel 0.9336)."""
+    ref = load_reference(
+        os.path.join(REF, "csv_results_nf", "nf_mvtec_lastblock.csv"), METRICS
+    )
+    assert set(ref) == MVTEC_15
+    img = np.mean([v["image_auroc_score"] for v in ref.values()])
+    pix = np.mean([v["pixel_auroc_score"] for v in ref.values()])
+    assert abs(img - 0.9559) < 2e-3, img
+    assert abs(pix - 0.9336) < 2e-3, pix
+
+
+@needs_ref
+def test_parses_gmm_backbone_sweep_with_encoder_filter():
+    """Backbone-sweep sheets hold several rows per category; --encoder
+    narrows them. The EsViT subset must reproduce BASELINE.md's winning
+    0.9077 mean image AUROC over its 5 categories."""
+    path = os.path.join(REF, "csv_results_gmm", "gmm_different_backbones.csv")
+    esvit = load_reference(path, METRICS, encoder="EsVit")
+    assert len(esvit) == 5, sorted(esvit)
+    mean = np.mean([v["image_auroc_score"] for v in esvit.values()])
+    assert abs(mean - 0.9077) < 2e-3, mean
+    deit = load_reference(path, METRICS, encoder="Deit")
+    assert len(deit) == 5
+    assert abs(
+        np.mean([v["image_auroc_score"] for v in deit.values()]) - 0.7743
+    ) < 2e-3
+
+
+@needs_ref
+def test_parses_btad_sheet():
+    ref = load_reference(
+        os.path.join(REF, "csv_results_nf", "nf_btad.csv"), METRICS
+    )
+    assert set(ref) == {"01", "02", "03"}
+
+
+def _write_ours(path, rows):
     with open(path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=header)
+        w = csv.DictWriter(
+            f, fieldnames=["data_class", "error"] + METRICS
+        )
         w.writeheader()
-        w.writerows(rows)
+        for r in rows:
+            w.writerow(r)
 
 
-def _ref_csv(tmp_path):
-    """Two categories; bottle has both a training row (worse) and an Eval row
-    (the one BASELINE.md reads); tile has eval rows for two backbones."""
-    path = str(tmp_path / "ref.csv")
-    _write_csv(path, REF_HEADER, [
-        {"Name": "EncoderDeit_NF-2023", "dataclass": "bottle",
-         "dataset": "mvtec", "architecture": "EncoderDeit_NormalizingFlow",
-         "image_auroc_score": "0.90", "pixel_auroc_score": "0.80"},
-        {"Name": "Eval-nf-on-mvtec_bottle", "dataclass": "bottle",
-         "dataset": "mvtec", "architecture": "EncoderDeit_NormalizingFlow",
-         "image_auroc_score": "0.9984", "pixel_auroc_score": "0.8641"},
-        {"Name": "Eval-gmm-on-mvtec_tile", "dataclass": "tile",
-         "dataset": "mvtec", "architecture": "EncoderEsVit_GMM",
-         "image_auroc_score": "0.9931", "pixel_auroc_score": "0.6428"},
-        {"Name": "Eval-gmm-on-mvtec_tile", "dataclass": "tile",
-         "dataset": "mvtec", "architecture": "EncoderNest_GMM",
-         "image_auroc_score": "0.6728", "pixel_auroc_score": "0.5060"},
+def test_compare_tolerance_and_exit_semantics(tmp_path):
+    """Within-tolerance shortfalls and any-size wins pass; a >0.5-pt
+    shortfall fails; errored sweep rows and one-sided categories are
+    excluded from judgment (listed as gaps)."""
+    ours_csv = tmp_path / "results.csv"
+    _write_ours(ours_csv, [
+        {"data_class": "bottle", "image_auroc_score": "0.996",
+         "pixel_auroc_score": "0.990", "error": ""},       # win
+        {"data_class": "cable", "image_auroc_score": "0.896",
+         "pixel_auroc_score": "0.940", "error": ""},       # -0.4 pts: ok
+        {"data_class": "carpet", "image_auroc_score": "0.80",
+         "pixel_auroc_score": "0.90", "error": ""},        # -10 pts: fail
+        {"data_class": "grid", "image_auroc_score": "0.99",
+         "pixel_auroc_score": "0.99", "error": "crashed"}, # excluded
     ])
-    return path
+    ours = load_ours(str(ours_csv), METRICS)
+    assert set(ours) == {"bottle", "cable", "carpet"}
 
+    ref = {
+        "bottle": {"image_auroc_score": 0.990, "pixel_auroc_score": 0.985},
+        "cable": {"image_auroc_score": 0.900, "pixel_auroc_score": 0.940},
+        "carpet": {"image_auroc_score": 0.900, "pixel_auroc_score": 0.950},
+        "zipper": {"image_auroc_score": 0.950, "pixel_auroc_score": 0.950},
+    }
+    lines, all_ok, _ = compare(ours, ref, METRICS, tolerance=0.005)
+    text = "\n".join(lines)
+    assert not all_ok
+    assert "| carpet |" in text and "NO" in text
+    assert "not in ours: zipper" in text
 
-def _ours_csv(tmp_path, bottle=0.9984, tile=0.9940):
-    path = str(tmp_path / "results.csv")
-    _write_csv(
-        path,
-        ["Name", "dataclass", "model", "image_auroc_score",
-         "pixel_auroc_score", "error"],
-        [
-            {"Name": "nf_bottle", "dataclass": "bottle", "model": "enc_deit",
-             "image_auroc_score": str(bottle), "pixel_auroc_score": "0.88"},
-            {"Name": "nf_tile", "dataclass": "tile", "model": "enc_esvit",
-             "image_auroc_score": str(tile), "pixel_auroc_score": "0.65"},
-            {"Name": "nf_crash", "dataclass": "wood", "model": "enc_deit",
-             "image_auroc_score": "", "pixel_auroc_score": "",
-             "error": "ValueError: boom"},
-        ],
-    )
-    return path
-
-
-def test_eval_rows_win_and_within_tolerance_passes(tmp_path, capsys):
-    rc = cr.main([
-        "--ours", _ours_csv(tmp_path), "--ref", _ref_csv(tmp_path),
-        "--metrics", "image_auroc_score",
-    ])
-    out = capsys.readouterr().out
-    # bottle must compare against the Eval row (0.9984), not the training row
-    assert "0.9984 / 0.9984 / +0.0000" in out
-    assert rc == 0
-
-
-def test_encoder_filter_selects_backbone_row(tmp_path):
-    ref = cr.load_reference(
-        _ref_csv(tmp_path), ["image_auroc_score"], encoder="Nest"
-    )
-    assert ref == {"tile": {"image_auroc_score": 0.6728}}
-
-
-def test_shortfall_beyond_tolerance_fails(tmp_path, capsys):
-    rc = cr.main([
-        "--ours", _ours_csv(tmp_path, bottle=0.9800),
-        "--ref", _ref_csv(tmp_path), "--metrics", "image_auroc_score",
-    ])
-    out = capsys.readouterr().out
-    assert rc == 1
-    assert "NO" in out
-
-
-def test_beating_reference_never_fails(tmp_path):
-    # without --encoder, the LAST eval row per category wins (Nest 0.6728);
-    # ours at 0.9940 beats it by far — must pass
-    rc = cr.main([
-        "--ours", _ours_csv(tmp_path), "--ref", _ref_csv(tmp_path),
-        "--metrics", "image_auroc_score",
-    ])
-    assert rc == 0
-
-
-def test_error_rows_and_dataset_names_excluded(tmp_path):
-    ours = cr.load_ours(_ours_csv(tmp_path), ["image_auroc_score"])
-    assert "wood" not in ours  # crashed run
-    assert set(ours) == {"bottle", "tile"}
-    # `dataset` holding a dataset NAME is never mistaken for a category
-    assert cr._category({"dataclass": "", "dataset": "mvtec"}) == ""
-
-
-REAL_REF = "/root/reference/csv_results_nf/nf_mvtec_lastblock.csv"
-
-
-@pytest.mark.skipif(not os.path.exists(REAL_REF), reason="reference absent")
-def test_parses_real_reference_export():
-    ref = cr.load_reference(
-        REAL_REF, ["image_auroc_score", "pixel_auroc_score"]
-    )
-    # 15 MVTec categories, all from Eval rows, bottle matching BASELINE.md
-    assert len(ref) == 15
-    assert abs(ref["bottle"]["image_auroc_score"] - 0.9984) < 1e-3
-    assert abs(ref["bottle"]["pixel_auroc_score"] - 0.8641) < 1e-3
+    # drop the failing category → overall pass
+    ok_ours = {k: v for k, v in ours.items() if k != "carpet"}
+    _, all_ok2, _ = compare(ok_ours, ref, METRICS, tolerance=0.005)
+    assert all_ok2
