@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm, Mlp, gelu_exact
+from vit_ad_tpu.models.layers import LayerNorm, Mlp, resolve_gelu_approx
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -68,7 +68,9 @@ class Meta4D(nn.Module):
         x = x + ls1.astype(x.dtype) * (pooled - x)
         h = int(self.dim * self.mlp_ratio)
         y = ConvBN(h, kernel=1, dtypes=self.dtypes, name="mlp_fc1")(x, train)
-        y = gelu_exact(y)
+        # policy GELU (layers.resolve_gelu_approx): these 4x-wide stage maps
+        # total ~1.0B activations/batch-128 — exact erf is ~10 ms of VPU
+        y = nn.gelu(y, approximate=resolve_gelu_approx(self.dtypes))
         y = ConvBN(self.dim, kernel=1, dtypes=self.dtypes, name="mlp_fc2")(y, train)
         return x + ls2.astype(x.dtype) * y
 
@@ -165,11 +167,12 @@ class EfficientFormer(nn.Module):
     ) -> EncoderOutput:
         b = x.shape[0]
         x = x.astype(self.dtypes.compute_dtype)
+        gelu_approx = resolve_gelu_approx(self.dtypes)
         # stem: two 3x3/s2 ConvBN + GELU → /4
-        x = gelu_exact(ConvBN(self.dims[0] // 2, stride=2, dtypes=self.dtypes,
-                              name="stem1")(x, train))
-        x = gelu_exact(ConvBN(self.dims[0], stride=2, dtypes=self.dtypes,
-                              name="stem2")(x, train))
+        x = nn.gelu(ConvBN(self.dims[0] // 2, stride=2, dtypes=self.dtypes,
+                           name="stem1")(x, train), approximate=gelu_approx)
+        x = nn.gelu(ConvBN(self.dims[0], stride=2, dtypes=self.dtypes,
+                           name="stem2")(x, train), approximate=gelu_approx)
 
         for si, (dim, depth) in enumerate(zip(self.dims, self.depths)):
             if si > 0:

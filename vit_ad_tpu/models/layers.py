@@ -62,13 +62,35 @@ def gelu_exact(x):
     return nn.gelu(x, approximate=False)
 
 
+def resolve_gelu_approx(
+    dtypes: DtypePolicy, gelu_tanh: Optional[bool] = None
+) -> bool:
+    """The one GELU-flavor policy, shared by every backbone (first measured
+    on DeiT-base, models/vit.py): exact erf is the torch/timm semantic the
+    converters are golden-tested against, but it costs ~9 ms/batch-128 of
+    VPU transcendentals on v5e per ~1B activations. Under bf16 compute the
+    tanh-vs-erf deviation (<=4e-3 on anomaly scores, measured) is the same
+    order as bf16 rounding itself, so bf16 defaults to tanh and f32 paths
+    (torch bit-parity tests, converters) keep exact erf.
+    VITAD_EXACT_GELU=1 pins exact erf everywhere so score shifts stay
+    attributable (README "Numerics")."""
+    import os
+
+    if os.environ.get("VITAD_EXACT_GELU"):
+        return False
+    if gelu_tanh is not None:
+        return gelu_tanh
+    return dtypes.compute_dtype == jnp.bfloat16
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 → GELU → fc2."""
+    """Transformer MLP: fc1 → GELU → fc2. The default activation follows
+    `resolve_gelu_approx` (tanh under bf16, exact erf under f32)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dtypes: DtypePolicy = DtypePolicy()
-    act: Callable = gelu_exact
+    act: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -79,7 +101,10 @@ class Mlp(nn.Module):
             param_dtype=self.dtypes.param_dtype,
             name="fc1",
         )(x)
-        x = self.act(x)
+        if self.act is not None:
+            x = self.act(x)
+        else:
+            x = nn.gelu(x, approximate=resolve_gelu_approx(self.dtypes))
         x = nn.Dense(
             out_dim,
             dtype=self.dtypes.compute_dtype,

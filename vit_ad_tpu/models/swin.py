@@ -36,7 +36,7 @@ import numpy as np
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm
+from vit_ad_tpu.models.layers import LayerNorm, resolve_gelu_approx
 from vit_ad_tpu.models.outputs import EncoderOutput
 from vit_ad_tpu.ops import window_attention as wa
 
@@ -101,6 +101,7 @@ def _block_apply(
     compute_dtype,
     accum_dtype,
     core,
+    gelu_approx: bool = False,
 ) -> Array:
     """One Swin block on the [B, H, W, C] feature MAP, functional params
     (unstacked leaves).
@@ -148,7 +149,10 @@ def _block_apply(
 
     y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
     hdn = jnp.einsum("bhwc,cd->bhwd", y, p["fc1_kernel"].astype(compute_dtype))
-    hdn = nn.gelu(hdn + p["fc1_bias"].astype(compute_dtype), approximate=False)
+    # policy GELU (layers.resolve_gelu_approx): tanh under bf16, erf in f32
+    hdn = nn.gelu(
+        hdn + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx
+    )
     hdn = (
         jnp.einsum("bhwd,dc->bhwc", hdn, p["fc2_kernel"].astype(compute_dtype))
         + p["fc2_bias"].astype(compute_dtype)
@@ -231,12 +235,15 @@ class SwinStage(nn.Module):
         core = _attention_core()
         cd, acc = self.dtypes.compute_dtype, self.dtypes.accum_dtype
         heads = self.num_heads
+        ga = resolve_gelu_approx(self.dtypes)
 
         def body(carry, pair):
             a = {k[2:]: v for k, v in pair.items() if k.startswith("a_")}
             b = {k[2:]: v for k, v in pair.items() if k.startswith("b_")}
-            y = _block_apply(carry, a, heads, window, 0, None, cd, acc, core)
-            y = _block_apply(y, b, heads, window, shift, mask, cd, acc, core)
+            y = _block_apply(carry, a, heads, window, 0, None, cd, acc, core,
+                             gelu_approx=ga)
+            y = _block_apply(y, b, heads, window, shift, mask, cd, acc, core,
+                             gelu_approx=ga)
             return y, None
 
         # the scan carries the 4D map — one [B,L,C]↔[B,H,W,C] reshape per

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import PatchEmbed
+from vit_ad_tpu.models.layers import PatchEmbed, resolve_gelu_approx
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -233,17 +233,9 @@ class ViTEncoder(nn.Module):
         # VITAD_EXACT_GELU=1 pins exact erf even under bf16 so score shifts
         # stay attributable when comparing against torch/timm references
         # (documented perf tradeoff: ~9 ms/batch-128 of VPU transcendentals
-        # on v5e; see README "Numerics" and the gelu_tanh field note above).
-        import os
-
-        if os.environ.get("VITAD_EXACT_GELU"):
-            gelu_approx = False
-        else:
-            gelu_approx = (
-                self.gelu_tanh
-                if self.gelu_tanh is not None
-                else cd == jnp.bfloat16
-            )
+        # on v5e; see README "Numerics" and layers.resolve_gelu_approx —
+        # the shared policy every backbone follows).
+        gelu_approx = resolve_gelu_approx(self.dtypes, self.gelu_tanh)
 
         if block_index != 0:
             # FastFlow truncation: final norm after every block
