@@ -80,3 +80,61 @@ def test_fork_no_rows_written_returns_empty(tmp_path, monkeypatch):
     rows = mod.measure(["enc_a"], fork=True)
     assert rows == {}
     assert not bench_path.exists()
+
+
+def _load_op_inventory():
+    spec = importlib.util.spec_from_file_location(
+        "op_inventory", os.path.join(ROOT, "tools", "op_inventory.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_op_inventory_collect_dot_conv_scan():
+    """collect() prices a known graph correctly: a [8,196,32]x[32,196]
+    batched dot inside a length-3 scan (count multiplies), a dense 1x1 conv
+    (GEMM view), and a depthwise conv (classified off-MXU)."""
+    import jax
+    import jax.numpy as jnp
+    from collections import defaultdict
+
+    inv = _load_op_inventory()
+
+    def fn(x, w, img, k1, kdw):
+        def body(c, _):
+            return c, jnp.einsum("bnd,dm->bnm", x, w)
+
+        _, ys = jax.lax.scan(body, 0.0, None, length=3)
+        a = jax.lax.conv_general_dilated(  # dense 1x1: GEMM [B*HW, 8]x[8, 16]
+            img, k1, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b = jax.lax.conv_general_dilated(  # depthwise 3x3, groups=8
+            img, kdw, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=8,
+        )
+        return ys, a, b
+
+    x = jnp.zeros((8, 196, 32))
+    w = jnp.zeros((32, 196))
+    img = jnp.zeros((2, 14, 14, 8))
+    k1 = jnp.zeros((1, 1, 8, 16))
+    kdw = jnp.zeros((3, 3, 1, 8))
+    jx = jax.make_jaxpr(fn)(x, w, img, k1, kdw)
+    table, byts = defaultdict(int), defaultdict(int)
+    inv.collect(jx.jaxpr, 1, table, byts)
+
+    # the scanned dot: batch 8 (leading dim is NOT a dot batch dim here --
+    # einsum bnd,dm contracts d, so m=8*196 rows), counted 3x by the scan
+    dots = {k: v for k, v in table.items() if k[0] == "dot"}
+    assert sum(dots.values()) == 3
+    ((kind, b, m, k, n),) = [k for k in dots]
+    assert (b, m, k, n) == (1, 8 * 196, 32, 196)
+    # dense conv -> GEMM [2*196, 8] x [8, 16]
+    assert table[("conv", 1, 2 * 14 * 14, 8, 16)] == 1
+    # depthwise conv -> dwconv class (in_c_per_group == 1), groups=8
+    assert table[("dwconv", 8, 2 * 14 * 14, 9, 1)] == 1
+    # tile math: ceil(1568/128)=13 x ceil(32/128)=1 x ceil(196/128)=2
+    assert inv._tiles(8 * 196, 32, 196) == 13 * 1 * 2
