@@ -186,3 +186,52 @@ def test_score_folder_unlabeled_flat_dir(run_dir, tmp_path):
         "img_0.png", "img_1.png", "img_2.png",
     ]
     assert all(np.isfinite(float(r["image_score"])) for r in rows)
+
+
+def test_score_watch_incremental(category, run_dir, tmp_path):
+    """--watch serving: a first watch scores what is there; new images
+    arriving later are scored WITHOUT rescoring (or rewriting) earlier rows,
+    resuming from the existing scores.csv like a restarted server would."""
+    import glob
+    import shutil
+
+    from vit_ad_tpu.cli.score import main as score_main
+
+    run, _ = run_dir
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pool = sorted(glob.glob(f"{category}/test/good/*")) + sorted(
+        glob.glob(f"{category}/test/crack/*")
+    )
+    assert len(pool) >= 5
+    for i, f in enumerate(pool[:3]):
+        shutil.copy(f, src / f"frame_{i:03d}.png")
+
+    out = tmp_path / "watch_out"
+    rc = score_main([
+        "-r", run, "-d", str(src), "-o", str(out),
+        "--watch", "0.01", "--watch-waves", "1",
+    ])
+    assert rc == 0
+    first = (out / "scores.csv").read_text().splitlines()
+    assert len(first) == 1 + 3  # header + 3 scored
+
+    # two more frames arrive; a resumed watch (2 waves: the second finds
+    # nothing new) scores only the new frames and keeps old rows verbatim
+    for i, f in enumerate(pool[3:5], start=3):
+        shutil.copy(f, src / f"frame_{i:03d}.png")
+    rc = score_main([
+        "-r", run, "-d", str(src), "-o", str(out),
+        "--watch", "0.01", "--watch-waves", "2",
+    ])
+    assert rc == 0
+    lines = (out / "scores.csv").read_text().splitlines()
+    assert lines[:4] == first  # earlier rows untouched
+    assert len(lines) == 1 + 5
+    scores = [float(r.split(",")[1]) for r in lines[1:]]
+    assert all(np.isfinite(scores))
+
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["images"] == 5
+    assert summary["waves"] == 2
+    assert summary["last_wave"]["n"] == 2

@@ -23,6 +23,12 @@ Outputs (under -o, default <run>/scores):
   summary.json    n_images, score stats, run config echo
   heatmaps/       top-N overlay PNGs (anomaly map over the image, jet)
 
+Continuous serving: `--watch SECS` turns the CLI into a long-lived scorer
+that polls the images dir and appends scores for newly arrived images
+(models loaded once; padded static batch shapes + JAX's persistent
+compilation cache make wave 2+ compile-free; resumes from an existing
+scores.csv after interruption). `--watch-waves N` bounds the loop.
+
 Scoring semantics are the validators' own (pipeline/eval.py): NF/recon image
 score = max over the anomaly map; MDN = 1 - min(prob) with the probability
 normalization GLOBAL over the scored set (reference ValidatorMDN.py:133) —
@@ -141,19 +147,8 @@ def score_pth(
     )
 
 
-def _score_with_models(
-    models, source: str, cfg: dict, images_dir: str, out_dir: str,
-    heatmaps: int, batch: int, train_data: str, mesh: str = "",
-) -> dict:
-    """Shared scoring body: write scores.csv / summary.json / heatmaps/
-    under out_dir and return the summary dict."""
-    from vit_ad_tpu.data.loader import DataPipeline
-    from vit_ad_tpu.pipeline.loading import score_models
-
-    files = list_images(images_dir)
-    if not files:
-        raise SystemExit(f"no images found under {images_dir!r}")
-
+def _prepare_hp(models, batch: int, mesh: str, train_data: str):
+    """Apply CLI overrides to the run's HyperParams; return (hp, mean, std)."""
     hp = models.hp
     if batch:
         hp.batch_size = batch
@@ -164,10 +159,32 @@ def _score_with_models(
 
         hp.mesh = MeshConfig.parse(mesh)
     mean, std = _norm_stats_for(hp, train_data)
+    return hp, mean, std
+
+
+def _score_files(models, files: List[str], hp, mean, std):
+    """Score an explicit file list (padded static batches → stable shapes,
+    so repeated waves reuse compiled executables)."""
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.pipeline.loading import score_models
 
     pipe = DataPipeline(batch_size=hp.batch_size, img_size=hp.img_size,
                         files=files)
-    s = score_models(models, pipe, mean, std)
+    return score_models(models, pipe, mean, std)
+
+
+def _score_with_models(
+    models, source: str, cfg: dict, images_dir: str, out_dir: str,
+    heatmaps: int, batch: int, train_data: str, mesh: str = "",
+) -> dict:
+    """Shared scoring body: write scores.csv / summary.json / heatmaps/
+    under out_dir and return the summary dict."""
+    files = list_images(images_dir)
+    if not files:
+        raise SystemExit(f"no images found under {images_dir!r}")
+
+    hp, mean, std = _prepare_hp(models, batch, mesh, train_data)
+    s = _score_files(models, files, hp, mean, std)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "scores.csv"), "w", newline="") as f:
@@ -195,6 +212,81 @@ def _score_with_models(
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
+
+
+def watch_folder(
+    models, source: str, images_dir: str, out_dir: str,
+    interval: float = 30.0, batch: int = 0, train_data: str = "",
+    mesh: str = "", max_waves: int = 0,
+) -> dict:
+    """Continuous serving: poll images_dir every `interval` seconds and score
+    images that were not scored yet, appending rows to scores.csv as they
+    arrive (one long-lived process per line/camera — the production shape of
+    the reference's offline validation loop).
+
+    Compile-once behavior: the models are loaded once, the DataPipeline pads
+    every wave to static [batch, img, img, 3] shapes, and JAX's persistent
+    compilation cache (enabled under <out_dir>/.jax_cache) is keyed by the
+    HLO itself — so wave 2+ reuses wave 1's executables even though the
+    evaluators build fresh jit closures per call.
+
+    MDN caveat (inherits reference ValidatorMDN.py:133 semantics): the
+    probability normalization is global PER WAVE, so MDN scores are
+    comparable within a wave, not across waves — NF/recon scores are
+    wave-independent. summary.json tracks waves/images scored so far.
+    `max_waves` bounds the loop (0 = run until interrupted)."""
+    import time
+
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(out_dir, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without the persistent cache — waves still work
+
+    hp, mean, std = _prepare_hp(models, batch, mesh, train_data)
+    csv_path = os.path.join(out_dir, "scores.csv")
+    scored = set()
+    if os.path.exists(csv_path):  # resume an interrupted watch
+        with open(csv_path, newline="") as f:
+            scored = {row[0] for row in csv.reader(f) if row} - {"path"}
+    else:
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(["path", "image_score"])
+
+    summary = {"run": source, "images": len(scored), "waves": 0,
+               "arch": hp.architecture, "model": hp.model_name}
+    waves = 0
+    while True:
+        fresh = [p for p in list_images(images_dir) if p not in scored]
+        if fresh:
+            s = _score_files(models, fresh, hp, mean, std)
+            with open(csv_path, "a", newline="") as f:
+                w = csv.writer(f)
+                for path, score in zip(fresh, s.image_scores):
+                    w.writerow([path, repr(float(score))])
+            scored.update(fresh)
+            summary["images"] = len(scored)
+            summary["last_wave"] = {
+                "n": len(fresh),
+                "score_max": float(np.max(s.image_scores)),
+                "top": fresh[int(np.argmax(s.image_scores))],
+            }
+            print(json.dumps(summary["last_wave"]), flush=True)
+        waves += 1
+        summary["waves"] = waves
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        if max_waves and waves >= max_waves:
+            return summary
+        try:
+            time.sleep(interval)
+        except KeyboardInterrupt:
+            return summary
 
 
 def _save_heatmaps(s, files, hp, mean, std, out_dir: str, n: int) -> None:
@@ -252,6 +344,12 @@ def main(argv=None) -> int:
                     help="shard scoring batches over a device mesh, DxM or "
                          "'auto' (multi-chip serving; same flag as the "
                          "trainers)")
+    ap.add_argument("--watch", type=float, default=0.0, metavar="SECS",
+                    help="continuous serving: poll the images dir every "
+                         "SECS seconds and score new images as they arrive "
+                         "(appends to scores.csv; ctrl-C to stop)")
+    ap.add_argument("--watch-waves", type=int, default=0,
+                    help="stop --watch after N polls (0 = run forever)")
     # --pth mode only (mirrors validation_loop's legacy flags):
     ap.add_argument("-a", "--arch", default="",
                     help="mdn|nf|recon (with --pth)")
@@ -269,6 +367,42 @@ def main(argv=None) -> int:
 
     maybe_initialize_distributed()
     mesh = args.mesh
+    if args.watch:
+        if args.pth:
+            if not args.arch:
+                ap.error("--pth needs -a <mdn|nf|recon>")
+            from vit_ad_tpu.pipeline.loading import (
+                build_pth_models,
+                build_pth_resnet_mdn_models,
+            )
+
+            if len(args.pth) == 2:
+                models = build_pth_resnet_mdn_models(
+                    args.pth[0], args.pth[1], img_size=args.img_size,
+                    encoder_ckpt=args.encoder_ckpt,
+                )
+            else:
+                models = build_pth_models(
+                    args.pth[0], args.model, args.arch,
+                    img_size=args.img_size, hidden_ratio=args.hidden_ratio,
+                    flow_steps=args.flow_steps,
+                    encoder_ckpt=args.encoder_ckpt,
+                )
+            source = args.pth[0]
+            out = args.out or os.path.splitext(args.pth[0])[0] + "_scores"
+        else:
+            from vit_ad_tpu.pipeline.loading import load_run
+
+            models, _ = load_run(args.run)
+            source = args.run
+            out = args.out or os.path.join(args.run, "scores")
+        summary = watch_folder(
+            models, source, args.images, out, interval=args.watch,
+            batch=args.batch, train_data=args.train_data, mesh=mesh,
+            max_waves=args.watch_waves,
+        )
+        print(json.dumps(summary))
+        return 0
     if args.pth:
         if not args.arch:
             ap.error("--pth needs -a <mdn|nf|recon>")
