@@ -55,13 +55,6 @@ class PatchEmbed(nn.Module):
         return x
 
 
-def gelu_exact(x):
-    """Exact (erf) GELU — torch/timm default; flax's default is the tanh
-    approximation, which breaks weight-level parity with converted
-    checkpoints."""
-    return nn.gelu(x, approximate=False)
-
-
 def resolve_gelu_approx(
     dtypes: DtypePolicy, gelu_tanh: Optional[bool] = None
 ) -> bool:
