@@ -109,3 +109,25 @@ def test_test_batches_have_targets(mvtec_root):
         assert b.masks is not None and b.labels is not None
         total += int(b.valid.sum())
     assert total == 10
+
+
+def test_prefetch_surfaces_decode_errors(tmp_path):
+    """A corrupt image must RAISE in the consuming loop, not silently end
+    the prefetch iterator early (which would truncate an epoch or an eval
+    set to the batches before the bad file)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from vit_ad_tpu.data.loader import DataPipeline
+
+    good = tmp_path / "ok.png"
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(good)
+    bad = tmp_path / "torn.png"
+    bad.write_bytes(good.read_bytes()[:40])  # truncated mid-header
+
+    pipe = DataPipeline(batch_size=2, img_size=16,
+                        files=[str(good), str(bad)])
+    with pytest.raises(Exception):
+        for _ in pipe.test_batches(prefetch=2):
+            pass

@@ -235,3 +235,86 @@ def test_score_watch_incremental(category, run_dir, tmp_path):
     assert summary["images"] == 5
     assert summary["waves"] == 2
     assert summary["last_wave"]["n"] == 2
+
+
+def test_score_watch_corrupt_file_isolated(category, run_dir, tmp_path):
+    """A mid-copy/corrupt image cannot drop its wave: good files in the same
+    wave are scored via the per-file fallback, the bad file retries, and
+    after 3 failed waves it gets a NaN row so the watcher moves on."""
+    import glob
+    import shutil
+
+    from vit_ad_tpu.cli.score import main as score_main
+
+    run, _ = run_dir
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pool = sorted(glob.glob(f"{category}/test/good/*"))
+    for i, f in enumerate(pool[:2]):
+        shutil.copy(f, src / f"frame_{i:03d}.png")
+    torn = src / "frame_torn.png"
+    torn.write_bytes((src / "frame_000.png").read_bytes()[:40])
+
+    out = tmp_path / "watch_out"
+    rc = score_main([
+        "-r", run, "-d", str(src), "-o", str(out),
+        "--watch", "0.01", "--watch-waves", "3",
+    ])
+    assert rc == 0
+    with open(out / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    by_path = {os.path.basename(r["path"]): float(r["image_score"])
+               for r in rows}
+    assert len(by_path) == 3
+    assert np.isfinite(by_path["frame_000.png"])
+    assert np.isfinite(by_path["frame_001.png"])
+    assert np.isnan(by_path["frame_torn.png"])
+
+
+def test_score_watch_resume_validates_rows_and_realpaths(
+    category, run_dir, tmp_path
+):
+    """Resume hardening: a torn final CSV row is rescored (not trusted), and
+    dedup keys on realpath so a restart with a differently-spelled -d does
+    not rescore already-scored images."""
+    import glob
+    import shutil
+
+    from vit_ad_tpu.cli.score import main as score_main
+
+    run, _ = run_dir
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pool = sorted(glob.glob(f"{category}/test/good/*"))
+    for i, f in enumerate(pool[:2]):
+        shutil.copy(f, src / f"frame_{i:03d}.png")
+
+    out = tmp_path / "watch_out"
+    rc = score_main([
+        "-r", run, "-d", str(src), "-o", str(out),
+        "--watch", "0.01", "--watch-waves", "1",
+    ])
+    assert rc == 0
+    lines = (out / "scores.csv").read_text().splitlines()
+    assert len(lines) == 3
+
+    # simulate a hard kill mid-write: last row torn (no score cell)
+    torn_path = str(src / "frame_001.png")
+    (out / "scores.csv").write_text(
+        "\n".join(lines[:2] + [torn_path]) + "\n"
+    )
+    # restart pointing at the SAME dir through a relative spelling
+    rel = os.path.relpath(src)
+    rc = score_main([
+        "-r", run, "-d", rel, "-o", str(out),
+        "--watch", "0.01", "--watch-waves", "1",
+    ])
+    assert rc == 0
+    with open(out / "scores.csv") as f:
+        rows = list(csv.reader(f))[1:]
+    # frame_000 kept verbatim from the first run (not rescored), torn
+    # frame_001 rescored exactly once
+    paths = [os.path.basename(r[0]) for r in rows]
+    assert sorted(paths) == ["frame_000.png", "frame_001.png"]
+    assert rows[0] == lines[1].split(",")
+    assert all(np.isfinite(float(r[1])) for r in rows)

@@ -66,15 +66,22 @@ def _tiles(m, k, n):
 
 
 def _eqn_bytes(eqn):
-    """Operand+result element count x 2 (bf16 on TPU). An UNFUSED upper
-    bound — XLA fuses elementwise chains so true HBM traffic is lower, but
-    pools/transposes/norm reductions over stage maps are genuine traffic."""
+    """Operand+result bytes at each aval's ACTUAL dtype (the trace runs the
+    production bf16 policy). An UNFUSED upper bound — XLA fuses elementwise
+    chains so true HBM traffic is lower, but pools/transposes/norm
+    reductions over stage maps are genuine traffic."""
+    import numpy as np
+
     n = 0
     for v in list(eqn.invars) + list(eqn.outvars):
         aval = getattr(v, "aval", None)
         if aval is not None and getattr(aval, "shape", None) is not None:
-            n += _prod(aval.shape) if aval.shape else 1
-    return 2 * n
+            elems = _prod(aval.shape) if aval.shape else 1
+            try:
+                n += elems * np.dtype(aval.dtype).itemsize
+            except TypeError:
+                n += elems * 2
+    return n
 
 
 def collect(jaxpr, mult, table, byts):
@@ -149,9 +156,11 @@ def inventory(name: str, batch: int, img: int):
     from vit_ad_tpu.config import DtypePolicy
 
     cpu = jax.devices("cpu")[0]
-    _, fwd_j = bench.build_model_score(
-        name, cpu, DtypePolicy.f32(), batch, img
-    )
+    # trace the PRODUCTION dtype policy (bf16 compute): GEMM counts are
+    # dtype-independent, but the non-GEMM byte buckets must describe the
+    # graph that is actually measured (tanh-GELU chain, bf16<->f32 casts
+    # around norms) — an f32 trace has a different elementwise mix.
+    _, fwd_j = bench.build_model_score(name, cpu, DtypePolicy(), batch, img)
     ims = np.zeros((batch, img, img, 3), np.uint8)
     jx = jax.make_jaxpr(lambda im: fwd_j(im))(ims)
     table = defaultdict(int)
@@ -212,7 +221,7 @@ def report(name: str, table, byts, batch: int):
         f"{k} {v/1e9:.2f}" for k, v in sorted(byts.items(), key=lambda kv: -kv[1])
     )
     print(
-        f"Unfused non-GEMM traffic (bf16): {total_gb:.2f} GB/batch "
+        f"Unfused non-GEMM traffic (actual dtypes): {total_gb:.2f} GB/batch "
         f"({buckets}) = {hbm_ms:.1f} ms at {HBM_GBPS:.0f} GB/s if none of "
         f"it fused — an upper bound; pools/transposes/norm passes over "
         f"stage maps are the irreducible part."

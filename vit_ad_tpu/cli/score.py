@@ -122,6 +122,21 @@ def score_pth(
     files = the ResNet-MDN two-file convention). Pass `encoder_ckpt` for
     reference-trained heads (pretrained trunk, see
     pipeline/loading.build_pth_models)."""
+    models = _build_pth_models_cli(
+        pths, arch, model_name, img_size, hidden_ratio, flow_steps,
+        encoder_ckpt,
+    )
+    return _score_with_models(
+        models, pths[0], {"architecture": arch}, images_dir,
+        out_dir or os.path.splitext(pths[0])[0] + "_scores",
+        heatmaps, batch, train_data, mesh,
+    )
+
+
+def _build_pth_models_cli(pths, arch, model_name, img_size, hidden_ratio,
+                          flow_steps, encoder_ckpt):
+    """Legacy-.pth model building shared by the one-shot and --watch paths
+    (two .pth files = the ResNet-MDN two-file convention)."""
     from vit_ad_tpu.pipeline.loading import (
         build_pth_models,
         build_pth_resnet_mdn_models,
@@ -131,19 +146,13 @@ def score_pth(
         if arch != "mdn":
             raise SystemExit("two .pth files = the ResNet-MDN convention; "
                              "use -a mdn")
-        models = build_pth_resnet_mdn_models(
+        return build_pth_resnet_mdn_models(
             pths[0], pths[1], img_size=img_size, encoder_ckpt=encoder_ckpt,
         )
-    else:
-        models = build_pth_models(
-            pths[0], model_name, arch, img_size=img_size,
-            hidden_ratio=hidden_ratio, flow_steps=flow_steps,
-            encoder_ckpt=encoder_ckpt,
-        )
-    return _score_with_models(
-        models, pths[0], {"architecture": arch}, images_dir,
-        out_dir or os.path.splitext(pths[0])[0] + "_scores",
-        heatmaps, batch, train_data, mesh,
+    return build_pth_models(
+        pths[0], model_name, arch, img_size=img_size,
+        hidden_ratio=hidden_ratio, flow_steps=flow_steps,
+        encoder_ckpt=encoder_ckpt,
     )
 
 
@@ -235,6 +244,7 @@ def watch_folder(
     comparable within a wave, not across waves — NF/recon scores are
     wave-independent. summary.json tracks waves/images scored so far.
     `max_waves` bounds the loop (0 = run until interrupted)."""
+    import sys
     import time
 
     import jax
@@ -250,42 +260,94 @@ def watch_folder(
 
     hp, mean, std = _prepare_hp(models, batch, mesh, train_data)
     csv_path = os.path.join(out_dir, "scores.csv")
+    # dedup keys are realpaths so a restart with a differently-spelled -d
+    # (relative vs absolute, symlinked mount) does not rescore everything;
+    # rows keep the as-listed path.
     scored = set()
     if os.path.exists(csv_path):  # resume an interrupted watch
         with open(csv_path, newline="") as f:
-            scored = {row[0] for row in csv.reader(f) if row} - {"path"}
+            rows = [r for r in csv.reader(f) if r]
+        valid = []
+        for r in rows[1:]:
+            try:  # a torn final row (hard kill mid-write) must be rescored,
+                float(r[1])  # not trusted — keep only well-formed rows
+            except (IndexError, ValueError):
+                continue
+            valid.append(r)
+            scored.add(os.path.realpath(r[0]))
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["path", "image_score"])
+            w.writerows(valid)
     else:
         with open(csv_path, "w", newline="") as f:
             csv.writer(f).writerow(["path", "image_score"])
 
+    def wave_rows(fresh, failures):
+        """Score a wave; on failure (an image mid-copy or corrupt) fall back
+        to per-file scoring so one bad file cannot drop the wave. Transient
+        failures retry on later waves; after 3 strikes a NaN row is recorded
+        so the watcher does not grind on a permanently corrupt file."""
+        try:
+            s = _score_files(models, fresh, hp, mean, std)
+            assert len(s.image_scores) == len(fresh)
+            return list(zip(fresh, [float(x) for x in s.image_scores]))
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            rows = []
+            for p in fresh:
+                try:
+                    s = _score_files(models, [p], hp, mean, std)
+                    rows.append((p, float(s.image_scores[0])))
+                except KeyboardInterrupt:
+                    raise
+                except Exception as e:
+                    key = os.path.realpath(p)
+                    failures[key] = failures.get(key, 0) + 1
+                    if failures[key] >= 3:
+                        print(f"watch: giving up on {p!r} after 3 failed "
+                              f"waves ({type(e).__name__}: {e})",
+                              file=sys.stderr, flush=True)
+                        rows.append((p, float("nan")))
+            return rows
+
     summary = {"run": source, "images": len(scored), "waves": 0,
                "arch": hp.architecture, "model": hp.model_name}
+    failures: dict = {}
     waves = 0
     while True:
-        fresh = [p for p in list_images(images_dir) if p not in scored]
-        if fresh:
-            s = _score_files(models, fresh, hp, mean, std)
-            with open(csv_path, "a", newline="") as f:
-                w = csv.writer(f)
-                for path, score in zip(fresh, s.image_scores):
-                    w.writerow([path, repr(float(score))])
-            scored.update(fresh)
-            summary["images"] = len(scored)
-            summary["last_wave"] = {
-                "n": len(fresh),
-                "score_max": float(np.max(s.image_scores)),
-                "top": fresh[int(np.argmax(s.image_scores))],
-            }
-            print(json.dumps(summary["last_wave"]), flush=True)
-        waves += 1
-        summary["waves"] = waves
-        with open(os.path.join(out_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=1)
-        if max_waves and waves >= max_waves:
-            return summary
         try:
+            fresh = [p for p in list_images(images_dir)
+                     if os.path.realpath(p) not in scored]
+            if fresh:
+                rows = wave_rows(fresh, failures)
+                if rows:
+                    with open(csv_path, "a", newline="") as f:
+                        w = csv.writer(f)
+                        for path, score in rows:
+                            w.writerow([path, repr(score)])
+                    scored.update(os.path.realpath(p) for p, _ in rows)
+                    finite = [(p, x) for p, x in rows if np.isfinite(x)]
+                    if finite:
+                        top = max(finite, key=lambda r: r[1])
+                        summary["last_wave"] = {
+                            "n": len(rows), "score_max": top[1],
+                            "top": top[0],
+                        }
+                        print(json.dumps(summary["last_wave"]), flush=True)
+                summary["images"] = len(scored)
+            waves += 1
+            summary["waves"] = waves
+            with open(os.path.join(out_dir, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=1)
+            if max_waves and waves >= max_waves:
+                return summary
             time.sleep(interval)
         except KeyboardInterrupt:
+            # completed waves are already on disk; leave a final summary
+            with open(os.path.join(out_dir, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=1)
             return summary
 
 
@@ -368,26 +430,16 @@ def main(argv=None) -> int:
     maybe_initialize_distributed()
     mesh = args.mesh
     if args.watch:
+        if args.heatmaps:
+            ap.error("--heatmaps is not supported with --watch (overlays "
+                     "need the whole scored set for one color scale)")
         if args.pth:
             if not args.arch:
                 ap.error("--pth needs -a <mdn|nf|recon>")
-            from vit_ad_tpu.pipeline.loading import (
-                build_pth_models,
-                build_pth_resnet_mdn_models,
+            models = _build_pth_models_cli(
+                args.pth, args.arch, args.model, args.img_size,
+                args.hidden_ratio, args.flow_steps, args.encoder_ckpt,
             )
-
-            if len(args.pth) == 2:
-                models = build_pth_resnet_mdn_models(
-                    args.pth[0], args.pth[1], img_size=args.img_size,
-                    encoder_ckpt=args.encoder_ckpt,
-                )
-            else:
-                models = build_pth_models(
-                    args.pth[0], args.model, args.arch,
-                    img_size=args.img_size, hidden_ratio=args.hidden_ratio,
-                    flow_steps=args.flow_steps,
-                    encoder_ckpt=args.encoder_ckpt,
-                )
             source = args.pth[0]
             out = args.out or os.path.splitext(args.pth[0])[0] + "_scores"
         else:

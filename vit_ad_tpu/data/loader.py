@@ -92,6 +92,11 @@ def prefetch_to_device(
         try:
             for batch in it:
                 q.put(jax.device_put(batch, device))
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            # A decode/stack failure must surface in the consuming loop, not
+            # silently end the iterator (which would truncate an epoch or an
+            # eval set to however many batches preceded the bad image).
+            q.put(e)
         finally:
             q.put(_END)
 
@@ -101,6 +106,8 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
