@@ -318,3 +318,40 @@ def test_score_watch_resume_validates_rows_and_realpaths(
     assert sorted(paths) == ["frame_000.png", "frame_001.png"]
     assert rows[0] == lines[1].split(",")
     assert all(np.isfinite(float(r[1])) for r in rows)
+
+
+def test_score_watch_mesh_composes(category, run_dir, tmp_path):
+    """--watch x --mesh composition: continuous serving sharded over the
+    virtual 8-device mesh scores a wave and matches the one-shot mesh
+    scorer's values for the same images (same models, same normalization
+    set)."""
+    import glob
+    import shutil
+
+    from vit_ad_tpu.cli.score import main as score_main, score_folder
+
+    run, _ = run_dir
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{category}/test/good/*"))[:4]):
+        shutil.copy(f, src / f"frame_{i:03d}.png")
+
+    out = tmp_path / "watch_mesh"
+    rc = score_main([
+        "-r", run, "-d", str(src), "-o", str(out),
+        "--mesh", "4x2", "--watch", "0.01", "--watch-waves", "1",
+    ])
+    assert rc == 0
+    with open(out / "scores.csv") as f:
+        w_rows = list(csv.DictReader(f))
+    assert len(w_rows) == 4
+
+    one_shot = score_folder(run, str(src),
+                            out_dir=str(tmp_path / "oneshot"), mesh="4x2")
+    with open(tmp_path / "oneshot" / "scores.csv") as f:
+        o_rows = list(csv.DictReader(f))
+    assert [r["path"] for r in w_rows] == [r["path"] for r in o_rows]
+    w = np.array([float(r["image_score"]) for r in w_rows])
+    o = np.array([float(r["image_score"]) for r in o_rows])
+    np.testing.assert_allclose(w, o, rtol=1e-6, atol=1e-7)
+    assert one_shot["images"] == 4
