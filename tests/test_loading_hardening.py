@@ -1,0 +1,111 @@
+"""Hardening behaviors of the run-loading / multihost layers (round-3 late
+review findings): checkpoint selection, BN-stat round-trips, snapshot
+addressability, and CLI error quality."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_find_checkpoint_skips_tmp_and_prefers_committed(tmp_path):
+    """A crash mid-save leaves an orbax tmp dir; a prior failure can leave a
+    .msgpack fallback. find_checkpoint must never pick the tmp artifact and
+    must prefer the committed orbax dir."""
+    from vit_ad_tpu.pipeline.loading import find_checkpoint
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "best_params.orbax-checkpoint-tmp-123456").mkdir()
+    with pytest.raises(FileNotFoundError):
+        find_checkpoint(str(run))  # only a tmp dir → no usable checkpoint
+
+    (run / "best_params.msgpack").write_bytes(b"x")
+    assert find_checkpoint(str(run)).endswith("best_params.msgpack")
+
+    (run / "best_params").mkdir()
+    assert find_checkpoint(str(run)).endswith("best_params")
+
+
+def test_resnet_joint_restore_roundtrips_batch_stats(tmp_path):
+    """New resnet checkpoints carry enc_batch_stats; restore returns the
+    SAVED stats (a pretrained trunk's real running stats), not fresh init.
+    Old-layout checkpoints (no key) fall back to the init stats."""
+    from vit_ad_tpu.pipeline.loading import _restore_resnet_joint
+    from vit_ad_tpu.utils.checkpoint import save_params
+
+    heads = [{"params": {"w": jnp.zeros((2, 2))}}]
+    enc_variables = {
+        "params": {"k": jnp.ones((3,))},
+        "batch_stats": {"bn": {"mean": jnp.zeros((4,)),
+                               "var": jnp.ones((4,))}},
+    }
+    trained_stats = {"bn": {"mean": jnp.full((4,), 0.25),
+                            "var": jnp.full((4,), 9.0)}}
+
+    new_ckpt = save_params(str(tmp_path / "new"), "best_params", {
+        "heads": heads, "encoder": enc_variables["params"],
+        "enc_batch_stats": trained_stats,
+    })
+    best, enc_stats = _restore_resnet_joint(new_ckpt, heads, enc_variables)
+    np.testing.assert_array_equal(
+        enc_stats["batch_stats"]["bn"]["mean"], np.full((4,), 0.25)
+    )
+    np.testing.assert_array_equal(
+        enc_stats["batch_stats"]["bn"]["var"], np.full((4,), 9.0)
+    )
+
+    old_ckpt = save_params(str(tmp_path / "old"), "best_params", {
+        "heads": heads, "encoder": enc_variables["params"],
+    })
+    best, enc_stats = _restore_resnet_joint(old_ckpt, heads, enc_variables)
+    np.testing.assert_array_equal(
+        enc_stats["batch_stats"]["bn"]["mean"], np.zeros((4,))
+    )
+
+
+def test_host_snapshot_leaves_fully_addressable_leaves_alone(monkeypatch):
+    """In multihost mode, fully-addressable leaves (replicated params, or a
+    multihost run without --mesh) must NOT be process_allgather'd — tiled
+    gathering would concatenate each process's identical copy along axis 0
+    and corrupt the best-weights snapshot."""
+    from vit_ad_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "is_multihost", lambda: True)
+    called = []
+
+    class FakeMU:
+        @staticmethod
+        def process_allgather(x, tiled=False):
+            called.append(x)
+            return x
+
+    import jax.experimental.multihost_utils  # noqa: F401 — ensure importable
+    monkeypatch.setitem(
+        __import__("sys").modules, "jax.experimental.multihost_utils", FakeMU
+    )
+    tree = {"w": jnp.arange(6.0).reshape(2, 3)}  # single-device: addressable
+    out = multihost.host_snapshot(tree)
+    assert not called, "fully-addressable leaf was gathered"
+    np.testing.assert_array_equal(out["w"], np.arange(6.0).reshape(2, 3))
+
+
+def test_parse_pth_filename_rejects_missing_gaussian_count():
+    from vit_ad_tpu.pipeline.loading import parse_pth_filename
+
+    with pytest.raises(SystemExit, match="gaussian count"):
+        parse_pth_filename("mdn_bottle.pth", "mdn")
+    k, dc = parse_pth_filename("100_gaussians_bottle.pth", "mdn")
+    assert (k, dc) == (100, "bottle")
+
+
+def test_coordinator_env_requires_companions(monkeypatch):
+    from vit_ad_tpu.parallel.multihost import maybe_initialize_distributed
+
+    monkeypatch.setenv("VITAD_COORDINATOR", "localhost:1234")
+    monkeypatch.delenv("VITAD_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("VITAD_PROCESS_ID", raising=False)
+    with pytest.raises(SystemExit, match="VITAD_NUM_PROCESSES"):
+        maybe_initialize_distributed()

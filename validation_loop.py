@@ -69,9 +69,11 @@ def validate_run(run_dir: str, data_root: str, test_pref: str = "test"):
 
 def load_encoder_checkpoint(encoder, model_name: str, encoder_ckpt: str,
                             img_size: int, target):
+    # compat shim: `encoder` was never used (only the registry name selects
+    # the converter) — kept in the signature for existing callers
     from vit_ad_tpu.pipeline.loading import load_encoder_checkpoint as f
 
-    return f(encoder, model_name, encoder_ckpt, img_size, target)
+    return f(model_name, encoder_ckpt, img_size, target)
 
 
 def parse_pth_filename(filename: str, arch: str):

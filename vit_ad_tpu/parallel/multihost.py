@@ -52,14 +52,31 @@ def maybe_initialize_distributed() -> bool:
     """
     coord = os.environ.get("VITAD_COORDINATOR")
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["VITAD_NUM_PROCESSES"]),
-            process_id=int(os.environ["VITAD_PROCESS_ID"]),
-        )
+        n = os.environ.get("VITAD_NUM_PROCESSES")
+        pid = os.environ.get("VITAD_PROCESS_ID")
+        if n is None or pid is None:
+            raise SystemExit(
+                "VITAD_COORDINATOR is set but VITAD_NUM_PROCESSES / "
+                "VITAD_PROCESS_ID are not — all three are required for an "
+                "explicit cluster"
+            )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(n),
+                process_id=int(pid),
+            )
+        except RuntimeError:
+            # already initialized (a second entry point in the same
+            # process, e.g. validation after training) — that IS the
+            # requested state
+            pass
         return True
     if os.environ.get("VITAD_MULTIHOST") == "1":
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
         return True
     # no cluster requested: return WITHOUT touching jax.process_count() —
     # that would initialize the backend mid-CLI-parse (before the trainer's
@@ -82,12 +99,23 @@ def host_snapshot(tree: Any) -> Any:
     """`jax.device_get` that also works for globally-sharded arrays: in
     multi-host mode, shards living on other hosts' devices are gathered
     first (`process_allgather`), so every process gets the full host-RAM
-    pytree. Single-host it is exactly device_get (no extra copies)."""
+    pytree. Single-host it is exactly device_get (no extra copies).
+
+    Only non-fully-addressable leaves are gathered: a fully-addressable
+    leaf (replicated, or a multihost run without --mesh where every
+    process holds the whole array) must NOT go through
+    `process_allgather(tiled=True)` — that would concatenate each
+    process's identical copy along axis 0 and corrupt the snapshot."""
     if not is_multihost():
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    return jax.device_get(multihost_utils.process_allgather(tree, tiled=True))
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.device_get(jax.tree_util.tree_map(leaf, tree))
 
 
 def fetch_global(x: Any) -> np.ndarray:

@@ -49,13 +49,22 @@ def extract_features(
     batches: Iterator[Batch],
 ) -> np.ndarray:
     """Run the extractor over a batch stream, dropping padded rows.
-    Returns features [N, P, D] on host."""
+    Returns features [N, P, D] on host.
+
+    Dispatch-all-then-drain (the evaluators' protocol, pipeline/eval.py):
+    every batch is dispatched before any result is fetched, so device
+    compute overlaps host decode and nothing pays a per-batch fetch
+    roundtrip (~65 ms effective per dispatch turnaround on the tunnel-
+    attached chip). `batch.valid` is host-computable, so the valid count
+    never touches the device."""
     from vit_ad_tpu.parallel.multihost import fetch_global
 
-    chunks = []
+    pending = []
     for batch in batches:
-        feats = extractor(batch.images)
-        n_valid = int(batch.valid.sum())
+        pending.append((extractor(batch.images), batch.valid))
+    chunks = []
+    for feats, valid in pending:  # ONE draining pass after all dispatches
+        n_valid = int(np.asarray(valid).sum())
         # fetch_global = np.asarray single-host; with TP-sharded encoder
         # params on a multi-host mesh the output spans hosts → allgather
         chunks.append(fetch_global(feats)[:n_valid])
@@ -250,7 +259,7 @@ def image_epoch_staging(
         stack = stage_image_epoch(make_batches, mc)
         if stack is not None:
             return stack, None
-        return None, _lazy_image_batches(make_batches, mc)
+        return None, EpochBatches(None, _lazy_image_batches(make_batches, mc))
     return None, stage_image_batches(make_batches, mc)
 
 
@@ -312,9 +321,10 @@ def _place_batch(mc, images, valid):
     return jax.device_put(images), jax.device_put(valid)
 
 
-def _lazy_image_batches(make_batches, mc) -> "EpochBatches":
-    """Per-epoch lazy (decode-every-epoch) image stream as an EpochBatches —
-    the fallback when the set exceeds the device-cache budget."""
+def _lazy_image_batches(make_batches, mc):
+    """Per-epoch lazy (decode-every-epoch) image generator fn — the
+    fallback when the set exceeds the device-cache budget. Callers wrap it
+    in an EpochBatches."""
     def lazy() -> Iterator[Tuple[jax.Array, jax.Array, float]]:
         for batch in make_batches():
             v = np.asarray(batch.valid).astype(np.float32)
@@ -322,7 +332,7 @@ def _lazy_image_batches(make_batches, mc) -> "EpochBatches":
             im, vd = _place_batch(mc, batch.images, v)
             yield im, vd, w
 
-    return EpochBatches(None, lazy)
+    return lazy
 
 
 class EpochBatches:
@@ -380,4 +390,4 @@ def stage_image_batches(
         im, vd = _place_batch(mc, batch.images, v)
         staged.append((im, vd, w))
 
-    return EpochBatches(staged, _lazy_image_batches(make_batches, mc)._lazy)
+    return EpochBatches(staged, _lazy_image_batches(make_batches, mc))

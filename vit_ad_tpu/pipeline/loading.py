@@ -43,9 +43,17 @@ def load_run_config(run_dir: str) -> Tuple[HyperParams, Dict[str, Any]]:
 
 def find_checkpoint(run_dir: str) -> str:
     ckpts = glob.glob(os.path.join(run_dir, "best_params*"))
+    # a crash mid-save leaves an orbax 'best_params.orbax-checkpoint-tmp-*'
+    # next to the committed dir — never restore a tmp artifact
+    ckpts = [c for c in ckpts if "orbax-checkpoint-tmp" not in c]
     if not ckpts:
         raise FileNotFoundError(f"no checkpoint in {run_dir}")
-    return os.path.abspath(ckpts[0])  # orbax requires absolute paths
+    # prefer the committed orbax dir over any fallback artifact; sort so a
+    # tie is deterministic (glob order is os.listdir-arbitrary)
+    exact = os.path.join(run_dir, "best_params")
+    if exact in ckpts:
+        return os.path.abspath(exact)
+    return os.path.abspath(sorted(ckpts)[0])  # orbax needs absolute paths
 
 
 @dataclass
@@ -63,6 +71,27 @@ class RunModels:
     stages: Optional[Tuple[int, ...]] = None
 
 
+def _restore_resnet_joint(ckpt: str, heads, enc_variables):
+    """Restore the resnet trainers' joint checkpoint. New checkpoints carry
+    the trunk's BN running stats as 'enc_batch_stats' (a caller-supplied
+    pretrained encoder has real ImageNet stats — restoring fresh init stats
+    would silently change scores); pre-existing checkpoints lack the key
+    and fall back to the deterministic seed-init stats they trained with."""
+    from vit_ad_tpu.utils.checkpoint import load_params
+
+    init_stats = enc_variables.get("batch_stats", {})
+    target = {"heads": heads, "encoder": enc_variables["params"],
+              "enc_batch_stats": init_stats}
+    try:
+        best = load_params(ckpt, target)
+        stats = best.get("enc_batch_stats", init_stats)
+    except (ValueError, KeyError, TypeError):
+        target.pop("enc_batch_stats")
+        best = load_params(ckpt, target)
+        stats = init_stats
+    return best, {"batch_stats": stats}
+
+
 def _build_resnet_models(hp: HyperParams, arch: str, ckpt: str) -> RunModels:
     """Rebuild the multi-stage ResNet head ensembles and restore the joint
     {'heads': [...], 'encoder': ...} checkpoint the resnet trainers save."""
@@ -71,14 +100,11 @@ def _build_resnet_models(hp: HyperParams, arch: str, ckpt: str) -> RunModels:
         STAGE_SCALES,
         ResNetEncoder,
     )
-    from vit_ad_tpu.utils.checkpoint import load_params
+
+    from vit_ad_tpu.pipeline.train import default_encoder_params
 
     encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
-    enc_variables = encoder.init(
-        jax.random.split(jax.random.key(hp.seed))[1],
-        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
-    )
-    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    enc_variables = default_encoder_params(encoder, hp)
 
     if arch == "mdn":
         from vit_ad_tpu.models.mdn import GaussianMDN
@@ -93,8 +119,7 @@ def _build_resnet_models(hp: HyperParams, arch: str, ckpt: str) -> RunModels:
             m.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
             for i, m in zip(stages, mdns)
         ]
-        target = {"heads": heads, "encoder": enc_variables["params"]}
-        best = load_params(ckpt, target)
+        best, enc_stats = _restore_resnet_joint(ckpt, heads, enc_variables)
         return RunModels(
             kind="mdn_resnet", hp=hp, stages=stages,
             parts=(encoder, {"params": best["encoder"], **enc_stats},
@@ -117,8 +142,7 @@ def _build_resnet_models(hp: HyperParams, arch: str, ckpt: str) -> RunModels:
             flow.init(jax.random.key(0),
                       jnp.zeros((1, side, side, STAGE_CHANNELS[i])))
         )
-    target = {"heads": heads, "encoder": enc_variables["params"]}
-    best = load_params(ckpt, target)
+    best, enc_stats = _restore_resnet_joint(ckpt, heads, enc_variables)
     return RunModels(
         kind="nf_resnet", hp=hp, stages=stages,
         parts=(encoder, {"params": best["encoder"], **enc_stats},
@@ -199,11 +223,18 @@ def parse_pth_filename(filename: str, arch: str):
         dataclass = "metal_nut"
     num_gaussians = None
     if arch == "mdn":
-        num_gaussians = int(stem.split("_")[0])
+        lead = stem.split("_")[0]
+        if not lead.isdigit():
+            raise SystemExit(
+                f"MDN .pth filenames must lead with the gaussian count "
+                f"(reference convention '<K>_..._<dataclass>.pth', e.g. "
+                f"'100_gaussians_bottle.pth'); got {os.path.basename(filename)!r}"
+            )
+        num_gaussians = int(lead)
     return num_gaussians, dataclass
 
 
-def load_encoder_checkpoint(encoder, model_name: str, encoder_ckpt: str,
+def load_encoder_checkpoint(model_name: str, encoder_ckpt: str,
                             img_size: int, target):
     """Pretrained trunk weights for legacy-head re-evaluation: the
     reference's heads were trained on frozen pretrained encoders (reference
@@ -271,6 +302,12 @@ def build_pth_models(
     if arch == "recon":
         # reference recon .pth = the whole AutoEncoder state dict (frozen
         # encoder + trained decoder, reference TrainingsHelper.py:112-122)
+        if encoder_ckpt:
+            print(
+                "build_pth_models (recon): -E/--encoder-ckpt ignored — a "
+                "recon .pth is the WHOLE AutoEncoder (its own frozen "
+                "encoder included); the file's encoder weights are used"
+            )
         sd = tc.load_pth(pth_path)
         model = get_model(hp.model_name, hp.img_size, hp.dtypes)
         target = model.init(
@@ -287,7 +324,7 @@ def build_pth_models(
     enc_params = default_encoder_params(encoder, hp)
     if encoder_ckpt:
         enc_params = load_encoder_checkpoint(
-            encoder, hp.model_name, encoder_ckpt, hp.img_size, enc_params
+            hp.model_name, encoder_ckpt, hp.img_size, enc_params
         )
     else:
         print(
@@ -353,14 +390,13 @@ def build_pth_resnet_mdn_models(
         model_name="res_net", architecture="mdn", img_size=img_size,
         num_gaussians=num_gaussians or 150, data_class=dataclass,
     )
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+
     encoder = ResNetEncoder(img_size=hp.img_size, dtypes=hp.dtypes)
-    enc_variables = encoder.init(
-        jax.random.split(jax.random.key(hp.seed))[1],
-        jnp.zeros((1, hp.img_size, hp.img_size, 3), jnp.float32),
-    )
+    enc_variables = default_encoder_params(encoder, hp)
     if encoder_ckpt:
         enc_variables = load_encoder_checkpoint(
-            encoder, "res_net", encoder_ckpt, hp.img_size, enc_variables
+            "res_net", encoder_ckpt, hp.img_size, enc_variables
         )
     else:
         print(

@@ -958,11 +958,22 @@ def train_mdn_resnet(
             vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
+    # the snapshot (→ best_params checkpoint) carries the trunk's BN
+    # running stats too: they are frozen during training, but a caller-
+    # supplied pretrained encoder (enc_variables) has REAL ImageNet stats —
+    # without them in the checkpoint, run-dir restore would silently
+    # rebuild with fresh zeros/ones stats and score differently
+    def _snapshot():
+        return {**params, "enc_batch_stats": enc_stats["batch_stats"]}
+
     history, epochs_ran, stopper = run_epochs(
-        hp, train_epoch, valid_epoch, lambda: params, logger
+        hp, train_epoch, valid_epoch, _snapshot, logger
     )
 
-    best = stopper.best_params if stopper.best_params is not None else params
+    best = (
+        stopper.best_params if stopper.best_params is not None
+        else _snapshot()
+    )
 
     metrics: Dict[str, float] = {}
     if test_data is not None:
@@ -1137,11 +1148,22 @@ def train_nf_resnet(
             vweights.append(w)
         return _weighted_mean(vlosses, vweights)
 
+    # the snapshot (→ best_params checkpoint) carries the trunk's BN
+    # running stats too: they are frozen during training, but a caller-
+    # supplied pretrained encoder (enc_variables) has REAL ImageNet stats —
+    # without them in the checkpoint, run-dir restore would silently
+    # rebuild with fresh zeros/ones stats and score differently
+    def _snapshot():
+        return {**params, "enc_batch_stats": enc_stats["batch_stats"]}
+
     history, epochs_ran, stopper = run_epochs(
-        hp, train_epoch, valid_epoch, lambda: params, logger
+        hp, train_epoch, valid_epoch, _snapshot, logger
     )
 
-    best = stopper.best_params if stopper.best_params is not None else params
+    best = (
+        stopper.best_params if stopper.best_params is not None
+        else _snapshot()
+    )
 
     metrics: Dict[str, float] = {}
     if test_data is not None:
