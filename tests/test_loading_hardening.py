@@ -109,3 +109,51 @@ def test_coordinator_env_requires_companions(monkeypatch):
     monkeypatch.delenv("VITAD_PROCESS_ID", raising=False)
     with pytest.raises(SystemExit, match="VITAD_NUM_PROCESSES"):
         maybe_initialize_distributed()
+
+
+def test_early_stopping_never_retains_nan_best():
+    """A NaN validation epoch (divergence) must not become best_loss: every
+    later finite loss compares False against NaN, so the divergence-epoch
+    weights would be kept forever."""
+    from vit_ad_tpu.pipeline.early_stopping import EarlyStopping
+
+    es = EarlyStopping(patience=3)
+    assert not es.update(float("nan"), {"w": 1}, 0)
+    assert es.best_loss is None and es.best_params is None
+    assert not es.update(0.5, {"w": 2}, 1)
+    assert es.best_loss == 0.5 and es.best_params == {"w": 2}
+    assert not es.update(float("nan"), {"w": 3}, 2)
+    assert es.best_loss == 0.5 and es.best_epoch == 1
+    # and NaN epochs still count toward patience
+    es2 = EarlyStopping(patience=2)
+    assert not es2.update(float("nan"), {}, 0)
+    assert es2.update(float("nan"), {}, 1)
+
+
+def test_prefetch_releases_worker_when_consumer_abandons():
+    """Abandoning the prefetch generator mid-iteration (an exception in the
+    consuming loop, a dropped iterator) must release the worker thread —
+    it used to block forever on the full queue, pinning the thread and its
+    staged batches for process lifetime."""
+    import itertools
+    import threading
+    import time
+
+    from vit_ad_tpu.data.loader import Batch, prefetch_to_device
+
+    base = threading.active_count()
+
+    def gen():
+        for _ in itertools.count():  # infinite: worker can never finish
+            yield Batch(
+                images=np.zeros((1, 4, 4, 3), np.uint8),
+                valid=np.ones(1, np.float32),
+            )
+
+    it = prefetch_to_device(gen(), size=1, host=True)
+    next(it)
+    it.close()  # abandon mid-iteration
+    deadline = time.time() + 5.0
+    while time.time() < deadline and threading.active_count() > base:
+        time.sleep(0.05)
+    assert threading.active_count() == base, "prefetch worker leaked"

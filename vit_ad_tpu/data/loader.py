@@ -49,6 +49,9 @@ def preprocess(
     the jit'd step so XLA fuses it with the first conv."""
     x = images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
     if mean is not None:
+        if std is None:
+            raise ValueError("preprocess: mean given without std — "
+                             "standardization needs both (or neither)")
         x = (x - mean.astype(dtype)) / std.astype(dtype)
     return x
 
@@ -81,34 +84,56 @@ def _batches_from_dataset(
 
 
 def prefetch_to_device(
-    it: Iterator[Batch], size: int = 2, device=None
+    it: Iterator[Batch], size: int = 2, device=None, host: bool = False
 ) -> Iterator[Batch]:
     """Background-thread prefetch: decode/stack on host while the device is
-    busy, `jax.device_put` ahead of use."""
+    busy, `jax.device_put` ahead of use. `host=True` keeps batches on host
+    (decode-ahead only) — for consumers that stage to the device themselves
+    (the eval scan protocol), where an eager device_put would cost a
+    device→host fetch per batch just to re-stage."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in it:
-                q.put(jax.device_put(batch, device))
+                staged = batch if host else jax.device_put(batch, device)
+                if not _put(staged):
+                    return  # consumer gone — stop decoding, drop the batch
         except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
             # A decode/stack failure must surface in the consuming loop, not
             # silently end the iterator (which would truncate an epoch or an
             # eval set to however many batches preceded the bad image).
-            q.put(e)
+            _put(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done or abandoned mid-iteration (an exception in the
+        # consuming loop, or a dropped generator): release the worker —
+        # without this it blocks forever on a full queue, pinning the
+        # thread and its device-resident batches for process lifetime
+        stop.set()
 
 
 class DataPipeline:
@@ -179,11 +204,11 @@ class DataPipeline:
             _batches_from_dataset(ds, self.batch_size), prefetch
         )
 
-    def test_batches(self, prefetch: int = 2) -> Iterator[Batch]:
+    def test_batches(self, prefetch: int = 2, host: bool = False) -> Iterator[Batch]:
         ds = AnomalyDataset(self.test_files, self.img_size, validation=True,
                             missing_mask_ok=self.explicit_files)
         return prefetch_to_device(
-            _batches_from_dataset(ds, self.batch_size), prefetch
+            _batches_from_dataset(ds, self.batch_size), prefetch, host=host
         )
 
     def num_train_batches(self) -> int:
@@ -209,6 +234,12 @@ class DataPipeline:
                 x * x, axis=(0, 1, 2)
             )
 
+        if not self.train_files:
+            raise ValueError(
+                "compute_mean_std needs train files (this pipeline was "
+                "built validation-only / from an explicit file list) — "
+                "0/0 would silently yield NaN statistics"
+            )
         psum = jnp.zeros(3)
         psum_sq = jnp.zeros(3)
         count = 0

@@ -30,8 +30,17 @@ class EarlyStopping:
 
     def update(self, loss: float, params: Any, epoch: int) -> bool:
         """Record an epoch result. Returns True when training should stop."""
+        import math
+
         from vit_ad_tpu.parallel.multihost import host_snapshot, is_primary
 
+        if math.isnan(loss):
+            # a NaN epoch (divergence) is never an improvement — and must
+            # never become best_loss, since every later finite loss would
+            # compare False against NaN and the divergence-epoch weights
+            # would be retained forever
+            self.counter += 1
+            return self.counter >= self.patience
         if self.best_loss is None or loss < self.best_loss:
             self.best_loss = loss
             # host snapshot: keep best weights in host RAM, off the HBM
@@ -79,8 +88,12 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
         timer.start()
         with ctx:
             train_loss, n_items = train_epoch(epoch)
+        t_train = time.perf_counter() - t0  # train-only window: the logged
+        # images/sec must match train_images_per_sec's (StepTimer) window,
+        # not fold validation time in
         if epoch == 0:
             history["_epoch0_items"] = n_items
+            history["_epoch0_train_time"] = t_train
         if epoch > 0 or hp.epochs == 1:
             # epoch 0 is jit-compile-dominated; folding it into the
             # steady-state throughput metric understates img/s (see PERF.md
@@ -98,7 +111,7 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
                     "epoch": epoch,
                     "train_loss": train_loss,
                     "valid_loss": valid_loss,
-                    "images_per_sec": float(n_items) / max(epoch_time, 1e-9),
+                    "images_per_sec": float(n_items) / max(t_train, 1e-9),
                 }
             )
         if stopper.update(valid_loss, snapshot(), epoch):
@@ -111,11 +124,13 @@ def run_epochs(hp, train_epoch, valid_epoch, snapshot, logger=None):
         n0 = history.get("_epoch0_items", 0.0)
         if n0:
             history["train_images_per_sec"] = n0 / max(
-                history["epoch_time"][0], 1e-9
+                history.get("_epoch0_train_time", history["epoch_time"][0]),
+                1e-9,
             )
         else:
             history["train_images_per_sec"] = 0.0
     else:
         history["train_images_per_sec"] = timer.images_per_sec
     history.pop("_epoch0_items", None)
+    history.pop("_epoch0_train_time", None)
     return history, epochs_ran, stopper

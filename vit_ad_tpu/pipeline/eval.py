@@ -88,6 +88,26 @@ def _eval_scan_chunk() -> int:
     return 8 if jax.default_backend() != "cpu" else 0
 
 
+def _ll_to_anomaly_maps(ll: np.ndarray, img_size: int):
+    """The parity-sensitive MDN core, in ONE place for the transformer and
+    per-stage ResNet paths: global-max probability normalization (reference
+    get_probability_map, MixtureDensityNetwork.py:75-97 — global over the
+    scored set, not per batch; module docstring), sqrt-side reshape,
+    bilinear upsample (align_corners=True, reference ValidatorMDN.py
+    :137-162) and the final `(x * -1) + 1` inversion (:170-172).
+
+    Returns (anomaly_maps [N, H, W], prob [N, P])."""
+    prob = np.exp(ll - ll.max())  # [N, P] in [0, 1]
+    side = int(round(np.sqrt(prob.shape[1])))
+    up = np.asarray(
+        interpolate_bilinear(
+            jnp.asarray(prob.reshape(-1, side, side)),
+            img_size, img_size, align_corners=True,
+        )
+    )
+    return (up * -1.0) + 1.0, prob
+
+
 def _eval_mesh(hp: HyperParams) -> Optional[MeshContext]:
     """Evaluators self-setup the mesh from hp.mesh (same config the trainers
     consume) so `--mesh DxM` shards scoring batches over the data axis too —
@@ -127,10 +147,19 @@ def _collect(
     The trailing group is padded with repeats of the last batch (marked
     invalid and trimmed on host) so ONE compiled executable covers every
     test-set length. With a MeshContext, batches are sharded over the mesh
-    data axis (DP scoring) in either protocol."""
+    data axis (DP scoring) in either protocol.
+
+    `batches` is an iterable OR a factory `fn(host=False) -> iterable`: the
+    scan path requests HOST batches from a factory (it stages chunks to the
+    device itself — eagerly device_put batches would each cost a
+    device→host fetch just to be re-staged), while the per-batch path keeps
+    device prefetch."""
     chunk = _eval_scan_chunk() if scan_score is not None else 0
     if chunk > 1:
-        return _collect_scan(batches, scan_score, chunk, keep_origs, mc)
+        bs = batches(host=True) if callable(batches) else batches
+        return _collect_scan(bs, scan_score, chunk, keep_origs, mc)
+    if callable(batches):
+        batches = batches()
     payloads, labels, masks, origs = [], [], [], []
     kept = 0
     for batch in batches:
@@ -244,8 +273,6 @@ def save_eval_figures(
 
     Figures are also logged to wandb when `logger` has an active run.
     Returns {figure name: path}."""
-    import os
-
     import matplotlib.pyplot as plt
 
     from vit_ad_tpu.utils import images as I
@@ -308,8 +335,6 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
     # (101-124 vs 24 ms; PERF.md) — so they still fall back, UNLESS
     # VITAD_PALLAS_GMM=1 explicitly forces the kernel ("force" must mean
     # force, so A/B measurements are attributed to the right path).
-    import os
-
     d = feats.shape[-1]
     wbytes = 2 if hp.dtypes.compute_dtype == jnp.bfloat16 else 4
     est = 2 * 2 * d * d * wbytes + 4 * 256 * d * 4
@@ -366,25 +391,17 @@ def score_mdn(
 
     loglik_j = jax.jit(loglik_map)
     ll, labels, gt_masks, origs = _collect(
-        test_data.test_batches(hp.prefetch),
+        lambda host=False: test_data.test_batches(hp.prefetch, host=host),
         lambda im: loglik_j(enc_params, mdn_params, im),
         keep_origs=keep_origs,
         scan_score=_scan_scorer(loglik_map, enc_params, mdn_params),
         mc=_eval_mesh(hp),
     )
 
-    # Global (whole-test-set) probability normalization — see module docstring.
-    prob = np.exp(ll - ll.max())  # [N, P] in [0, 1]
+    pixel_scores, prob = _ll_to_anomaly_maps(ll, hp.img_size)
+    # image score from the PRE-upsample patch probabilities (reference
+    # ValidatorMDN.py:133: min patch prob, then the final inversion)
     image_scores = (prob.min(axis=1) * -1.0) + 1.0
-
-    side = int(round(np.sqrt(prob.shape[1])))
-    maps = prob.reshape(-1, side, side)
-    pixel_scores = np.asarray(
-        interpolate_bilinear(
-            jnp.asarray(maps), hp.img_size, hp.img_size, align_corners=True
-        )
-    )
-    pixel_scores = (pixel_scores * -1.0) + 1.0
     return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
 
 
@@ -436,7 +453,7 @@ def score_nf(
 
     anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
-        test_data.test_batches(hp.prefetch),
+        lambda host=False: test_data.test_batches(hp.prefetch, host=host),
         lambda im: anomaly_j(enc_params, flow_params, im),
         keep_origs=keep_origs,
         scan_score=_scan_scorer(anomaly_maps, enc_params, flow_params),
@@ -487,7 +504,7 @@ def score_recon(
 
     error_j = jax.jit(error_maps)
     maps, labels, gt_masks, origs = _collect(
-        test_data.test_batches(hp.prefetch),
+        lambda host=False: test_data.test_batches(hp.prefetch, host=host),
         lambda im: error_j(variables, im),
         keep_origs=keep_origs,
         scan_score=_scan_scorer(error_maps, variables),
@@ -569,25 +586,17 @@ def score_mdn_resnet(
 
     stage_j = jax.jit(stage_logliks)
     stage_lls, labels, gt_masks, origs = _collect(
-        test_data.test_batches(hp.prefetch),
+        lambda host=False: test_data.test_batches(hp.prefetch, host=host),
         lambda im: stage_j(enc_variables, list(mdn_params), im),
         keep_origs=keep_origs,
         scan_score=_scan_scorer(stage_logliks, enc_variables, list(mdn_params)),
         mc=_eval_mesh(hp),
     )
 
-    stage_anomalies = []
-    for si in range(len(stages)):
-        ll = stage_lls[si]  # [N, h*w]
-        prob = np.exp(ll - ll.max())
-        side = int(round(np.sqrt(prob.shape[1])))
-        up = np.asarray(
-            interpolate_bilinear(
-                jnp.asarray(prob.reshape(-1, side, side)),
-                hp.img_size, hp.img_size, align_corners=True,
-            )
-        )
-        stage_anomalies.append((up * -1.0) + 1.0)
+    stage_anomalies = [
+        _ll_to_anomaly_maps(stage_lls[si], hp.img_size)[0]
+        for si in range(len(stages))
+    ]
     pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
     image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
     return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
@@ -646,7 +655,7 @@ def score_nf_resnet(
 
     anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
-        test_data.test_batches(hp.prefetch),
+        lambda host=False: test_data.test_batches(hp.prefetch, host=host),
         lambda im: anomaly_j(enc_variables, list(flow_params), im),
         keep_origs=keep_origs,
         scan_score=_scan_scorer(anomaly_maps, enc_variables, list(flow_params)),
