@@ -56,11 +56,22 @@ class VariationalAutoEncoder(nn.Module):
     def __call__(
         self, x: Array, rng: jax.Array, train: bool = False
     ) -> AutoEncoderOutput:
+        out, _, _ = self.forward_with_posterior(x, rng, train=train)
+        return out
+
+    def forward_with_posterior(
+        self, x: Array, rng: jax.Array, train: bool = False
+    ) -> Tuple[AutoEncoderOutput, Array, Array]:
+        """(output, mu, log_var) from ONE encode — the training loss must
+        penalize the same posterior the reconstruction's z was sampled from
+        (the reference uses the single forward's latent_space.mu/log_var,
+        LearnerRecon.py learn_vae); a second train=False encode would see
+        different BatchNorm statistics AND double the encoder FLOPs."""
         mu, log_var = self.encode(x, train=train)
         std = jnp.exp(0.5 * log_var)
         z = mu + std * jax.random.normal(rng, mu.shape)
         recon = self.decoder(z, train=train)
-        return AutoEncoderOutput(latent=z, reconstruction=recon)
+        return AutoEncoderOutput(latent=z, reconstruction=recon), mu, log_var
 
     @staticmethod
     def kl_loss(mu: Array, log_var: Array) -> Array:

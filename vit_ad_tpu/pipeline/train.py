@@ -558,7 +558,11 @@ def train_recon(
             loss = hp.mse_weight * loss + hp.ssim_weight * (1.0 - s_mean)
         return loss, updates["batch_stats"]
 
-    @jax.jit
+    # donated like every other trainer's step (and this trainer's own scan
+    # path): the loop fallback runs exactly when the staged epoch exceeds
+    # the device cache — the configurations least able to afford live
+    # old+new copies of params + Adam state + batch_stats
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images_u8, valid):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, images_u8, valid
@@ -571,7 +575,7 @@ def train_recon(
             loss,
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step_cached(params, batch_stats, opt_state, images_u8, valid, latents):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, images_u8, valid, latents
@@ -877,7 +881,14 @@ def train_mdn_resnet(
         enc_p["trunk"] = jax.lax.stop_gradient(enc_p["trunk"])
         inputs = stage_inputs(enc_p, images_u8)
         total = 0.0
-        rngs = jax.random.split(step_rng, len(inputs))
+        # step_rng=None → deterministic mixture weights (softmax, no gumbel)
+        # — the validation/early-stopping objective, matching train_mdn's
+        # eval_loss and the test-time scorer (gumbel-train/deterministic-
+        # eval policy)
+        rngs = (
+            jax.random.split(step_rng, len(inputs))
+            if step_rng is not None else [None] * len(inputs)
+        )
         for feats, hp_, mdn, r in zip(inputs, params["heads"], mdns, rngs):
             ll = mdn.apply(hp_, feats, rng=r, method=GaussianMDN.log_likelihood)
             per_example = -jnp.mean(ll, axis=(1, 2))
@@ -898,9 +909,7 @@ def train_mdn_resnet(
         updates, opt_state = tx.update(grads, opt_state, params)
         return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
 
-    eval_loss = jax.jit(
-        lambda p, im, v: loss_fn(p, im, v, jax.random.key(0))
-    )
+    eval_loss = jax.jit(lambda p, im, v: loss_fn(p, im, v, None))
 
     # scan-of-batches epochs (see train_mdn): one dispatch per epoch over
     # the stacked staged uint8 batches; features.image_epoch_staging picks
@@ -1231,13 +1240,14 @@ def train_vae(
 
     def loss_fn(params, batch_stats, images_u8, valid, step_rng):
         x = preprocess(images_u8, mean_j, std_j)
-        out, updates = model.apply(
+        # ONE encode: the KL must penalize the posterior the recon's z was
+        # sampled from (reference learn_vae uses the same forward's
+        # latent_space.mu/log_var) — a second train=False encode sees
+        # different BatchNorm statistics and doubles encoder FLOPs
+        (out, mu, log_var), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, step_rng, train=True, mutable=["batch_stats"],
-        )
-        mu, log_var = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x, train=False, method=VariationalAutoEncoder.encode,
+            method=VariationalAutoEncoder.forward_with_posterior,
         )
         err = jnp.mean(
             jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
@@ -1249,7 +1259,8 @@ def train_vae(
         kl = jnp.sum(kl_i * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         return mse + kl, updates["batch_stats"]
 
-    @jax.jit
+    # donated for the same reason as train_recon's loop step (see above)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images_u8, valid, step_rng):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, images_u8, valid, step_rng
@@ -1263,13 +1274,9 @@ def train_vae(
     @jax.jit
     def valid_loss_fn(params, batch_stats, images_u8, valid, step_rng):
         x = preprocess(images_u8, mean_j, std_j)
-        out = model.apply(
+        out, mu, log_var = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, step_rng,
-            train=False,
-        )
-        mu, log_var = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False,
-            method=VariationalAutoEncoder.encode,
+            train=False, method=VariationalAutoEncoder.forward_with_posterior,
         )
         err = jnp.mean(
             jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32)),
