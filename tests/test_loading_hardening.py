@@ -130,6 +130,39 @@ def test_early_stopping_never_retains_nan_best():
     assert es2.update(float("nan"), {}, 1)
 
 
+def test_retain_snapshot_is_device_side_and_independent(monkeypatch):
+    """Best-weights retention keeps a DEVICE copy by default (the per-
+    improving-epoch device_get of a 472 MB MDN head cost ~10 s over the
+    remote tunnel — tools/epoch_bench.json), and the copy must be
+    independent of the live buffers (trainers donate them)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_ad_tpu.pipeline.early_stopping import EarlyStopping, retain_snapshot
+
+    live = {"w": jnp.arange(4.0), "k": 7}
+    es = EarlyStopping(patience=2)
+    es.update(1.0, live, 0)
+    assert isinstance(es.best_params["w"], jax.Array)  # not host numpy
+    assert es.best_params["k"] == 7  # non-array leaves pass through
+    # the copy survives the live value being replaced (donation proxy)
+    live["w"] = live["w"] + 100.0
+    np.testing.assert_array_equal(np.asarray(es.best_params["w"]),
+                                  np.arange(4.0))
+
+    # explicit host opt-out
+    monkeypatch.setenv("VITAD_SNAPSHOT_HOST", "1")
+    out = retain_snapshot({"w": jnp.arange(4.0)})
+    assert isinstance(out["w"], np.ndarray)
+    monkeypatch.delenv("VITAD_SNAPSHOT_HOST")
+
+    # oversized trees spill to host (threshold in MB)
+    monkeypatch.setenv("VITAD_SNAPSHOT_DEVICE_MAX_MB", "0.00001")
+    out = retain_snapshot({"w": jnp.arange(64.0)})
+    assert isinstance(out["w"], np.ndarray)
+
+
 def test_prefetch_releases_worker_when_consumer_abandons():
     """Abandoning the prefetch generator mid-iteration (an exception in the
     consuming loop, a dropped iterator) must release the worker thread —

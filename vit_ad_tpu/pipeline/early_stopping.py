@@ -10,9 +10,53 @@ resume points.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
+
+
+def _tree_device_bytes(tree: Any) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(tree)
+        if isinstance(x, jax.Array)
+    )
+
+
+def retain_snapshot(tree: Any) -> Any:
+    """Best-weights retention copy for EarlyStopping.
+
+    Single-host default: a DEVICE-side copy (fresh HBM buffers via
+    jnp.copy, no host fetch). Fetching big heads through the remote
+    tunnel cost ~10 s per improving epoch (tools/epoch_bench.json:
+    MDN-100 trained at 15.7 img/s because its 472 MB of [D,D,K]
+    w_mu/w_sigma was device_get round-tripped every epoch; ae_deit's
+    ~400 MB likewise). The copy is safe against the trainers' donated
+    step buffers (new buffers, old best freed by GC on overwrite), and
+    downstream consumers (orbax save, final eval) take device arrays
+    directly.
+
+    Host path (`host_snapshot`) is kept for: multihost runs (the
+    allgather + every-process-holds-the-snapshot contract), pytrees
+    above VITAD_SNAPSHOT_DEVICE_MAX_MB (default 1500 — the D=2048 K=50
+    resnet-MDN heads' extra ~2.5 GB copy would pressure a 16 GB chip
+    already carrying ~10 GB of param+Adam state), and
+    VITAD_SNAPSHOT_HOST=1."""
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.parallel.multihost import host_snapshot, is_multihost
+
+    max_mb = float(os.environ.get("VITAD_SNAPSHOT_DEVICE_MAX_MB", "1500"))
+    if (
+        is_multihost()
+        or os.environ.get("VITAD_SNAPSHOT_HOST") == "1"
+        or _tree_device_bytes(tree) > max_mb * 1e6
+    ):
+        return host_snapshot(tree)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 class EarlyStopping:
@@ -32,7 +76,7 @@ class EarlyStopping:
         """Record an epoch result. Returns True when training should stop."""
         import math
 
-        from vit_ad_tpu.parallel.multihost import host_snapshot, is_primary
+        from vit_ad_tpu.parallel.multihost import is_primary
 
         if math.isnan(loss):
             # a NaN epoch (divergence) is never an improvement — and must
@@ -43,10 +87,10 @@ class EarlyStopping:
             return self.counter >= self.patience
         if self.best_loss is None or loss < self.best_loss:
             self.best_loss = loss
-            # host snapshot: keep best weights in host RAM, off the HBM
-            # budget (allgather-aware — multi-host TP shards live on other
-            # hosts' chips)
-            self.best_params = host_snapshot(params)
+            # retention copy: device-side by default (one host fetch at
+            # end of training instead of per improving epoch — see
+            # retain_snapshot); host RAM for multihost / oversized trees
+            self.best_params = retain_snapshot(params)
             self.best_epoch = epoch
             self.counter = 0
             if self.save_fn is not None and is_primary():
