@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.layers import FusedBatchNorm
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -54,10 +55,9 @@ class VanillaCNNEncoder(nn.Module):
                 param_dtype=self.dtypes.param_dtype,
                 name=f"conv{i + 1}",
             )(x)
-            x = nn.BatchNorm(
+            x = FusedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtypes.accum_dtype,
-                param_dtype=self.dtypes.param_dtype,
+                dtypes=self.dtypes,
                 name=f"bn{i + 1}",
             )(x).astype(self.dtypes.compute_dtype)
             x = nn.relu(x)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.layers import FusedBatchNorm
 from vit_ad_tpu.models.reverse_resnet import ReverseResNetTrunk, _upsample_nearest
 
 Array = jax.Array
@@ -55,9 +56,9 @@ class SmallDecoder(nn.Module):
                 ch, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
                 dtype=cd, param_dtype=pd, name=f"recon_conv{i + 1}",
             )(x)
-            x = nn.BatchNorm(
+            x = FusedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtypes.accum_dtype, param_dtype=pd,
+                dtypes=self.dtypes,
                 name=f"bn{i + 1}",
             )(x).astype(cd)
             if i < len(DECODER_CHANNELS) - 1:
@@ -92,8 +93,8 @@ class ResNetDecoder(nn.Module):
             3, (7, 7), strides=(2, 2), padding=((3, 4), (3, 4)),
             use_bias=False, dtype=cd, param_dtype=pd, name="de_conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtypes.accum_dtype, param_dtype=pd, name="bn1",
+            dtypes=self.dtypes, name="bn1",
         )(x).astype(cd)
         return jnp.tanh(x)

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm, Mlp, resolve_gelu_approx
+from vit_ad_tpu.models.layers import (
+    FusedBatchNorm,
+    LayerNorm,
+    Mlp,
+    resolve_gelu_approx,
+)
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -41,10 +46,9 @@ class ConvBN(nn.Module):
                     padding=((pad, pad), (pad, pad)),
                     dtype=self.dtypes.compute_dtype,
                     param_dtype=self.dtypes.param_dtype, name="conv")(x)
-        return nn.BatchNorm(
+        return FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtypes.accum_dtype,
-            param_dtype=self.dtypes.param_dtype, name="bn",
+            dtypes=self.dtypes, name="bn",
         )(x).astype(self.dtypes.compute_dtype)
 
 

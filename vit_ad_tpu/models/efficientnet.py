@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.layers import FusedBatchNorm
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -65,9 +66,9 @@ class ConvBNAct(nn.Module):
             use_bias=False, dtype=self.dtypes.compute_dtype,
             param_dtype=self.dtypes.param_dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-3,
-            dtype=self.dtypes.accum_dtype, param_dtype=self.dtypes.param_dtype,
+            dtypes=self.dtypes,
             name="bn",
         )(x).astype(self.dtypes.compute_dtype)
         return nn.swish(x) if self.act else x

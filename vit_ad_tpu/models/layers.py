@@ -146,6 +146,65 @@ class Attention(nn.Module):
         return out
 
 
+class FusedBatchNorm(nn.Module):
+    """`nn.BatchNorm` drop-in (identical params/batch_stats layout and
+    training math) whose INFERENCE path stays in the compute dtype.
+
+    flax's eval path promotes the whole map to f32 (our dtype=accum) to
+    normalize, which materializes f32 stage maps XLA cannot fuse into the
+    producing conv's epilogue — measured as ~1.6 ms of f32
+    [128,56,56,64] BN fusions in the EfficientFormer trace
+    (tools/trace_eff_former.txt). Here the per-channel mean/mul/bias are
+    derived in f32 from the f32 running stats, cast once ([C] vectors),
+    and applied in the compute dtype with flax's exact op order
+    ((x - mean) * (rsqrt(var+eps)*scale) + bias) — under a f32 policy
+    this is bit-identical to nn.BatchNorm; under bf16 the map-sized ops
+    run in bf16 like every other epilogue and fuse away. Training
+    replicates flax op-for-op (f32 fast-variance stats, momentum blend,
+    f32 normalize; running update skipped while initializing)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtypes: DtypePolicy = DtypePolicy()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cd = self.dtypes.compute_dtype
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.dtypes.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.dtypes.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)
+        )
+        if self.use_running_average:
+            mul = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale.astype(
+                jnp.float32
+            )
+            return (x - ra_mean.value.astype(cd)) * mul.astype(cd) + bias.astype(cd)
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mu = x32.mean(axes)
+        mu2 = (x32 * x32).mean(axes)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mu
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var
+            )
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        return (x32 - mu) * mul + bias.astype(jnp.float32)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm computed in f32 (bf16 variance is too coarse), cast back."""
 

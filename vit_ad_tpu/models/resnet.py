@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.layers import FusedBatchNorm
 from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
@@ -49,9 +50,9 @@ class Bottleneck(nn.Module):
         cd, pd = self.dtypes.compute_dtype, self.dtypes.param_dtype
 
         def bn(name):
-            return nn.BatchNorm(
+            return FusedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtypes.accum_dtype, param_dtype=pd, name=name,
+                dtypes=self.dtypes, name=name,
             )
 
         identity = x
@@ -87,9 +88,9 @@ class ResNet50(nn.Module):
         x = x.astype(cd)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=cd, param_dtype=pd, name="conv1")(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtypes.accum_dtype, param_dtype=pd, name="bn1",
+            dtypes=self.dtypes, name="bn1",
         )(x).astype(cd)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

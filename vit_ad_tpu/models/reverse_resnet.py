@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
+from vit_ad_tpu.models.layers import FusedBatchNorm
 
 Array = jax.Array
 
@@ -59,9 +60,9 @@ class ReverseBottleneck(nn.Module):
         cd, pd = self.dtypes.compute_dtype, self.dtypes.param_dtype
 
         def bn(name):
-            return nn.BatchNorm(
+            return FusedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtypes.accum_dtype, param_dtype=pd, name=name,
+                dtypes=self.dtypes, name=name,
             )
 
         identity = x
@@ -132,9 +133,9 @@ class ReverseResNet(nn.Module):
             3, (7, 7), strides=(2, 2), padding=((3, 4), (3, 4)),
             use_bias=False, dtype=cd, param_dtype=pd, name="de_conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = FusedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtypes.accum_dtype, param_dtype=pd, name="bn1",
+            dtypes=self.dtypes, name="bn1",
         )(x).astype(cd)
         return jnp.tanh(x)
 
