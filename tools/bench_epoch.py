@@ -103,6 +103,14 @@ def bench(args, which):
     ]
     out = {}
     for mode, label in (("1", "scan"), ("0", "loop")):
+        # warmup child: the axon endpoint caches compiles ACROSS processes
+        # (keyed by HLO), so after any code change the first timed child
+        # would pay a fresh compile its sibling then gets for free — the
+        # slope goes negative (measured: mdn scan 409 s @6 epochs then
+        # 115 s @30). One discarded child warms the cache for both.
+        t_warm = _time_in_subprocess(argv_base, which, 1, mode)
+        print(json.dumps({"which": which, "mode": label,
+                          "warmup_s": round(t_warm, 2)}), flush=True)
         t_short = _time_in_subprocess(argv_base, which, args.e1, mode)
         t_long = _time_in_subprocess(argv_base, which, args.e2, mode)
         per_epoch = (t_long - t_short) / (args.e2 - args.e1)
