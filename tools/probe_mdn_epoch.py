@@ -37,9 +37,16 @@ def main() -> None:
     ap.add_argument("--gaussians", type=int, default=100)
     ap.add_argument("--img-size", type=int, default=224)
     ap.add_argument("--scan", default="1", choices=("0", "1"))
+    ap.add_argument("--no-retain", action="store_true",
+                    help="A/B: skip the best-weight retention copy so the "
+                         "rest bucket splits into retention vs valid+update")
     args = ap.parse_args()
 
     os.environ["VITAD_SCAN_EPOCH"] = args.scan
+    if args.no_retain:
+        from vit_ad_tpu.pipeline import early_stopping as _es
+
+        _es.retain_snapshot = lambda tree: tree
 
     from vit_ad_tpu.config import HyperParams
     from vit_ad_tpu.data.loader import DataPipeline
