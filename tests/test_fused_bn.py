@@ -95,7 +95,12 @@ def test_fused_bn_init_matches_flax_structure():
     ):
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # init must NOT update running stats (flax skips while initializing)
+    # init must NOT have updated running stats (flax skips the momentum
+    # blend while initializing): the freshly-inited mean is still zeros
+    np.testing.assert_array_equal(
+        np.asarray(v_new["batch_stats"]["mean"]), np.zeros(3)
+    )
+    # ...while a post-init mutable apply DOES update them
     _, mut = FusedBatchNorm(use_running_average=False, dtypes=dt).apply(
         v_new, jnp.ones((2, 4, 4, 3)), mutable=["batch_stats"]
     )

@@ -146,8 +146,11 @@ def test_retain_snapshot_is_device_side_and_independent(monkeypatch):
     es.update(1.0, live, 0)
     assert isinstance(es.best_params["w"], jax.Array)  # not host numpy
     assert es.best_params["k"] == 7  # non-array leaves pass through
-    # the copy survives the live value being replaced (donation proxy)
-    live["w"] = live["w"] + 100.0
+    # the copy survives the ORIGINAL buffer being deleted (the real
+    # donation proxy — rebinding the dict key would pass even for an
+    # aliasing retain_snapshot, since the snapshot would still reference
+    # the old live buffer)
+    live["w"].delete()
     np.testing.assert_array_equal(np.asarray(es.best_params["w"]),
                                   np.arange(4.0))
 

@@ -78,9 +78,9 @@ def main() -> None:
             rows.append(json.loads(line))
     # run_epochs logs images_per_sec = n_items / t_train per epoch; the
     # train-item count is constant, so recover each epoch's train window
-    # from any epoch's (ips, epoch_time) pair is impossible without
-    # n_items — take it from the data split instead (n_train * 0.8).
-    n_items = int(args.n_train * 0.8)
+    # from it. The split rounds (data/files.py), matching int() only when
+    # n_train * 0.8 is integral.
+    n_items = round(args.n_train * 0.8)
     per_epoch = []
     for i, et in enumerate(hist["epoch_time"]):
         row = next((r for r in rows if r.get("epoch") == i), {})
