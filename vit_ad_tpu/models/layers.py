@@ -205,20 +205,71 @@ class FusedBatchNorm(nn.Module):
         return (x32 - mu) * mul + bias.astype(jnp.float32)
 
 
+class _LNParams(nn.Module):
+    """Bare scale/bias holder so the fused-LN path keeps the exact param
+    tree of the flax path (`<name>/LayerNorm_0/{scale,bias}`) that the
+    torch converters consume (utils/torch_convert.py)."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), self.param_dtype
+        )
+        return scale, bias
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm computed in f32 (bf16 variance is too coarse), cast back."""
+    """LayerNorm computed in f32 (bf16 variance is too coarse), cast back.
+
+    On TPU under bf16 compute the forward routes to the fused Pallas
+    kernel (ops/pallas/layer_norm.py — one HBM read + one write instead of
+    XLA's ≥3 map passes; identical f32 math, no numerics tradeoff); flax's
+    nn.LayerNorm stays the exact/torch-parity path (f32 policy, CPU) and
+    defines the param layout both paths share."""
 
     dtypes: DtypePolicy = DtypePolicy()
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from vit_ad_tpu.ops.pallas.layer_norm import (
+            layer_norm,
+            pallas_ln_viable,
+        )
+
+        cd = self.dtypes.compute_dtype
+        if pallas_ln_viable(x.shape, self.dtypes):
+            scale, bias = _LNParams(
+                x.shape[-1], self.dtypes.param_dtype, name="LayerNorm_0"
+            )()
+            return layer_norm(x, scale, bias, self.eps).astype(cd)
+        import os
+
+        if os.environ.get("VITAD_BF16_LN") == "1" and cd == jnp.bfloat16:
+            # A/B control for the kernel: f32 stats, bf16 normalize ops
+            # (XLA-only fusion variant; extra bf16 rounding per op).
+            scale, bias = _LNParams(
+                x.shape[-1], self.dtypes.param_dtype, name="LayerNorm_0"
+            )()
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            mul = (jax.lax.rsqrt(var + self.eps)).astype(cd)
+            return (x - mean.astype(cd)) * mul * scale.astype(
+                cd
+            ) + bias.astype(cd)
         y = nn.LayerNorm(
             epsilon=self.eps,
             dtype=self.dtypes.accum_dtype,
             param_dtype=self.dtypes.param_dtype,
         )(x)
-        return y.astype(self.dtypes.compute_dtype)
+        return y.astype(cd)
 
 
 class TransformerBlock(nn.Module):
