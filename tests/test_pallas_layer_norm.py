@@ -117,7 +117,7 @@ def test_module_param_tree_parity(rng, monkeypatch):
 
     monkeypatch.setenv("VITAD_BF16_LN", "1")
     v_ctrl = mod.init(jax.random.PRNGKey(0), x)
-    y_ctrl = mod.apply(v_exact, x)
+    y_ctrl = mod.apply(v_ctrl, x)
 
     t_exact = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v_exact)
     t_ctrl = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v_ctrl)

@@ -8,7 +8,9 @@
 #      "kernel won because of fewer HBM passes" from "f32 map ops were
 #      the cost")
 # Stock is re-run same-session so the A/B shares tunnel conditions rather
-# than comparing against a cached row from another day.
+# than comparing against a cached row from another day. Rows land in
+# tools/ln_ab.jsonl as single JSON objects ({backbone, variant, rc, ...});
+# a crashed bench still writes a row (rc != 0) so failures are visible.
 # Axon rules (CLAUDE.md): one TPU client at a time, natural exits, never
 # edit this file while it runs.
 cd /root/repo || exit 1
@@ -23,17 +25,35 @@ if [ -n "$PRIMARY_PID" ]; then
     log "queue10/11 chain done"
 fi
 
+bench_row() { # $1=backbone $2=variant-label $3=env-assignment (may be "")
+    local bb="$1" var="$2" assign="$3" line rc
+    log "=== $bb $var ==="
+    if [ -n "$assign" ]; then
+        line=$(env "$assign" python bench.py --backbone "$bb" 2>>/tmp/q12_err.log)
+    else
+        line=$(python bench.py --backbone "$bb" 2>>/tmp/q12_err.log)
+    fi
+    rc=$?
+    VITAD_ROW="$line" python - "$bb" "$var" "$rc" >> tools/ln_ab.jsonl <<'PY'
+import json, os, sys
+bb, var, rc = sys.argv[1], sys.argv[2], int(sys.argv[3])
+row = {"backbone": bb, "variant": var, "rc": rc}
+for ln in os.environ.get("VITAD_ROW", "").strip().splitlines():
+    try:
+        row.update(json.loads(ln))
+        break
+    except json.JSONDecodeError:
+        continue
+print(json.dumps(row))
+PY
+    tail -1 tools/ln_ab.jsonl
+}
+
 : > tools/ln_ab.jsonl
 for bb in enc_nest enc_esvit enc_eff_former; do
-    log "=== $bb stock (exact LN) ==="
-    python bench.py --backbone "$bb" 2>/dev/null \
-        | sed "s/^/{\"variant\": \"stock\"} /" | tee -a tools/ln_ab.jsonl
-    log "=== $bb VITAD_PALLAS_LN=1 ==="
-    VITAD_PALLAS_LN=1 python bench.py --backbone "$bb" 2>/dev/null \
-        | sed "s/^/{\"variant\": \"pallas_ln\"} /" | tee -a tools/ln_ab.jsonl
-    log "=== $bb VITAD_BF16_LN=1 ==="
-    VITAD_BF16_LN=1 python bench.py --backbone "$bb" 2>/dev/null \
-        | sed "s/^/{\"variant\": \"bf16_ln\"} /" | tee -a tools/ln_ab.jsonl
+    bench_row "$bb" stock ""
+    bench_row "$bb" pallas_ln "VITAD_PALLAS_LN=1"
+    bench_row "$bb" bf16_ln "VITAD_BF16_LN=1"
 done
 
 log "queue12 done"

@@ -55,6 +55,12 @@ def main() -> None:
     if args.no_retain:
         from vit_ad_tpu.pipeline import early_stopping as _es
 
+        # MEASUREMENT-ONLY: identity aliases live buffers that the next
+        # donated train step deletes — best_params becomes unreadable.
+        # That is the point (zero-copy A/B); this probe never consumes the
+        # result weights (test_data=None, no checkpoint). Never copy this
+        # patch into product code; a "cheap retention" would be
+        # host_snapshot, which re-adds the fetch the A/B isolates.
         _es.retain_snapshot = lambda tree: tree
 
     from vit_ad_tpu.config import HyperParams

@@ -46,6 +46,9 @@ def main() -> None:
     if args.no_retain:
         from vit_ad_tpu.pipeline import early_stopping as _es
 
+        # MEASUREMENT-ONLY zero-copy alias; the donated next step deletes
+        # these buffers, so best_params is unreadable afterwards — fine
+        # here (no eval, no checkpoint). See tools/probe_epoch.py.
         _es.retain_snapshot = lambda tree: tree
 
     from vit_ad_tpu.config import HyperParams

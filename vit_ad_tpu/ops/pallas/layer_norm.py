@@ -67,7 +67,18 @@ def layer_norm_pallas(
     rows = x.size // d
     xr = x.reshape(rows, d)
     if not row_tile:
-        row_tile = next(t for t in _ROW_TILES if rows % t == 0)
+        row_tile = next(
+            (t for t in _ROW_TILES if rows % t == 0), None
+        )
+        if row_tile is None:
+            raise ValueError(
+                f"rows={rows} is not divisible by any tile in {_ROW_TILES};"
+                " gate calls with pallas_ln_viable"
+            )
+    if rows % row_tile:
+        # grid floor-division would silently leave the tail rows of the
+        # output buffer unwritten
+        raise ValueError(f"row_tile={row_tile} does not divide rows={rows}")
 
     out = pl.pallas_call(
         functools.partial(_kernel, eps),
@@ -139,11 +150,7 @@ def pallas_ln_viable(shape, dtypes) -> bool:
     VITAD_PALLAS_LN=1/0 forces; the default is OFF until the hardware A/B
     lands (house rule: kernels default on only with a measured end-to-end
     win — PERF.md kernel-decision table)."""
-    env = os.environ.get("VITAD_PALLAS_LN")
-    if env is not None:
-        if env != "1":
-            return False
-    else:
+    if os.environ.get("VITAD_PALLAS_LN") != "1":
         return False
     from vit_ad_tpu.ops.pallas.window_attention import _target_platform
 

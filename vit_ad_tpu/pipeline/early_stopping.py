@@ -89,7 +89,11 @@ class EarlyStopping:
             self.best_loss = loss
             # retention copy: device-side by default (one host fetch at
             # end of training instead of per improving epoch — see
-            # retain_snapshot); host RAM for multihost / oversized trees
+            # retain_snapshot); host RAM for multihost / oversized trees.
+            # Drop the previous best BEFORE copying: otherwise old best +
+            # new copy coexist and the HBM high-water mark is 2x the
+            # VITAD_SNAPSHOT_DEVICE_MAX_MB gate's assumption.
+            self.best_params = None
             self.best_params = retain_snapshot(params)
             self.best_epoch = epoch
             self.counter = 0
