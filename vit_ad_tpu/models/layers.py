@@ -227,11 +227,12 @@ class _LNParams(nn.Module):
 class LayerNorm(nn.Module):
     """LayerNorm computed in f32 (bf16 variance is too coarse), cast back.
 
-    On TPU under bf16 compute the forward routes to the fused Pallas
-    kernel (ops/pallas/layer_norm.py — one HBM read + one write instead of
-    XLA's ≥3 map passes; identical f32 math, no numerics tradeoff); flax's
-    nn.LayerNorm stays the exact/torch-parity path (f32 policy, CPU) and
-    defines the param layout both paths share."""
+    flax's nn.LayerNorm is the default AND the fastest path — the fused
+    Pallas kernel (ops/pallas/layer_norm.py, VITAD_PALLAS_LN=1) and a
+    bf16-normalize XLA control (VITAD_BF16_LN=1) both measured SLOWER on
+    hardware (NesT −30%/−4.9%, PERF.md LN A/B table); they are kept as
+    opt-in decision records. All paths share the nn.LayerNorm param
+    layout (LayerNorm_0/{scale,bias})."""
 
     dtypes: DtypePolicy = DtypePolicy()
     eps: float = 1e-6

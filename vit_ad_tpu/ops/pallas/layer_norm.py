@@ -25,6 +25,14 @@ ops/pallas/window_attention.py / mlp.py). The encoders using it are
 frozen (reference freezes every backbone,
 src/classes/transformer/TransformerEncoder.py:63-64,142-143), so the
 backward only exists for safety.
+
+VERDICT (v5e hardware three-way A/B, tools/ln_ab.jsonl): **loses to
+stock flax LN** — enc_nest 3440 vs 4919 img/s (−30%), enc_esvit 3564 vs
+3756, enc_eff_former 11773 vs 12248; a bf16-normalize XLA control also
+lost (−0.5…−4.9%). Per-grid-step dispatch overhead across NesT's ~25 LN
+sites × ~400 steps each swamps the saved HBM passes — the same failure
+mode as ops/pallas/mlp.py at these shapes. Kept OPT-IN
+(VITAD_PALLAS_LN=1) as the decision record; see PERF.md.
 """
 
 from __future__ import annotations
@@ -147,9 +155,9 @@ def pallas_ln_viable(shape, dtypes) -> bool:
     storage (under f32 policy the XLA path is already single-dtype and the
     torch bit-parity suites pin exact flax semantics), rows tile-divisible,
     and a [tile, D] f32 block within a conservative VMEM budget.
-    VITAD_PALLAS_LN=1/0 forces; the default is OFF until the hardware A/B
-    lands (house rule: kernels default on only with a measured end-to-end
-    win — PERF.md kernel-decision table)."""
+    VITAD_PALLAS_LN=1 opts in; the default stays OFF — the hardware A/B
+    measured the kernel LOSING end-to-end on every LN-heavy backbone
+    (module docstring / PERF.md kernel-decision table)."""
     if os.environ.get("VITAD_PALLAS_LN") != "1":
         return False
     from vit_ad_tpu.ops.pallas.window_attention import _target_platform
