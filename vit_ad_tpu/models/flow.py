@@ -199,6 +199,96 @@ def _step_inverse(y, p, perm_int, clamp, split1, split2, mmdt=jnp.float32):
     return jnp.concatenate([x1, x2], axis=-1)
 
 
+def _pair_fwd(zz, p, pa, pb, clamp, split1, split2, mmdt):
+    """One stacked (3x3, 1x1) coupling pair; p holds a_*/b_* leaves."""
+    a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
+    b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
+    zz, l1 = _step_apply(zz, a_p, pa, clamp, split1, split2, mmdt)
+    zz, l2 = _step_apply(zz, b_p, pb, clamp, split1, split2, mmdt)
+    return zz, l1 + l2
+
+
+def use_reversible_flow() -> bool:
+    """Reversible (O(1)-activation) backward for the coupling-pair scan.
+    Opt-in (VITAD_NF_REVERSIBLE=1) pending the hardware A/B: the NF-resnet
+    traced epoch spends 34% of device time writing/reading the scan's
+    per-pair activation stash ([n_pairs, B, 56, 56, 256] f32
+    dynamic-update-slices, tools/probe_resnet_q13.log trace), which the
+    reversible backward replaces with one inverse recompute per pair."""
+    import os
+
+    return os.environ.get("VITAD_NF_REVERSIBLE") == "1"
+
+
+def _reversible_pair_scan(pp, z0, perm_a, perm_b, clamp, split1, split2,
+                          mmdt):
+    """The stacked coupling-pair scan with a memory-free custom backward.
+
+    The flow is exactly invertible (training runs matmul_dtype=f32, the
+    module default), so the backward does not need the per-pair activation
+    stash jax.lax.scan's autodiff saves ([n_pairs, B, H, W, C] f32 — the
+    dominant HBM traffic of big-map stage-1 flows): it reconstructs each
+    pair's input from its output via _step_inverse while scanning the
+    cotangent in reverse, recomputing each pair's VJP locally. Classic
+    reversible-network backprop (RevNets; FrEIA offers the same idea as
+    memory-efficient mode) expressed as a jax.custom_vjp over the scan.
+
+    Primal math is IDENTICAL to the stock scan (same body ops, same
+    order); gradients differ from autodiff only by the f32 roundoff of
+    inverse-reconstruction (x1 passes through a coupling unchanged, so
+    s/t recompute from the same bits; the only drift is the global-affine
+    divide and the f32 perm matmul round-trip) — tolerance-locked in
+    tests/test_flow_reversible.py."""
+
+    @jax.custom_vjp
+    def chain(pp, z0):
+        def body(carry, xs):
+            zz, ld = carry
+            p, pa_i, pb_i = xs
+            zz, l = _pair_fwd(zz, p, pa_i, pb_i, clamp, split1, split2,
+                              mmdt)
+            return (zz, ld + l), None
+
+        init = (z0, jnp.zeros(z0.shape[0], dtype=jnp.float32))
+        (z, logdet), _ = jax.lax.scan(body, init, (pp, perm_a, perm_b))
+        return z, logdet
+
+    def fwd(pp, z0):
+        z, logdet = chain(pp, z0)
+        return (z, logdet), (pp, z)  # residuals: params + OUTPUT only
+
+    def bwd(res, cts):
+        pp_r, z_final = res
+        g_z, g_ld = cts  # [B,H,W,C], [B]; every pair's logdet term sees
+        # the same additive cotangent g_ld
+
+        def body(carry, xs):
+            z_out, gz = carry
+            p, pa_i, pb_i = xs
+            a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
+            b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
+            z_in = _step_inverse(z_out, b_p, pb_i, clamp, split1, split2,
+                                 mmdt)
+            z_in = _step_inverse(z_in, a_p, pa_i, clamp, split1, split2,
+                                 mmdt)
+            z_in = jax.lax.stop_gradient(z_in)
+            _, vjp = jax.vjp(
+                lambda zz, pt: _pair_fwd(zz, pt, pa_i, pb_i, clamp,
+                                         split1, split2, mmdt),
+                z_in, p,
+            )
+            gz_in, gp = vjp((gz, g_ld))
+            return (z_in, gz_in), gp
+
+        (_, g_z0), g_pp = jax.lax.scan(
+            body, (z_final, g_z), (pp_r, perm_a, perm_b), reverse=True
+        )
+        return (g_pp, g_z0)
+
+    chain.defvjp(fwd, bwd)
+    return chain(pp, z0)
+
+
 class NormalizingFlow(nn.Module):
     """Stack of AllInOneBlock-equivalent steps, kernels alternating 3x3
     (even i) / 1x1 (odd i) (reference NormalizingFlow.fast_flow_steps,
@@ -349,18 +439,23 @@ class NormalizingFlow(nn.Module):
                 perm_a = jnp.asarray(perms[0 : 2 * n_pairs : 2])
                 perm_b = jnp.asarray(perms[1 : 2 * n_pairs : 2])
 
-                def body(carry, xs):
-                    zz, ld = carry
-                    p, pa, pb = xs
-                    a_p = {k[2:]: v for k, v in p.items() if k.startswith("a_")}
-                    b_p = {k[2:]: v for k, v in p.items() if k.startswith("b_")}
-                    zz, l1 = _step_apply(zz, a_p, pa, clamp, split1, split2, mmdt)
-                    zz, l2 = _step_apply(zz, b_p, pb, clamp, split1, split2, mmdt)
-                    return (zz, ld + l1 + l2), None
+                if use_reversible_flow():
+                    z, ld_pairs = _reversible_pair_scan(
+                        pp, z, perm_a, perm_b, clamp, split1, split2, mmdt
+                    )
+                    logdet = logdet + ld_pairs
+                else:
+                    def body(carry, xs):
+                        zz, ld = carry
+                        p, pa, pb = xs
+                        zz, l = _pair_fwd(
+                            zz, p, pa, pb, clamp, split1, split2, mmdt
+                        )
+                        return (zz, ld + l), None
 
-                (z, logdet), _ = jax.lax.scan(
-                    body, (z, logdet), (pp, perm_a, perm_b)
-                )
+                    (z, logdet), _ = jax.lax.scan(
+                        body, (z, logdet), (pp, perm_a, perm_b)
+                    )
             if tail:
                 z, lt = _step_apply(
                     z, tail_p, jnp.asarray(perms[-1]), clamp, split1, split2,
