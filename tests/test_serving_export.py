@@ -1,0 +1,230 @@
+"""AOT serving bundles (serving/aot.py + cli/export_serving.py): the
+jax.export'd scoring graph must reproduce the live evaluators' scores
+bit-tight, pad arbitrary set sizes, and lower for platforms the exporting
+host doesn't have.
+
+The reference has no deployment artifact at all — serving a reference model
+requires the full torch model zoo per .pth (reference validation_loop.py:
+248-274); these tests lock the rebuild's self-contained-artifact story."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")  # repo root (startTraining_* live there)
+
+
+def _rand_images(n, img=32, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 255, (n, img, img, 3), dtype=np.uint8
+    )
+
+
+def _files_pipeline(ims, tmp_path, batch=4):
+    """Write uint8 images as PNGs and build a files= DataPipeline over them
+    (the score CLI's input path) — decode round-trips losslessly."""
+    import PIL.Image
+
+    from vit_ad_tpu.data.loader import DataPipeline
+
+    paths = []
+    for i, im in enumerate(ims):
+        p = str(tmp_path / f"{i:03d}.png")
+        PIL.Image.fromarray(im).save(p)
+        paths.append(p)
+    return DataPipeline(batch_size=batch, img_size=ims.shape[1], files=paths)
+
+
+def _nf_models(img=32, flow_steps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.models.flow import NormalizingFlow
+    from vit_ad_tpu.pipeline.loading import RunModels
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.registry import get_model
+
+    hp = HyperParams(model_name="enc_cnn", architecture="nf", img_size=img,
+                     hidden_ratio=0.5, flow_steps=flow_steps, batch_size=4)
+    enc = get_model("enc_cnn", img, hp.dtypes)
+    ep = default_encoder_params(enc, hp)
+    p = enc.num_patches
+    flow = NormalizingFlow(
+        num_channels=enc.embed_dim, img_size=img, num_patches=p,
+        hidden_ratio=0.5, flow_steps=flow_steps, dtypes=hp.dtypes,
+    )
+    side = int(np.sqrt(p))
+    head = flow.init(jax.random.key(0),
+                     jnp.zeros((1, side, side, enc.embed_dim)))
+    return RunModels(kind="nf", hp=hp, parts=(enc, ep, flow, head))
+
+
+def test_nf_bundle_matches_live_scoring(tmp_path):
+    """Exported NF bundle ≡ score_nf on the same image set, including a set
+    size that does NOT divide the baked batch (pad-and-trim path)."""
+    from vit_ad_tpu.pipeline.loading import score_models
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _nf_models()
+    ims = _rand_images(10)  # batch 4 → 2 full chunks + padded tail
+    bdir = tmp_path / "bundle"
+    manifest = export_bundle(m, str(bdir), batch=4)
+    assert manifest["kind"] == "nf"
+    assert (bdir / "scorer.bin").exists()
+    assert json.loads((bdir / "manifest.json").read_text())["batch"] == 4
+
+    bundle = load_bundle(str(bdir))
+    scores, maps = bundle.score(ims)
+
+    live = score_models(m, _files_pipeline(ims, tmp_path))
+    np.testing.assert_allclose(scores, live.image_scores, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(maps, live.pixel_scores, rtol=0, atol=1e-6)
+
+
+def test_recon_bundle_matches_live_scoring(tmp_path):
+    """Recon (full AE graph) bundle parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.pipeline.loading import RunModels, score_models
+    from vit_ad_tpu.registry import get_model
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    img = 32
+    hp = HyperParams(model_name="ae_cnn", architecture="recon", img_size=img)
+    model = get_model("ae_cnn", img, hp.dtypes)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, img, img, 3), jnp.float32),
+        train=True,
+    )
+    m = RunModels(kind="recon", hp=hp, parts=(model, variables))
+
+    ims = _rand_images(6)
+    bdir = tmp_path / "bundle"
+    export_bundle(m, str(bdir), batch=4)
+    scores, maps = load_bundle(str(bdir)).score(ims)
+
+    live = score_models(m, _files_pipeline(ims, tmp_path))
+    np.testing.assert_allclose(scores, live.image_scores, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(maps, live.pixel_scores, rtol=0, atol=1e-6)
+
+
+def test_mdn_resnet_bundle_tuple_payload(tmp_path):
+    """Multi-stage ResNet-MDN: the exported payload is a TUPLE of per-stage
+    log-liks; bundle scores ≡ score_mdn_resnet (incl. the global-set MDN
+    normalization applied on host, not in-graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, ResNetEncoder
+    from vit_ad_tpu.pipeline.loading import RunModels, score_models
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    img = 32
+    hp = HyperParams(model_name="res_net", architecture="mdn", img_size=img,
+                     num_gaussians=2)
+    encoder = ResNetEncoder(img_size=img, dtypes=hp.dtypes)
+    ev = default_encoder_params(encoder, hp)
+    stages = (2, 3)
+    mdns = [GaussianMDN(features=STAGE_CHANNELS[i], num_gaussians=2)
+            for i in stages]
+    heads = [
+        m.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
+        for i, m in zip(stages, mdns)
+    ]
+    m = RunModels(kind="mdn_resnet", hp=hp, stages=stages,
+                  parts=(encoder, ev, mdns, heads))
+
+    ims = _rand_images(5)
+    bdir = tmp_path / "bundle"
+    export_bundle(m, str(bdir), batch=4)
+    bundle = load_bundle(str(bdir))
+    payload = bundle.payloads(ims)
+    assert isinstance(payload, tuple) and len(payload) == 2
+    scores, maps = bundle.score(ims)
+
+    live = score_models(m, _files_pipeline(ims, tmp_path))
+    np.testing.assert_allclose(scores, live.image_scores, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(maps, live.pixel_scores, rtol=0, atol=1e-6)
+
+
+def test_multi_platform_export_and_shape_guard(tmp_path):
+    """platforms=['cpu','tpu'] lowers on a CPU-only host (serialize on a dev
+    box, serve on TPU) and still executes locally; wrong-shaped inputs are
+    rejected with a clear error."""
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _nf_models()
+    bdir = tmp_path / "bundle"
+    manifest = export_bundle(m, str(bdir), batch=4, platforms=["cpu", "tpu"])
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    bundle = load_bundle(str(bdir))
+    scores, _ = bundle.score(_rand_images(4))
+    assert np.all(np.isfinite(scores))
+    with pytest.raises(ValueError, match="expects"):
+        bundle.score(_rand_images(4, img=16))
+
+
+def test_export_cli_roundtrip_from_trained_run(tmp_path):
+    """End-to-end product path: train a tiny run through the real CLI,
+    export it with the export_serving CLI, and the bundle must reproduce the
+    score CLI's per-image scores on the labeled test folder."""
+    import csv
+
+    import startTraining_mdn
+    from vit_ad_tpu.cli.export_serving import main as export_main
+    from vit_ad_tpu.cli.score import list_images, main as score_main
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.serving.aot import load_bundle
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "cat", img_size=32, n_train=12,
+                        n_test_good=3, n_test_defect=3)
+    category = f"{root}/cat"
+
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        startTraining_mdn.main([
+            "-m", "enc_cnn", "-n", "2", "-e", "2", "-p", "2", "-b", "4",
+            "-i", "32", "-l", "3e-3", "-d", category, "-t", "train/good",
+            "-v", "test",
+        ])
+    finally:
+        os.chdir(cwd)
+    import glob
+
+    runs = glob.glob(str(workdir / "runs" / "*"))
+    assert len(runs) == 1
+    run = runs[0]
+
+    bdir = tmp_path / "bundle"
+    rc = export_main(["-r", run, "-o", str(bdir), "-b", "4"])
+    assert rc == 0
+    manifest = json.loads((bdir / "manifest.json").read_text())
+    assert manifest["kind"] == "mdn" and manifest["source"] == run
+
+    out = tmp_path / "scores_out"
+    assert score_main(["-r", run, "-d", f"{category}/test",
+                       "-o", str(out)]) == 0
+    with open(out / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    cli_scores = {r["path"]: float(r["image_score"]) for r in rows}
+
+    files = list_images(f"{category}/test")
+    scores, maps = load_bundle(str(bdir)).score_files(files)
+    assert maps.shape == (len(files), 32, 32)
+    # 6 images, batch 4 → padded tail chunk; MDN normalization is global
+    # over the whole set in BOTH paths, so scores agree bit-tight
+    for p, s in zip(files, scores):
+        assert s == pytest.approx(cli_scores[p], abs=1e-6), p

@@ -365,6 +365,125 @@ def _mdn_loglik(mdn: GaussianMDN, variables: Any, feats: jax.Array,
     )
 
 
+def make_mdn_batch_fn(encoder: nn.Module, mdn: GaussianMDN, hp: HyperParams,
+                      mean_j, std_j):
+    """Per-batch MDN device scorer `(enc_params, mdn_params, images_u8) →
+    [B, P]` patch log-likelihood means — the device half of `score_mdn`, and
+    the graph the AOT serving exporter (serving/aot.py) bakes params into."""
+
+    def loglik_map(ep, mp, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        feats = encoder.apply(ep, x, block_index=hp.block_index).patch_embedding
+        return jnp.mean(_mdn_loglik(mdn, mp, feats, hp), axis=2)  # [B, P]
+
+    return loglik_map
+
+
+def make_nf_batch_fn(encoder: nn.Module, flow, hp: HyperParams,
+                     mean_j, std_j):
+    """Per-batch NF device scorer `(enc_params, flow_params, images_u8) →
+    [B, H, W]` anomaly maps — the device half of `score_nf`."""
+    from vit_ad_tpu.models.flow import patch_tokens_to_map
+
+    def anomaly_maps(ep, fpar, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        feats = encoder.apply(
+            ep, x, block_index=hp.block_index
+        ).patch_embedding
+        out = flow.apply(fpar, patch_tokens_to_map(feats))
+        return out.anomaly_score_map  # [B, H, W]
+
+    return anomaly_maps
+
+
+def make_recon_batch_fn(model: nn.Module, hp: HyperParams, mean_j, std_j):
+    """Per-batch recon device scorer `(variables, images_u8) → [B, H, W]`
+    channel-mean squared-error maps — the device half of `score_recon`."""
+
+    def error_maps(v, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        out = model.apply(v, x, train=False)
+        err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
+        return jnp.mean(err, axis=-1)  # [B, H, W]
+
+    return error_maps
+
+
+def make_mdn_resnet_batch_fn(encoder: nn.Module, mdns, hp: HyperParams,
+                             mean_j, std_j, stages):
+    """Per-batch multi-stage MDN device scorer `(enc_variables, [mdn_params],
+    images_u8) → tuple of [B, h·w]` per-stage log-likelihood means — the
+    device half of `score_mdn_resnet`."""
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+
+    def stage_logliks(ev, mps, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            ev, x, train=False, method=ResNetEncoder.stage_features
+        )
+        outs = []
+        for i, mdn, p in zip(stages, mdns, mps):
+            m = maps[i]
+            b, h, w, c = m.shape
+            feats = m.reshape(b, h * w, c)
+            ll = _mdn_loglik(mdn, p, feats, hp)
+            outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
+        return tuple(outs)
+
+    return stage_logliks
+
+
+def make_nf_resnet_batch_fn(encoder: nn.Module, flows, hp: HyperParams,
+                            mean_j, std_j, stages):
+    """Per-batch multi-stage NF device scorer `(enc_variables, [flow_params],
+    images_u8) → [B, H, W]` stage-mean anomaly maps — the device half of
+    `score_nf_resnet`."""
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+
+    def anomaly_maps(ev, fps, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            ev, x, train=False, method=ResNetEncoder.stage_features
+        )
+        stage_maps = []
+        for i, flow, p in zip(stages, flows, fps):
+            out = flow.apply(p, maps[i])
+            stage_maps.append(out.anomaly_score_map)
+        return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
+
+    return anomaly_maps
+
+
+def payload_to_scores(kind: str, payload, img_size: int):
+    """Host score tail shared by the evaluators and AOT serving bundles:
+    concatenated per-batch device payloads → (image_scores [N],
+    pixel_scores [N, H, W]). Per kind:
+
+      * mdn        — [N, P] log-liks → global-set prob normalization +
+                     upsample (`_ll_to_anomaly_maps`); image score =
+                     inverted min patch prob (reference ValidatorMDN.py:133)
+      * mdn_resnet — tuple of per-stage log-liks → per-stage anomaly maps,
+                     averaged; image score = max over the mean map
+      * nf / nf_resnet / recon — [N, H, W] anomaly maps; image score = max
+                     (reference ValidatorNF.py:137-142, ValidatorRecon.py:115-117)
+    """
+    if kind == "mdn":
+        pixel_scores, prob = _ll_to_anomaly_maps(payload, img_size)
+        image_scores = (prob.min(axis=1) * -1.0) + 1.0
+        return image_scores, pixel_scores
+    if kind == "mdn_resnet":
+        stage_anomalies = [
+            _ll_to_anomaly_maps(np.asarray(p), img_size)[0] for p in payload
+        ]
+        pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
+        image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
+        return image_scores, pixel_scores
+    if kind in ("nf", "nf_resnet", "recon"):
+        maps = np.asarray(payload)
+        return maps.reshape(maps.shape[0], -1).max(axis=1), maps
+    raise ValueError(f"unknown score kind {kind!r}")
+
+
 def score_mdn(
     encoder: nn.Module,
     enc_params: Any,
@@ -384,10 +503,7 @@ def score_mdn(
     std_j = None if std is None else jnp.asarray(std)
 
     # params as jit args (axon remote-compile payload limit; see features.py)
-    def loglik_map(ep, mp, images_u8):
-        x = preprocess(images_u8, mean_j, std_j)
-        feats = encoder.apply(ep, x, block_index=hp.block_index).patch_embedding
-        return jnp.mean(_mdn_loglik(mdn, mp, feats, hp), axis=2)  # [B, P]
+    loglik_map = make_mdn_batch_fn(encoder, mdn, hp, mean_j, std_j)
 
     loglik_j = jax.jit(loglik_map)
     ll, labels, gt_masks, origs = _collect(
@@ -398,10 +514,9 @@ def score_mdn(
         mc=_eval_mesh(hp),
     )
 
-    pixel_scores, prob = _ll_to_anomaly_maps(ll, hp.img_size)
     # image score from the PRE-upsample patch probabilities (reference
     # ValidatorMDN.py:133: min patch prob, then the final inversion)
-    image_scores = (prob.min(axis=1) * -1.0) + 1.0
+    image_scores, pixel_scores = payload_to_scores("mdn", ll, hp.img_size)
     return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
 
 
@@ -437,19 +552,11 @@ def score_nf(
     """NF scoring pipeline (reference ValidatorNF.valid_loop_transformer_nf,
     src/pipeline/ValidatorNF.py:107-150): anomaly map from the flow forward;
     image score = max over the map (:137-142)."""
-    from vit_ad_tpu.models.flow import NormalizingFlow, patch_tokens_to_map
-
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
     # params as jit args (axon remote-compile payload limit; see features.py)
-    def anomaly_maps(ep, fpar, images_u8):
-        x = preprocess(images_u8, mean_j, std_j)
-        feats = encoder.apply(
-            ep, x, block_index=hp.block_index
-        ).patch_embedding
-        out = flow.apply(fpar, patch_tokens_to_map(feats))
-        return out.anomaly_score_map  # [B, H, W]
+    anomaly_maps = make_nf_batch_fn(encoder, flow, hp, mean_j, std_j)
 
     anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
@@ -459,7 +566,7 @@ def score_nf(
         scan_score=_scan_scorer(anomaly_maps, enc_params, flow_params),
         mc=_eval_mesh(hp),
     )
-    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+    image_scores, maps = payload_to_scores("nf", maps, hp.img_size)
     return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
 
@@ -496,11 +603,7 @@ def score_recon(
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    def error_maps(v, images_u8):
-        x = preprocess(images_u8, mean_j, std_j)
-        out = model.apply(v, x, train=False)
-        err = jnp.square(out.reconstruction.astype(jnp.float32) - x.astype(jnp.float32))
-        return jnp.mean(err, axis=-1)  # [B, H, W]
+    error_maps = make_recon_batch_fn(model, hp, mean_j, std_j)
 
     error_j = jax.jit(error_maps)
     maps, labels, gt_masks, origs = _collect(
@@ -510,7 +613,7 @@ def score_recon(
         scan_score=_scan_scorer(error_maps, variables),
         mc=_eval_mesh(hp),
     )
-    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+    image_scores, maps = payload_to_scores("recon", maps, hp.img_size)
     return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
 
@@ -564,25 +667,12 @@ def score_mdn_resnet(
     averaged anomaly map — the reference takes min-then-reinvert
     (:247,:261), a double inversion its own survey flags as a bug; the sane
     form matches the transformer path's semantics."""
-    from vit_ad_tpu.models.mdn import GaussianMDN
-    from vit_ad_tpu.models.resnet import ResNetEncoder
-
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    def stage_logliks(ev, mps, images_u8):
-        x = preprocess(images_u8, mean_j, std_j)
-        maps = encoder.apply(
-            ev, x, train=False, method=ResNetEncoder.stage_features
-        )
-        outs = []
-        for i, mdn, p in zip(stages, mdns, mps):
-            m = maps[i]
-            b, h, w, c = m.shape
-            feats = m.reshape(b, h * w, c)
-            ll = _mdn_loglik(mdn, p, feats, hp)
-            outs.append(jnp.mean(ll, axis=2))  # [B, h*w]
-        return tuple(outs)
+    stage_logliks = make_mdn_resnet_batch_fn(
+        encoder, mdns, hp, mean_j, std_j, stages
+    )
 
     stage_j = jax.jit(stage_logliks)
     stage_lls, labels, gt_masks, origs = _collect(
@@ -593,12 +683,9 @@ def score_mdn_resnet(
         mc=_eval_mesh(hp),
     )
 
-    stage_anomalies = [
-        _ll_to_anomaly_maps(stage_lls[si], hp.img_size)[0]
-        for si in range(len(stages))
-    ]
-    pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
-    image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
+    image_scores, pixel_scores = payload_to_scores(
+        "mdn_resnet", stage_lls, hp.img_size
+    )
     return ScoreOutput(image_scores, pixel_scores, labels, gt_masks, origs)
 
 
@@ -637,21 +724,12 @@ def score_nf_resnet(
     """Multi-stage NF scoring (reference ValidatorNF.valid_loop_resnet_nf,
     src/pipeline/ValidatorNF.py:152-219): mean of the three stage anomaly
     maps, image score = max (:183-199)."""
-    from vit_ad_tpu.models.resnet import ResNetEncoder
-
     mean_j = None if mean is None else jnp.asarray(mean)
     std_j = None if std is None else jnp.asarray(std)
 
-    def anomaly_maps(ev, fps, images_u8):
-        x = preprocess(images_u8, mean_j, std_j)
-        maps = encoder.apply(
-            ev, x, train=False, method=ResNetEncoder.stage_features
-        )
-        stage_maps = []
-        for i, flow, p in zip(stages, flows, fps):
-            out = flow.apply(p, maps[i])
-            stage_maps.append(out.anomaly_score_map)
-        return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
+    anomaly_maps = make_nf_resnet_batch_fn(
+        encoder, flows, hp, mean_j, std_j, stages
+    )
 
     anomaly_j = jax.jit(anomaly_maps)
     maps, labels, gt_masks, origs = _collect(
@@ -661,7 +739,7 @@ def score_nf_resnet(
         scan_score=_scan_scorer(anomaly_maps, enc_variables, list(flow_params)),
         mc=_eval_mesh(hp),
     )
-    image_scores = maps.reshape(maps.shape[0], -1).max(axis=1)
+    image_scores, maps = payload_to_scores("nf_resnet", maps, hp.img_size)
     return ScoreOutput(image_scores, maps, labels, gt_masks, origs)
 
 

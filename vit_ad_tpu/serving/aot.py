@@ -1,0 +1,230 @@
+"""AOT serving artifacts: the compiled scoring graph as a deployable file.
+
+The reference deploys by shipping torch ``.pth`` checkpoints that need the
+whole Python model zoo at the serving site (reference validation_loop.py:
+248-274 rebuilds the model classes per weight file). The TPU-native
+deployment artifact is the *program* itself: ``jax.export`` traces the SAME
+per-batch scoring graph the evaluators jit (``pipeline/eval.make_*_batch_fn``
+— one code path, so bundle scores are bit-identical to the evaluators'),
+bakes the run's params and normalization stats in as constants, and
+serializes the StableHLO to disk. Reloading needs jax only — no flax module
+definitions, no registry, no orbax restore, no weight conversion — and the
+artifact can be lowered for platforms the exporting host doesn't have
+(serialize on a CPU dev box, serve on TPU).
+
+Artifact layout (one directory):
+
+    manifest.json   kind / batch / img_size / platforms / provenance
+    scorer.bin      serialized jax.export.Exported (uint8 [B,H,W,3] → payload)
+
+Portability: by default the export traces with every Pallas kernel gate
+forced OFF so the artifact is pure StableHLO (runs on any listed platform;
+TPU custom-call kernels would pin it to the exact kernel serialization).
+``portable=False`` keeps the kernels (export on a TPU host, serve on TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from contextlib import contextmanager
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from vit_ad_tpu.pipeline.loading import RunModels
+
+MANIFEST_NAME = "manifest.json"
+SCORER_NAME = "scorer.bin"
+
+# Pallas gates forced off for portable exports: the kernels lower to TPU
+# custom calls, which pin the artifact to one platform + kernel serialization
+# version. The XLA paths these gates fall back to are the same ones the CPU
+# test suite certifies. (VITAD_PALLAS_MLP / _LN are opt-in losers kept as
+# decision records — forced off here so a user's env can't leak them in.)
+_PORTABLE_ENV = {
+    "VITAD_PALLAS_GMM": "0",
+    "VITAD_PALLAS_GMM_TRAIN": "0",
+    "VITAD_PALLAS_WINDOW_ATTN": "0",
+    "VITAD_PALLAS_MLP": "0",
+    "VITAD_PALLAS_LN": "0",
+}
+
+
+@contextmanager
+def _trace_env(portable: bool):
+    if not portable:
+        yield
+        return
+    old = {k: os.environ.get(k) for k in _PORTABLE_ENV}
+    os.environ.update(_PORTABLE_ENV)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
+                     std: Optional[np.ndarray] = None):
+    """`images_u8 [B,H,W,3] → payload` with the run's params closed over
+    (they become baked constants in the exported artifact). The payload is
+    the per-kind device output of the matching evaluator
+    (pipeline/eval.make_*_batch_fn); `pipeline.eval.payload_to_scores`
+    turns concatenated payloads into (image_scores, pixel_scores)."""
+    from vit_ad_tpu.pipeline import eval as E
+
+    mean_j = None if mean is None else jnp.asarray(mean)
+    std_j = None if std is None else jnp.asarray(std)
+    hp = m.hp
+    if m.kind == "mdn":
+        encoder, ep, mdn, mp = m.parts
+        fn = E.make_mdn_batch_fn(encoder, mdn, hp, mean_j, std_j)
+        return lambda im: fn(ep, mp, im)
+    if m.kind == "nf":
+        encoder, ep, flow, fp = m.parts
+        fn = E.make_nf_batch_fn(encoder, flow, hp, mean_j, std_j)
+        return lambda im: fn(ep, fp, im)
+    if m.kind == "recon":
+        model, variables = m.parts
+        fn = E.make_recon_batch_fn(model, hp, mean_j, std_j)
+        return lambda im: fn(variables, im)
+    if m.kind == "mdn_resnet":
+        encoder, ev, mdns, heads = m.parts
+        fn = E.make_mdn_resnet_batch_fn(encoder, mdns, hp, mean_j, std_j,
+                                        m.stages)
+        return lambda im: fn(ev, list(heads), im)
+    if m.kind == "nf_resnet":
+        encoder, ev, flows, heads = m.parts
+        fn = E.make_nf_resnet_batch_fn(encoder, flows, hp, mean_j, std_j,
+                                       m.stages)
+        return lambda im: fn(ev, list(heads), im)
+    raise ValueError(f"unknown RunModels kind {m.kind!r}")
+
+
+def export_bundle(
+    m: RunModels,
+    out_dir: str,
+    batch: int = 32,
+    platforms: Optional[Sequence[str]] = None,
+    portable: bool = True,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    extra_meta: Optional[dict] = None,
+) -> dict:
+    """Export a run's scoring graph as a serving bundle directory.
+
+    `platforms` lists lowering targets (e.g. ["cpu", "tpu"]); None = the
+    exporting host's default platform. `portable=False` keeps Pallas TPU
+    kernels in the graph (TPU-only artifact, needs the custom-call safety
+    check disabled). Returns the manifest dict."""
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    fn = build_payload_fn(m, mean, std)
+    img = m.hp.img_size
+    spec = jax.ShapeDtypeStruct((batch, img, img, 3), jnp.uint8)
+    kwargs: dict = {}
+    if platforms:
+        kwargs["platforms"] = [str(p) for p in platforms]
+    if not portable:
+        kwargs["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        ]
+    with _trace_env(portable):
+        exp = jexport.export(jax.jit(fn), **kwargs)(spec)
+    blob = exp.serialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {
+        "kind": m.kind,
+        "batch": batch,
+        "img_size": img,
+        "platforms": list(exp.platforms),
+        "portable": portable,
+        "model_name": m.hp.model_name,
+        "architecture": m.hp.architecture,
+        "jax_version": jax.__version__,
+        "calling_convention_version": exp.calling_convention_version,
+    }
+    if extra_meta:
+        manifest.update(extra_meta)
+    with open(os.path.join(out_dir, SCORER_NAME), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingBundle:
+    """A loaded serving artifact: pad → per-chunk `Exported.call` → host
+    score tail. Needs only jax + numpy (and the data layer, if decoding
+    image files through `score_files`)."""
+
+    def __init__(self, bundle_dir: str):
+        with open(os.path.join(bundle_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(bundle_dir, SCORER_NAME), "rb") as f:
+            self._exp = jexport.deserialize(bytearray(f.read()))
+        self.kind: str = self.manifest["kind"]
+        self.batch: int = int(self.manifest["batch"])
+        self.img_size: int = int(self.manifest["img_size"])
+
+    def payloads(self, images_u8: np.ndarray):
+        """Raw concatenated device payloads for [N,H,W,3] uint8 images
+        (N arbitrary; the tail chunk is padded with repeats and trimmed)."""
+        n, h, w, c = images_u8.shape
+        if (h, w, c) != (self.img_size, self.img_size, 3):
+            raise ValueError(
+                f"bundle expects [N,{self.img_size},{self.img_size},3] "
+                f"uint8 images, got {images_u8.shape}"
+            )
+        b = self.batch
+        pad = (-n) % b
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.repeat(images_u8[-1:], pad, axis=0)], axis=0
+            )
+        outs = []
+        for s in range(0, n + pad, b):
+            outs.append(self._exp.call(jnp.asarray(images_u8[s:s + b])))
+        host = [jax.tree.map(np.asarray, o) for o in outs]
+        if isinstance(host[0], tuple):
+            cat: Any = tuple(
+                np.concatenate([o[i] for o in host], axis=0)[:n]
+                for i in range(len(host[0]))
+            )
+        else:
+            cat = np.concatenate(host, axis=0)[:n]
+        return cat
+
+    def score(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[N,H,W,3] uint8 → (image_scores [N], pixel_scores [N,H,W]) with
+        the matching evaluator's exact score semantics (MDN normalization is
+        global over THIS call's set, pipeline/eval module docstring)."""
+        from vit_ad_tpu.pipeline.eval import payload_to_scores
+
+        return payload_to_scores(self.kind, self.payloads(images_u8),
+                                 self.img_size)
+
+    def score_files(self, paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode + resize image files through the data layer, then score."""
+        from vit_ad_tpu.data.loader import DataPipeline
+
+        pipe = DataPipeline(batch_size=self.batch, img_size=self.img_size,
+                            files=list(paths))
+        ims = np.concatenate(
+            [b.images[: int(b.valid.sum())]
+             for b in pipe.test_batches(prefetch=0, host=True)],
+            axis=0,
+        )
+        return self.score(ims)
+
+
+def load_bundle(bundle_dir: str) -> ServingBundle:
+    return ServingBundle(bundle_dir)
