@@ -101,8 +101,58 @@ def _build(device, dtypes, fused: bool):
     return score, scan_score
 
 
+def _plan_dispatches(est_dispatch_s: float, iters: int, scan_chunk: int,
+                     min_dispatches: int = 6, min_work_s: float = 4.0,
+                     max_dispatches: int = 64) -> int:
+    """How many scan dispatches the timed run needs.
+
+    round-3 postmortem (VERDICT r3 item 1): the driver-captured flagship
+    number collapsed 5x because the timed run was exactly n_chunks=2
+    dispatches — a single tunnel stall poisoned 100% of the timed work.
+    Floor the timed run at >=6 dispatches AND >=~4 s of expected device
+    work so one stalled dispatch is a visible outlier, not the whole
+    measurement."""
+    n = max(min_dispatches, iters // max(1, scan_chunk))
+    if est_dispatch_s > 0:
+        n = max(n, int(np.ceil(min_work_s / est_dispatch_s)))
+    return min(n, max_dispatches)
+
+
+def _measure_with_stall_guard(run_once, n_dispatches: int,
+                              est_dispatch_s: float = 0.0,
+                              min_runs: int = 2, max_runs: int = 4,
+                              stall_factor: float = 1.8):
+    """Repeat a timed run until one looks stall-free; return (best_dt, stalled).
+
+    `run_once()` -> wall seconds for `n_dispatches` dispatches + one fetch.
+    The axon tunnel occasionally stalls a whole run (observed round 3:
+    ~4.4 s/dispatch vs the 0.83 s device time — BENCH_r03 recorded 580 img/s
+    for a 3084 img/s graph). Stalls only ever make a run SLOWER, so:
+
+      * always take the best of >= `min_runs` runs (best-of-2 minimum);
+      * a run whose per-dispatch wall clock exceeds `stall_factor` x the
+        best per-dispatch estimate seen so far (seeded from the warm probe,
+        refined by every run) is treated as stalled and retried, up to
+        `max_runs` total runs;
+      * if every run looks stalled, return the best anyway with
+        stalled=True so callers can flag the number instead of hiding it.
+    """
+    best_dt = None
+    est = est_dispatch_s if est_dispatch_s > 0 else None
+    runs = 0
+    while runs < max_runs:
+        dt = run_once()
+        runs += 1
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+        per_dispatch = dt / n_dispatches
+        est = per_dispatch if est is None else min(est, per_dispatch)
+        if runs >= min_runs and best_dt / n_dispatches <= stall_factor * est:
+            return best_dt, False
+    return best_dt, (best_dt / n_dispatches > stall_factor * est)
+
+
 def _throughput(score, device, batch, warmup, iters, scan_score=None,
-                scan_chunk=5, max_chunks=100) -> float:
+                scan_chunk=5, max_chunks=100, return_info=False):
     import jax
     import jax.numpy as jnp
 
@@ -146,19 +196,38 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
                 images_n = stage(scan_chunk)
                 for _ in range(max(1, warmup)):  # new shape → new compile
                     np.asarray(scan_score(images_n))
-        # >=2 dispatches so the single final fetch amortizes
-        n_chunks = max(2, iters // scan_chunk)
-        t0 = time.perf_counter()
-        outs = [scan_score(images_n) for _ in range(n_chunks)]
-        np.asarray(stack(outs))
-        dt = time.perf_counter() - t0
-        return batch * scan_chunk * n_chunks / dt
+        # warm probe of the FINAL graph: best-of-2 single dispatches seed the
+        # per-dispatch estimate the stall guard compares timed runs against
+        # (the ~24 ms fetch roundtrip each probe pays is noise at >=0.8 s)
+        est = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(scan_score(images_n))
+            est = min(est, time.perf_counter() - t0)
+        n_chunks = _plan_dispatches(est, iters, scan_chunk)
+
+        def run_once():
+            t0 = time.perf_counter()
+            outs = [scan_score(images_n) for _ in range(n_chunks)]
+            np.asarray(stack(outs))
+            return time.perf_counter() - t0
+
+        best_dt, stalled = _measure_with_stall_guard(run_once, n_chunks, est)
+        ips = batch * scan_chunk * n_chunks / best_dt
+        if return_info:
+            return ips, {"stall_suspect": stalled, "n_dispatches": n_chunks,
+                         "scan_chunk": scan_chunk}
+        return ips
     # pipelined dispatch, device-side score accumulation, ONE final fetch
     t0 = time.perf_counter()
     outs = [score(images) for _ in range(iters)]
     np.asarray(stack(outs))
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    ips = batch * iters / dt
+    if return_info:
+        return ips, {"stall_suspect": False, "n_dispatches": iters,
+                     "scan_chunk": None}
+    return ips
 
 
 def build_model_score(name: str, device, dtypes, batch: int, img: int = 224):
@@ -245,16 +314,11 @@ def bench_backbone(name: str, batch: int = None, iters: int = ITERS) -> dict:
     # exactly the validator's consumption pattern. [20,B,224,224,3] uint8
     # = 385 MB pre-staged — fine in 16 GB.
     scan_chunk = int(os.environ.get("BENCH_CHUNK", 20))
-    # best-of-2: the axon tunnel occasionally stalls a whole timed run
-    # (observed: four backbones pinned at an identical ~2.6 s/dispatch wall
-    # while the same graphs measured 10x faster in a clean process); a
-    # transient stall can only make a run slower, so max() is the honest pick
-    ips = max(
-        _throughput(
-            lambda im: None, device, batch, WARMUP, max(iters, 2 * scan_chunk),
-            scan_score=scan_score, scan_chunk=scan_chunk,
-        )
-        for _ in range(2)
+    # stall guard (see _measure_with_stall_guard): best-of->=2 timed runs,
+    # stalled runs (per-dispatch wall >> warm-probe estimate) retried
+    ips, info = _throughput(
+        lambda im: None, device, batch, WARMUP, max(iters, 2 * scan_chunk),
+        scan_score=scan_score, scan_chunk=scan_chunk, return_info=True,
     )
     out = {
         "metric": f"images/sec/chip ({name} forward, 224px, bf16)",
@@ -262,6 +326,8 @@ def bench_backbone(name: str, batch: int = None, iters: int = ITERS) -> dict:
         "unit": "img/s",
         "batch": batch,
     }
+    if info["stall_suspect"]:
+        out["stall_suspect"] = True
     fl = _backbone_flops(name)
     if fl:
         out["gflops_per_img"] = round(fl / 1e9, 2)
@@ -292,20 +358,20 @@ def bench_latency(name: str = None, iters: int = 2000) -> dict:
     else:
         scan_score, _ = build_model_score(name, device, DtypePolicy(), batch=1)
         label = f"{name} forward"
-    ips = max(
-        _throughput(
-            lambda im: None, device, batch=1, warmup=WARMUP, iters=iters,
-            scan_score=scan_score, scan_chunk=min(200, iters),
-            max_chunks=iters,
-        )
-        for _ in range(2)  # best-of-2: transient tunnel stalls only slow runs
+    ips, info = _throughput(
+        lambda im: None, device, batch=1, warmup=WARMUP, iters=iters,
+        scan_score=scan_score, scan_chunk=min(200, iters),
+        max_chunks=iters, return_info=True,
     )
-    return {
+    out = {
         "metric": f"serving latency ({label}, B=1, steady-state device ms/img)",
         "value": round(1000.0 / ips, 3),
         "unit": "ms/img",
         "throughput_b1_img_s": round(ips, 1),
     }
+    if info["stall_suspect"]:
+        out["stall_suspect"] = True
+    return out
 
 
 def _cpu_reference() -> float:
@@ -399,23 +465,27 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", BATCH))
     score, scan_score = _build(device, DtypePolicy(), fused=fused)
     # chunk=20 for the same reason as bench_backbone: at 41.5 ms/batch the
-    # flagship's 5-batch chunks still leaked ~2% to the tunnel turnaround
-    tpu_ips = _throughput(
+    # flagship's 5-batch chunks still leaked ~2% to the tunnel turnaround.
+    # The driver-contract path gets the SAME stall guard as --backbone mode:
+    # BENCH_r03 (580 img/s for a 3084 img/s graph) was exactly 2 stalled
+    # dispatches with no retry — the one number the round is judged on must
+    # be the best-defended measurement in the file, not the least.
+    tpu_ips, info = _throughput(
         score, device, batch, WARMUP, max(ITERS, 40),
         scan_score=scan_score if use_scan else None, scan_chunk=20,
+        return_info=True,
     )
     cpu_ips = _cpu_reference()
 
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip (DeiT-base+NF-20 inference, 224px, bf16)",
-                "value": round(tpu_ips, 2),
-                "unit": "img/s",
-                "vs_baseline": round(tpu_ips / (5.0 * cpu_ips), 3),
-            }
-        )
-    )
+    result = {
+        "metric": "images/sec/chip (DeiT-base+NF-20 inference, 224px, bf16)",
+        "value": round(tpu_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(tpu_ips / (5.0 * cpu_ips), 3),
+    }
+    if info["stall_suspect"]:
+        result["stall_suspect"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
