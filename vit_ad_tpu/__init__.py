@@ -37,4 +37,27 @@ if _os.environ.get("VITAD_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["VITAD_PLATFORM"])
 
 from vit_ad_tpu.config import HyperParams, ValidationConfig  # noqa: F401
-from vit_ad_tpu.registry import MODEL_DICT, get_model, get_possible_models  # noqa: F401
+
+# Registry exports are lazy (PEP 562): `registry` pulls the whole flax model
+# zoo, and serving sites that only load an AOT bundle
+# (vit_ad_tpu.serving.aot) must not pay that import — their scoring path
+# needs jax + numpy only (tests/test_serving_export.py locks this).
+_LAZY = {
+    "MODEL_DICT": "vit_ad_tpu.registry",
+    "get_model": "vit_ad_tpu.registry",
+    "get_possible_models": "vit_ad_tpu.registry",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        val = getattr(importlib.import_module(_LAZY[name]), name)
+        globals()[name] = val
+        return val
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

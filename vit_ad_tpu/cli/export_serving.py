@@ -64,6 +64,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--train-data", default="",
                     help="training image dir — required for --centering "
                     "runs so the baked mean/std match training")
+    ap.add_argument("--ref-images", default="",
+                    help="image dir (e.g. the training images) whose max "
+                    "log-likelihood is baked into MDN bundles as a FIXED "
+                    "score normalizer, making serving scores comparable "
+                    "across calls; default: the reference's per-call-set "
+                    "normalization")
     args = ap.parse_args(argv)
 
     from vit_ad_tpu.cli.score import _build_pth_models_cli, _norm_stats_for
@@ -85,10 +91,26 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     mean, std = _norm_stats_for(models.hp, args.train_data)
     platforms = [p for p in args.platforms.split(",") if p] or None
+    ref_images = None
+    if args.ref_images:
+        import numpy as np
+
+        from vit_ad_tpu.cli.score import list_images
+        from vit_ad_tpu.data.loader import DataPipeline
+
+        pipe = DataPipeline(
+            batch_size=args.batch, img_size=models.hp.img_size,
+            files=list_images(args.ref_images),
+        )
+        ref_images = np.concatenate(
+            [b.images[: int(b.valid.sum())]
+             for b in pipe.test_batches(prefetch=0, host=True)],
+            axis=0,
+        )
     manifest = export_bundle(
         models, args.out, batch=args.batch, platforms=platforms,
         portable=not args.native, mean=mean, std=std,
-        extra_meta={"source": source},
+        extra_meta={"source": source}, ref_images=ref_images,
     )
     print(f"exported {manifest['kind']} bundle → {args.out} "
           f"(batch {manifest['batch']}, platforms {manifest['platforms']})")

@@ -32,7 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vit_ad_tpu.config import HyperParams
 from vit_ad_tpu.data.loader import Batch, DataPipeline, preprocess
 from vit_ad_tpu.models.mdn import GaussianMDN
-from vit_ad_tpu.ops.resize import interpolate_bilinear
+from vit_ad_tpu.ops.resize import interpolate_bilinear  # noqa: F401 (re-export)
+from vit_ad_tpu.scoring import ll_to_anomaly_maps, payload_to_scores  # noqa: F401
 from vit_ad_tpu.parallel.context import MeshContext
 from vit_ad_tpu.parallel.multihost import fetch_global
 from vit_ad_tpu.pipeline import metrics as M
@@ -88,24 +89,12 @@ def _eval_scan_chunk() -> int:
     return 8 if jax.default_backend() != "cpu" else 0
 
 
-def _ll_to_anomaly_maps(ll: np.ndarray, img_size: int):
-    """The parity-sensitive MDN core, in ONE place for the transformer and
-    per-stage ResNet paths: global-max probability normalization (reference
-    get_probability_map, MixtureDensityNetwork.py:75-97 — global over the
-    scored set, not per batch; module docstring), sqrt-side reshape,
-    bilinear upsample (align_corners=True, reference ValidatorMDN.py
-    :137-162) and the final `(x * -1) + 1` inversion (:170-172).
-
-    Returns (anomaly_maps [N, H, W], prob [N, P])."""
-    prob = np.exp(ll - ll.max())  # [N, P] in [0, 1]
-    side = int(round(np.sqrt(prob.shape[1])))
-    up = np.asarray(
-        interpolate_bilinear(
-            jnp.asarray(prob.reshape(-1, side, side)),
-            img_size, img_size, align_corners=True,
-        )
-    )
-    return (up * -1.0) + 1.0, prob
+# The parity-sensitive MDN score core and the shared payload→scores tail
+# live in the dependency-light vit_ad_tpu/scoring.py so AOT serving sites
+# can import them without the model zoo; re-exported here because this
+# module is their historical home and the evaluators' callers import them
+# from pipeline.eval.
+_ll_to_anomaly_maps = ll_to_anomaly_maps
 
 
 def _eval_mesh(hp: HyperParams) -> Optional[MeshContext]:
@@ -452,36 +441,6 @@ def make_nf_resnet_batch_fn(encoder: nn.Module, flows, hp: HyperParams,
         return jnp.mean(jnp.stack(stage_maps, -1), axis=-1)  # [B, H, W]
 
     return anomaly_maps
-
-
-def payload_to_scores(kind: str, payload, img_size: int):
-    """Host score tail shared by the evaluators and AOT serving bundles:
-    concatenated per-batch device payloads → (image_scores [N],
-    pixel_scores [N, H, W]). Per kind:
-
-      * mdn        — [N, P] log-liks → global-set prob normalization +
-                     upsample (`_ll_to_anomaly_maps`); image score =
-                     inverted min patch prob (reference ValidatorMDN.py:133)
-      * mdn_resnet — tuple of per-stage log-liks → per-stage anomaly maps,
-                     averaged; image score = max over the mean map
-      * nf / nf_resnet / recon — [N, H, W] anomaly maps; image score = max
-                     (reference ValidatorNF.py:137-142, ValidatorRecon.py:115-117)
-    """
-    if kind == "mdn":
-        pixel_scores, prob = _ll_to_anomaly_maps(payload, img_size)
-        image_scores = (prob.min(axis=1) * -1.0) + 1.0
-        return image_scores, pixel_scores
-    if kind == "mdn_resnet":
-        stage_anomalies = [
-            _ll_to_anomaly_maps(np.asarray(p), img_size)[0] for p in payload
-        ]
-        pixel_scores = np.mean(np.stack(stage_anomalies, -1), axis=-1)
-        image_scores = pixel_scores.reshape(pixel_scores.shape[0], -1).max(axis=1)
-        return image_scores, pixel_scores
-    if kind in ("nf", "nf_resnet", "recon"):
-        maps = np.asarray(payload)
-        return maps.reshape(maps.shape[0], -1).max(axis=1), maps
-    raise ValueError(f"unknown score kind {kind!r}")
 
 
 def score_mdn(

@@ -7,10 +7,14 @@ deployment artifact is the *program* itself: ``jax.export`` traces the SAME
 per-batch scoring graph the evaluators jit (``pipeline/eval.make_*_batch_fn``
 — one code path, so bundle scores are bit-identical to the evaluators'),
 bakes the run's params and normalization stats in as constants, and
-serializes the StableHLO to disk. Reloading needs jax only — no flax module
-definitions, no registry, no orbax restore, no weight conversion — and the
-artifact can be lowered for platforms the exporting host doesn't have
-(serialize on a CPU dev box, serve on TPU).
+serializes the StableHLO to disk. Reloading needs jax + numpy only — the
+host score tail lives in the dependency-light ``vit_ad_tpu/scoring.py``, so
+no flax module definitions, no registry, no orbax restore, no weight
+conversion enter the serving site's import graph (locked by
+tests/test_serving_export.py's no-flax subprocess check; ``score_files``
+additionally pulls the data layer for image decoding) — and the artifact
+can be lowered for platforms the exporting host doesn't have (serialize on
+a CPU dev box, serve on TPU).
 
 Artifact layout (one directory):
 
@@ -28,30 +32,29 @@ from __future__ import annotations
 import json
 import os
 from contextlib import contextmanager
-from typing import Any, Optional, Sequence, Tuple
+from typing import TYPE_CHECKING, Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import export as jexport
 
-from vit_ad_tpu.pipeline.loading import RunModels
+from vit_ad_tpu.ops.pallas.gates import ALL_GATES
+
+if TYPE_CHECKING:  # heavy (flax model zoo) — only needed by the EXPORT side
+    from vit_ad_tpu.pipeline.loading import RunModels
 
 MANIFEST_NAME = "manifest.json"
 SCORER_NAME = "scorer.bin"
 
-# Pallas gates forced off for portable exports: the kernels lower to TPU
-# custom calls, which pin the artifact to one platform + kernel serialization
-# version. The XLA paths these gates fall back to are the same ones the CPU
-# test suite certifies. (VITAD_PALLAS_MLP / _LN are opt-in losers kept as
-# decision records — forced off here so a user's env can't leak them in.)
-_PORTABLE_ENV = {
-    "VITAD_PALLAS_GMM": "0",
-    "VITAD_PALLAS_GMM_TRAIN": "0",
-    "VITAD_PALLAS_WINDOW_ATTN": "0",
-    "VITAD_PALLAS_MLP": "0",
-    "VITAD_PALLAS_LN": "0",
-}
+# EVERY Pallas gate forced off for portable exports: the kernels lower to
+# TPU custom calls, which pin the artifact to one platform + kernel
+# serialization version (and would fail jax.export's safety check). The XLA
+# paths these gates fall back to are the same ones the CPU test suite
+# certifies. Derived from the single gate registry (ops/pallas/gates.py) so
+# a default-on gate can never drift out of this blocklist again — a user's
+# env (VITAD_PALLAS_*=1) can't leak a kernel in either.
+_PORTABLE_ENV = {gate: "0" for gate in ALL_GATES}
 
 
 @contextmanager
@@ -76,7 +79,7 @@ def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
     """`images_u8 [B,H,W,3] → payload` with the run's params closed over
     (they become baked constants in the exported artifact). The payload is
     the per-kind device output of the matching evaluator
-    (pipeline/eval.make_*_batch_fn); `pipeline.eval.payload_to_scores`
+    (pipeline/eval.make_*_batch_fn); `vit_ad_tpu.scoring.payload_to_scores`
     turns concatenated payloads into (image_scores, pixel_scores)."""
     from vit_ad_tpu.pipeline import eval as E
 
@@ -117,16 +120,45 @@ def export_bundle(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     extra_meta: Optional[dict] = None,
+    ref_images: Optional[np.ndarray] = None,
 ) -> dict:
     """Export a run's scoring graph as a serving bundle directory.
 
     `platforms` lists lowering targets (e.g. ["cpu", "tpu"]); None = the
     exporting host's default platform. `portable=False` keeps Pallas TPU
     kernels in the graph (TPU-only artifact, needs the custom-call safety
-    check disabled). Returns the manifest dict."""
+    check disabled).
+
+    `ref_images` (uint8 [N,H,W,3], e.g. the run's training images): for MDN
+    kinds, bakes their max log-likelihood into the manifest as the bundle's
+    fixed probability normalizer, making scores comparable ACROSS serving
+    calls (per-call-set normalization — the reference semantics and the
+    default without it — gives the same image different absolute scores
+    depending on what else arrived in the wave). Returns the manifest dict."""
     if batch < 1:
         raise ValueError("batch must be >= 1")
     fn = build_payload_fn(m, mean, std)
+    ref_max_ll = None
+    if ref_images is not None and m.kind in ("mdn", "mdn_resnet"):
+        from vit_ad_tpu.scoring import payload_ref_max_ll
+
+        fn_j = jax.jit(fn)
+        payloads = []
+        for s in range(0, ref_images.shape[0], batch):
+            chunk = np.asarray(ref_images[s:s + batch])
+            if chunk.shape[0] < batch:  # pad the tail to the baked batch
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch - chunk.shape[0], 0)]
+                )
+            payloads.append(jax.tree.map(np.asarray, fn_j(jnp.asarray(chunk))))
+        if isinstance(payloads[0], tuple):
+            cat: Any = tuple(
+                np.concatenate([p[i] for p in payloads], axis=0)
+                for i in range(len(payloads[0]))
+            )
+        else:
+            cat = np.concatenate(payloads, axis=0)
+        ref_max_ll = payload_ref_max_ll(m.kind, cat)
     img = m.hp.img_size
     spec = jax.ShapeDtypeStruct((batch, img, img, 3), jnp.uint8)
     kwargs: dict = {}
@@ -152,6 +184,8 @@ def export_bundle(
         "jax_version": jax.__version__,
         "calling_convention_version": exp.calling_convention_version,
     }
+    if ref_max_ll is not None:
+        manifest["ref_max_loglik"] = ref_max_ll
     if extra_meta:
         manifest.update(extra_meta)
     with open(os.path.join(out_dir, SCORER_NAME), "wb") as f:
@@ -177,8 +211,13 @@ class ServingBundle:
 
     def payloads(self, images_u8: np.ndarray):
         """Raw concatenated device payloads for [N,H,W,3] uint8 images
-        (N arbitrary; the tail chunk is padded with repeats and trimmed)."""
+        (N >= 1 arbitrary; the tail chunk is padded with repeats and
+        trimmed)."""
         n, h, w, c = images_u8.shape
+        if n == 0:
+            raise ValueError(
+                "no images to score (got a [0,H,W,3] array — empty folder?)"
+            )
         if (h, w, c) != (self.img_size, self.img_size, 3):
             raise ValueError(
                 f"bundle expects [N,{self.img_size},{self.img_size},3] "
@@ -203,14 +242,27 @@ class ServingBundle:
             cat = np.concatenate(host, axis=0)[:n]
         return cat
 
-    def score(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def score(self, images_u8: np.ndarray,
+              normalizer: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
         """[N,H,W,3] uint8 → (image_scores [N], pixel_scores [N,H,W]) with
-        the matching evaluator's exact score semantics (MDN normalization is
-        global over THIS call's set, pipeline/eval module docstring)."""
-        from vit_ad_tpu.pipeline.eval import payload_to_scores
+        the matching evaluator's exact score semantics.
 
+        `normalizer` (MDN kinds only): "auto" uses the export-time baked
+        reference max log-likelihood when the manifest carries one
+        (`export_bundle(ref_images=...)`) so scores are comparable and
+        thresholdable across calls; "call" forces the reference's
+        per-call-set normalization (bit-identical to the evaluators — the
+        same image then scores differently depending on the rest of the
+        wave, pipeline/eval module docstring)."""
+        from vit_ad_tpu.scoring import payload_to_scores
+
+        ref = None
+        if normalizer == "auto":
+            ref = self.manifest.get("ref_max_loglik")
+        elif normalizer != "call":
+            raise ValueError(f"normalizer must be 'auto' or 'call', got {normalizer!r}")
         return payload_to_scores(self.kind, self.payloads(images_u8),
-                                 self.img_size)
+                                 self.img_size, ref_max_ll=ref)
 
     def score_files(self, paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Decode + resize image files through the data layer, then score."""
