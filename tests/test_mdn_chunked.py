@@ -1,0 +1,167 @@
+"""K-chunked MDN capacity path (pipeline/mdn_chunked.py): the fused
+chunked-backward + in-place torch-Adam update must be gradient- and
+update-equivalent to the joint step, end to end — this is the path that
+makes the reference's headline K=100 GMM config (reference
+startTraining_mdn.py:26-38, csv_results_gmm) trainable on one v5e chip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_ad_tpu.config import DtypePolicy, HyperParams
+from vit_ad_tpu.models.mdn import GaussianMDN
+from vit_ad_tpu.pipeline import mdn_chunked as MC
+from vit_ad_tpu.pipeline.optimizers import torch_adam
+
+
+def _head(d=6, k=4, seed=0):
+    mdn = GaussianMDN(features=d, num_gaussians=k, dtypes=DtypePolicy.f32())
+    params = mdn.init(jax.random.key(seed), jnp.zeros((1, 1, d)))
+    return mdn, dict(params["params"])
+
+
+@pytest.mark.parametrize("wd", [0.0, 1e-3])
+@pytest.mark.parametrize("use_rng", [False, True])
+def test_chunked_update_matches_joint_adam_step(wd, use_rng):
+    d, k, kc = 6, 4, 2
+    lr = 1e-3
+    mdn, head = _head(d, k)
+    rng = jax.random.key(7) if use_rng else None
+    x = jax.random.normal(jax.random.key(1), (2, 3, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(2), (2, 3, d), jnp.float32)
+
+    def joint_loss(h, x_):
+        ll = mdn.apply({"params": h}, x_, rng=rng,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads, gx = jax.grad(joint_loss, argnums=(0, 1))(head, x)
+    tx = torch_adam(lr, wd)
+    state = tx.init(head)
+    upd, _ = tx.update(grads, state, head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    opt = MC.init_head_opt(head)
+    ll_fn = MC.make_chunk_ll_fn(d)
+    new_head, m, v, dx, ll_tot = MC.chunked_head_update(
+        x, rng, head, opt["m"], opt["v"], jnp.int32(1), ct, lr, wd, kc, ll_fn
+    )
+
+    ll_ref = mdn.apply({"params": head}, x, rng=rng,
+                       method=GaussianMDN.log_likelihood)
+    np.testing.assert_allclose(ll_tot, ll_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dx, gx, rtol=1e-4, atol=1e-5)
+    for name in head:
+        np.testing.assert_allclose(
+            new_head[name], expected[name], rtol=1e-5, atol=1e-7,
+            err_msg=name,
+        )
+
+
+def test_chunked_update_multiple_steps_track_optax():
+    """Two consecutive chunked steps (count 1 then 2) track the optax chain
+    including bias-correction evolution and moment carry."""
+    d, k, kc = 4, 6, 3
+    lr, wd = 3e-3, 1e-4
+    mdn, head = _head(d, k, seed=3)
+    x = jax.random.normal(jax.random.key(5), (2, 2, d), jnp.float32)
+    ct = jnp.full((2, 2, d), -1.0 / (2 * 2 * d), jnp.float32)
+
+    tx = torch_adam(lr, wd)
+    state = tx.init(head)
+    ref = dict(head)
+    opt = MC.init_head_opt(head)
+    m, v = opt["m"], opt["v"]
+    cur = dict(head)
+    ll_fn = MC.make_chunk_ll_fn(d)
+    for t in (1, 2):
+        def joint_loss(h):
+            ll = mdn.apply({"params": h}, x, rng=None,
+                           method=GaussianMDN.log_likelihood)
+            return jnp.sum(ct * ll)
+
+        grads = jax.grad(joint_loss)(ref)
+        upd, state = tx.update(grads, state, ref)
+        ref = jax.tree.map(lambda p, u: p + u, ref, upd)
+        cur, m, v, _, _ = MC.chunked_head_update(
+            x, None, cur, m, v, jnp.int32(t), ct, lr, wd, kc, ll_fn
+        )
+    for name in ref:
+        np.testing.assert_allclose(cur[name], ref[name], rtol=1e-5,
+                                   atol=1e-7, err_msg=name)
+
+
+def test_pick_k_chunk():
+    assert MC.pick_k_chunk(100) == 10
+    assert MC.pick_k_chunk(150) == 15
+    assert MC.pick_k_chunk(8) == 8
+    assert MC.pick_k_chunk(7) == 7
+    assert MC.pick_k_chunk(13, cap=4) == 1
+
+
+def test_chunk_mode_policy(monkeypatch):
+    hp = HyperParams(num_gaussians=100)
+    # explicit off
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "0")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) is None
+    # explicit chunk size
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "10")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) == 10
+    # explicit non-divisor falls back to a divisor <= it
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "8")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) == 5
+    # auto on the CPU backend: no HBM budget, stays joint
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "auto")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) is None
+    # auto never engages under a mesh (the mesh shards K instead)
+    monkeypatch.delenv("VITAD_MDN_KCHUNK", raising=False)
+    assert MC.chunked_heads_mode(hp, (2, 3), object()) is None
+
+
+@pytest.mark.slow
+def test_train_mdn_resnet_chunked_matches_joint(tmp_path):
+    """The REAL trainer through both paths: VITAD_MDN_KCHUNK=<kc> must
+    reproduce the joint step's loss history and eval metrics (chunked
+    logsumexp/accumulation order differs → tolerance, not bit-equality)."""
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.train import train_mdn_resnet
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "cat", img_size=32, n_train=12,
+                        n_test_good=3, n_test_defect=3)
+
+    def run(kchunk_env):
+        os.environ["VITAD_MDN_KCHUNK"] = kchunk_env
+        try:
+            hp = HyperParams(
+                model_name="enc_res_net", architecture="mdn", epochs=2,
+                patience=2, learning_rate=1e-3, weight_decay=1e-5,
+                batch_size=6, img_size=32, num_gaussians=4, seed=24,
+                dtypes=DtypePolicy.f32(),
+            )
+            data = DataPipeline(batch_size=6, base_path=str(root),
+                                data_path="train/good", img_size=32)
+            test = DataPipeline(batch_size=6, base_path=f"{root}/cat",
+                                data_path="test", img_size=32,
+                                validation_mode=True)
+            return train_mdn_resnet(hp, data, test)
+        finally:
+            os.environ.pop("VITAD_MDN_KCHUNK", None)
+
+    joint = run("0")
+    chunked = run("2")
+    np.testing.assert_allclose(
+        chunked.history["train_loss"], joint.history["train_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        chunked.history["valid_loss"], joint.history["valid_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    a0 = joint.metrics["image_auroc_score"]
+    a1 = chunked.metrics["image_auroc_score"]
+    assert abs(a0 - a1) < 0.05, (a0, a1)

@@ -1,0 +1,264 @@
+"""K-chunked MDN-ResNet training: the single-chip capacity path for big K.
+
+The reference's headline GMM config is K=100 mixture components over ResNet
+stages 2-3 (reference startTraining_mdn.py:26-38 accepts up to ~150;
+csv_results_gmm/gmm_mvtec_100_gaussians.csv is its published result table).
+The joint train step holds params + Adam moments + gradients of BOTH
+[D, D, K] mu/sigma stage heads simultaneously — measured 16.83 GB at K=100
+vs the v5e's 15.75 GB HBM (PERF.md "single-chip capacity edge"), so K=50
+was the proven single-chip ceiling.
+
+This module removes the full-size gradient tensors from the step entirely:
+
+  * the loss decomposes exactly per K-chunk. For ll = logsumexp_k(z_k),
+    d ll/dθ_c = exp(ll_c - ll) * d ll_c/dθ_c where ll_c is the logsumexp
+    over just chunk c's components — so chunk gradients need only the
+    chunk's parameter slices plus the (cheap, [B,P,D]) total ll;
+  * the Adam update is FUSED into the chunk loop: each `lax.scan` step
+    computes one chunk's gradients (via the Pallas custom-VJP kernel on
+    TPU) and immediately applies the torch-Adam update to that chunk's
+    parameter/moment slices in place (donated buffers). A full-size
+    gradient never exists; peak extra memory is one [D, D, kc] slice pair.
+
+Peak HBM at K=100 drops from params+m+v+grads = 4x state (16.8 GB) to
+3x state + one chunk (~13 GB) — the reference's headline config trains on
+one chip. Per-leaf update math is exactly `pipeline.optimizers.torch_adam`
+(optax scale_by_adam + scale(-lr), L2-coupled weight decay), and each leaf
+still gets exactly one update per batch, so the path is
+gradient-equivalent to the joint step (locked by tests/test_mdn_chunked.py
+against the real `train_mdn_resnet` at tiny sizes).
+
+Activated automatically by `train_mdn_resnet` when the estimated joint
+state exceeds the accelerator budget (no mesh requested);
+`VITAD_MDN_KCHUNK` = 0 (off) / auto / <int chunk size> overrides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vit_ad_tpu.ops import gmm
+
+Array = jax.Array
+
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8  # torch.optim.Adam defaults (optimizers.py)
+
+# Chunked leaves of a GaussianMDN head: (param name, K axis). w_pi/b_pi are
+# tiny and coupled across K by the softmax — updated whole after the loop.
+_CHUNKED = (("w_sigma", 2), ("b_sigma", 1), ("w_mu", 2), ("b_mu", 1))
+
+
+def torch_adam_leaf(p: Array, m: Array, v: Array, g: Array, t: Array,
+                    lr: float, wd: float) -> Tuple[Array, Array, Array]:
+    """One torch-Adam update on one leaf — exactly optax
+    `add_decayed_weights(wd) >> scale_by_adam(b1,b2,eps) >> scale(-lr)`
+    (pipeline/optimizers.torch_adam), applied to an arbitrary slice so the
+    chunk loop can update parameter windows in place. `t` is the
+    POST-increment step count (optax's count_inc)."""
+    if wd:
+        g = g + wd * p
+    m = _B1 * m + (1.0 - _B1) * g
+    v = _B2 * v + (1.0 - _B2) * jnp.square(g)
+    c1 = 1.0 - jnp.power(jnp.float32(_B1), t)
+    c2 = 1.0 - jnp.power(jnp.float32(_B2), t)
+    p = p - lr * (m / c1) / (jnp.sqrt(v / c2) + _EPS)
+    return p, m, v
+
+
+def make_chunk_ll_fn(d: int):
+    """ll_fn(xf, log_pi_c, w_sigma_c, b_sigma_c, w_mu_c, b_mu_c) -> [B,P,D]
+    log-likelihood of the UNNORMALIZED sub-mixture restricted to one
+    K-chunk (log_pi_c carries the global log-weights, NOT renormalized).
+    Dispatches to the Pallas custom-VJP kernel on TPU targets (same gate as
+    GaussianMDN.log_likelihood); dense XLA formulation otherwise — chunk
+    temps are [B,P,D,kc], small by construction."""
+    from vit_ad_tpu.ops.pallas.gmm_train import use_pallas_gmm_train
+
+    if use_pallas_gmm_train(d):
+        from vit_ad_tpu.ops.pallas.gmm_train import gmm_log_likelihood_train
+        from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+        on_tpu = _target_platform() == "tpu"
+
+        def ll_fn(xf, lp, ws, bs, wm, bm):
+            return gmm_log_likelihood_train(
+                xf, lp, ws, bs, wm, bm,
+                interpret=not on_tpu,
+                matmul_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
+
+        return ll_fn
+
+    def ll_fn(xf, lp, ws, bs, wm, bm):
+        sigma = jax.nn.elu(jnp.einsum("bpd,dek->bpek", xf, ws) + bs) + 1.0 + 1e-15
+        mu = jnp.einsum("bpd,dek->bpek", xf, wm) + bm
+        dens = gmm.log_gaussian_density(sigma, mu, xf[..., None])
+        return jax.nn.logsumexp(lp[:, :, None, :] + dens, axis=-1)
+
+    return ll_fn
+
+
+def pick_k_chunk(k: int, cap: int = 16) -> int:
+    """Largest divisor of K that is <= cap (chunks must tile K exactly so
+    parameter slices are static-shaped)."""
+    for c in range(min(cap, k), 0, -1):
+        if k % c == 0:
+            return c
+    return 1
+
+
+def _accel_hbm_budget() -> Optional[float]:
+    """Usable accelerator HBM bytes, or None on CPU backends (no budget)."""
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return None
+    if dev.platform == "cpu":
+        return None
+    env = os.environ.get("VITAD_MDN_KCHUNK_BUDGET_GB")
+    if env:
+        return float(env) * 1e9
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 15.0e9  # v5e: 16 GB HBM, ~15.75 usable — leave headroom
+
+
+def chunked_heads_mode(hp, stages, mc) -> Optional[int]:
+    """None = joint step; int = chunk size for the K-chunked capacity path.
+
+    Policy: explicit VITAD_MDN_KCHUNK wins (0 / auto / chunk size); auto
+    engages only single-device (a mesh shards the K axis instead —
+    parallel/sharding.py) and only when the joint step's estimated state
+    (params + m + v + grads of the [D,D,K] stage heads, x4 the param
+    bytes — matches the measured 16.83 GB at K=100) exceeds the
+    accelerator budget."""
+    env = os.environ.get("VITAD_MDN_KCHUNK", "auto").strip()
+    if env == "0":
+        return None
+    if env and env != "auto":
+        kc = int(env)
+        return kc if hp.num_gaussians % kc == 0 else pick_k_chunk(hp.num_gaussians, kc)
+    if mc is not None:
+        return None
+    budget = _accel_hbm_budget()
+    if budget is None:
+        return None
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS
+
+    k = hp.num_gaussians
+    param_bytes = sum(2 * STAGE_CHANNELS[i] ** 2 * k * 4 for i in stages)
+    if 4 * param_bytes > budget:
+        return pick_k_chunk(k)
+    return None
+
+
+def init_head_opt(head_params: Any) -> Dict[str, Any]:
+    """Hand-rolled Adam moment trees for one head's inner param dict."""
+    zeros = jax.tree.map(jnp.zeros_like, head_params)
+    return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, head_params)}
+
+
+def chunked_head_update(
+    x: Array,
+    rng: Optional[Array],
+    head: Dict[str, Array],
+    m: Dict[str, Array],
+    v: Dict[str, Array],
+    t: Array,
+    ct: Array,
+    lr: float,
+    wd: float,
+    k_chunk: int,
+    ll_fn,
+    tau: float = 1.0,
+) -> Tuple[Dict[str, Array], Dict[str, Array], Dict[str, Array], Array, Array]:
+    """One fused backward+Adam pass over one GaussianMDN head, K-chunked.
+
+    x:   [B,P,D] features (differentiable — dx is returned for the trunk's
+         trainable stage norms)
+    ct:  [B,P,D] cotangent of the total log-likelihood (the loss's d/d ll)
+    t:   post-increment Adam step count
+    Returns (new_head, new_m, new_v, dx, ll_total). Gradients are evaluated
+    at the pre-step parameters (each chunk's slices are untouched until its
+    own loop iteration), so the result is exactly one optimizer step."""
+    xf = x.astype(jnp.float32)
+    k = head["w_pi"].shape[-1]
+    assert k % k_chunk == 0, (k, k_chunk)
+    n_chunks = k // k_chunk
+
+    def pi_head(w_pi, b_pi, xf_):
+        logits = jnp.einsum("bpd,dk->bpk", xf_, w_pi.astype(jnp.float32)) + b_pi
+        return gmm.mixture_log_weights(logits, rng, tau)
+
+    log_pi, pi_vjp = jax.vjp(pi_head, head["w_pi"], head["b_pi"], xf)
+    sg = lax.stop_gradient
+
+    def chunk_slices(src: Dict[str, Array], i):
+        start = i * k_chunk
+        out = {
+            name: lax.dynamic_slice_in_dim(src[name], start, k_chunk, axis)
+            for name, axis in _CHUNKED
+        }
+        out["log_pi"] = lax.dynamic_slice_in_dim(log_pi, start, k_chunk, 2)
+        return out
+
+    # Phase A: total log-likelihood (forward only; [n_chunks,B,P,D] stack
+    # is small — the full ll is what phase B's chunk weights need)
+    def fwd_body(_, i):
+        s = chunk_slices(head, i)
+        ll_c = ll_fn(sg(xf), sg(s["log_pi"]), sg(s["w_sigma"]),
+                     sg(s["b_sigma"]), sg(s["w_mu"]), sg(s["b_mu"]))
+        return None, ll_c
+
+    _, ll_stack = lax.scan(fwd_body, None, jnp.arange(n_chunks))
+    ll_total = jax.nn.logsumexp(ll_stack, axis=0)
+
+    # Phase B: per chunk — gradients via VJP (Pallas backward on TPU),
+    # Adam update of the chunk's parameter/moment slices in place
+    def bwd_body(carry, i):
+        head_c, m_c, v_c, dx, dlp = carry
+        start = i * k_chunk
+        s = chunk_slices(head_c, i)
+        ll_c, vjp = jax.vjp(
+            ll_fn, xf, s["log_pi"], s["w_sigma"], s["b_sigma"],
+            s["w_mu"], s["b_mu"],
+        )
+        # d ll/dθ_c = exp(ll_c - ll) * d ll_c/dθ_c
+        ct_c = ct * jnp.exp(ll_c - ll_total)
+        dxc, dlp_c, dws, dbs, dwm, dbm = vjp(ct_c)
+        dx = dx + dxc
+        dlp = lax.dynamic_update_slice_in_dim(dlp, dlp_c, start, 2)
+        grads = {"w_sigma": dws, "b_sigma": dbs, "w_mu": dwm, "b_mu": dbm}
+        head_c, m_c, v_c = dict(head_c), dict(m_c), dict(v_c)
+        for name, axis in _CHUNKED:
+            p_s = lax.dynamic_slice_in_dim(head_c[name], start, k_chunk, axis)
+            m_s = lax.dynamic_slice_in_dim(m_c[name], start, k_chunk, axis)
+            v_s = lax.dynamic_slice_in_dim(v_c[name], start, k_chunk, axis)
+            p_n, m_n, v_n = torch_adam_leaf(p_s, m_s, v_s, grads[name], t, lr, wd)
+            head_c[name] = lax.dynamic_update_slice_in_dim(head_c[name], p_n, start, axis)
+            m_c[name] = lax.dynamic_update_slice_in_dim(m_c[name], m_n, start, axis)
+            v_c[name] = lax.dynamic_update_slice_in_dim(v_c[name], v_n, start, axis)
+        return (head_c, m_c, v_c, dx, dlp), None
+
+    init = (dict(head), dict(m), dict(v), jnp.zeros_like(xf),
+            jnp.zeros_like(log_pi))
+    (head, m, v, dx, dlp), _ = lax.scan(bwd_body, init, jnp.arange(n_chunks))
+
+    # pi head: gradients flow through the (coupled-across-K) softmax once
+    dwpi, dbpi, dx_pi = pi_vjp(dlp)
+    head, m, v = dict(head), dict(m), dict(v)
+    for name, g in (("w_pi", dwpi), ("b_pi", dbpi)):
+        head[name], m[name], v[name] = torch_adam_leaf(
+            head[name], m[name], v[name], g, t, lr, wd
+        )
+    return head, m, v, dx + dx_pi, ll_total

@@ -844,6 +844,19 @@ def train_mdn_resnet(
     params = {"heads": head_params, "encoder": enc_variables["params"]}
     enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
     mc = _mesh_setup(hp)
+    from vit_ad_tpu.pipeline.mdn_chunked import chunked_heads_mode
+
+    kc = chunked_heads_mode(hp, stages, mc)
+    if kc is not None:
+        # single-chip capacity path: the joint step's params+moments+grads
+        # exceed the accelerator budget (measured 16.83 GB at the
+        # reference's headline K=100 vs 15.75 GB v5e HBM) — fuse the Adam
+        # update into a K-chunked backward so full-size head gradients
+        # never materialize (pipeline/mdn_chunked.py)
+        return _train_mdn_resnet_chunked(
+            hp, data, test_data, encoder, enc_variables, logger,
+            figures_dir, stages, mdns, head_params, mean, std, kc, rng,
+        )
     if mc is not None:
         # heads shard mixture-parallel (w_mu/w_sigma K-axis over "model" —
         # the [D,D,K] tensors are the HBM hogs here); trunk replicates
@@ -1001,6 +1014,192 @@ def train_mdn_resnet(
         head_params=best,
         # NOT enc_variables: its param buffers were donated by train_step;
         # the best-snapshot copy (+ unchanged batch_stats) is the live one
+        encoder_params={"params": best["encoder"], **enc_stats},
+        history=history,
+        metrics=metrics,
+        epochs_ran=epochs_ran,
+        best_epoch=stopper.best_epoch,
+        best_valid_loss=float(stopper.best_loss) if stopper.best_loss is not None else float("nan"),
+        encoder=encoder,
+        head=None,
+    )
+
+
+def _train_mdn_resnet_chunked(
+    hp: HyperParams,
+    data: DataPipeline,
+    test_data: Optional[DataPipeline],
+    encoder: nn.Module,
+    enc_variables: Any,
+    logger: Any,
+    figures_dir: Optional[str],
+    stages,
+    mdns,
+    head_params,
+    mean,
+    std,
+    k_chunk: int,
+    rng,
+) -> TrainResult:
+    """train_mdn_resnet's single-chip capacity path for big K (reference
+    headline K=100, startTraining_mdn.py:26-38 / csv_results_gmm): per-batch
+    steps whose head backward is K-chunked with the torch-Adam update fused
+    into the chunk loop (pipeline/mdn_chunked.py) — peak HBM drops from 4x
+    to ~3x the head state, fitting K=100 on one v5e. Loss math, gumbel rng
+    stream, stage-norm training, early stopping, and eval are identical to
+    the joint path (gradient-equivalence locked by tests/test_mdn_chunked)."""
+    import optax
+
+    from vit_ad_tpu.data.loader import preprocess
+    from vit_ad_tpu.models.resnet import ResNetEncoder
+    from vit_ad_tpu.pipeline import mdn_chunked as MC
+    from vit_ad_tpu.pipeline.eval import evaluate_mdn_resnet
+
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+    enc_params = enc_variables["params"]
+    enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
+    heads = [dict(h["params"]) for h in head_params]
+    _opts = [MC.init_head_opt(h) for h in heads]
+    opt_m = [o["m"] for o in _opts]
+    opt_v = [o["v"] for o in _opts]
+    ll_fns = [MC.make_chunk_ll_fn(mdn.features) for mdn in mdns]
+
+    tx_enc = optax.multi_transform(
+        {"train": torch_adam(hp.learning_rate, hp.weight_decay),
+         "freeze": optax.set_to_zero()},
+        _resnet_trainable_mask(enc_params),
+    )
+    enc_opt = tx_enc.init(enc_params)
+
+    def stage_inputs(enc_p, images_u8):
+        x = preprocess(images_u8, mean_j, std_j)
+        maps = encoder.apply(
+            {"params": enc_p, **enc_stats}, x, train=False,
+            method=ResNetEncoder.stage_features,
+        )
+        out = []
+        for i in stages:
+            m = maps[i]
+            b, h, w, c = m.shape
+            out.append(m.reshape(b, h * w, c))
+        return tuple(out)
+
+    def feats_fn(enc_p, images_u8):
+        enc_p = dict(enc_p)
+        enc_p["trunk"] = jax.lax.stop_gradient(enc_p["trunk"])
+        return stage_inputs(enc_p, images_u8)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(hstate, enc_state, images_u8, valid, step_rng):
+        heads, opt_m, opt_v, count = hstate
+        enc_p, enc_opt_s = enc_state
+        inputs, trunk_vjp = jax.vjp(lambda ep: feats_fn(ep, images_u8), enc_p)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        rngs = jax.random.split(step_rng, len(inputs))
+        t = count + 1
+        new_heads, new_m, new_v, dxs = [], [], [], []
+        loss = 0.0
+        for i, (x_s, ll_fn) in enumerate(zip(inputs, ll_fns)):
+            _, p_, d_ = x_s.shape
+            ct = jnp.broadcast_to(
+                (-valid / (p_ * d_ * denom))[:, None, None], x_s.shape
+            )
+            h_n, m_n, v_n, dx, ll_tot = MC.chunked_head_update(
+                x_s, rngs[i], heads[i], opt_m[i], opt_v[i], t, ct,
+                hp.learning_rate, hp.weight_decay, k_chunk, ll_fn,
+            )
+            per_example = -jnp.mean(ll_tot, axis=(1, 2))
+            loss = loss + jnp.sum(per_example * valid) / denom
+            new_heads.append(h_n)
+            new_m.append(m_n)
+            new_v.append(v_n)
+            dxs.append(dx)
+        (enc_grads,) = trunk_vjp(tuple(dxs))
+        enc_updates, enc_opt_s = tx_enc.update(enc_grads, enc_opt_s, enc_p)
+        enc_p = jax.tree.map(lambda p, u: p + u, enc_p, enc_updates)
+        return (new_heads, new_m, new_v, t), (enc_p, enc_opt_s), loss
+
+    def eval_loss_fn(heads, enc_p, images_u8, valid):
+        inputs = stage_inputs(enc_p, images_u8)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        total = 0.0
+        for x_s, h, mdn in zip(inputs, heads, mdns):
+            ll = mdn.apply(
+                {"params": h}, x_s, rng=None,
+                method=GaussianMDN.log_likelihood,
+            )
+            per_example = -jnp.mean(ll, axis=(1, 2))
+            total = total + jnp.sum(per_example * valid) / denom
+        return total
+
+    eval_loss = jax.jit(eval_loss_fn)
+
+    train_stack, train_batches_dev = image_epoch_staging(
+        lambda: data.train_batches(hp.prefetch), None
+    )
+    valid_stack, valid_batches_dev = image_epoch_staging(
+        lambda: data.valid_batches(hp.prefetch), None
+    )
+
+    def _iter(stack, batches_dev):
+        if stack is not None:
+            for i in range(stack.feats.shape[0]):
+                yield stack.feats[i], stack.valid[i], float(stack.weights[i])
+        else:
+            yield from batches_dev()
+
+    hstate = (heads, opt_m, opt_v, jnp.zeros((), jnp.int32))
+    enc_state = (enc_params, enc_opt)
+
+    def train_epoch(epoch):
+        nonlocal rng, hstate, enc_state
+        losses, weights = [], []
+        for images, valid, w in _iter(train_stack, train_batches_dev):
+            rng, k = jax.random.split(rng)
+            hstate, enc_state, loss = train_step(
+                hstate, enc_state, images, valid, k
+            )
+            losses.append(loss)
+            weights.append(w)
+        return _weighted_mean(losses, weights), float(np.sum(weights))
+
+    def valid_epoch():
+        vlosses, vweights = [], []
+        for images, valid, w in _iter(valid_stack, valid_batches_dev):
+            vlosses.append(eval_loss(hstate[0], enc_state[0], images, valid))
+            vweights.append(w)
+        return _weighted_mean(vlosses, vweights)
+
+    def _snapshot():
+        return {
+            "heads": [{"params": h} for h in hstate[0]],
+            "encoder": enc_state[0],
+            "enc_batch_stats": enc_stats["batch_stats"],
+        }
+
+    history, epochs_ran, stopper = run_epochs(
+        hp, train_epoch, valid_epoch, _snapshot, logger
+    )
+    best = (
+        stopper.best_params if stopper.best_params is not None else _snapshot()
+    )
+
+    metrics: Dict[str, float] = {}
+    if test_data is not None:
+        metrics = evaluate_mdn_resnet(
+            encoder,
+            {"params": best["encoder"], **enc_stats},
+            mdns,
+            best["heads"],
+            test_data, hp, mean, std, stages=stages,
+            figures_dir=figures_dir, logger=logger,
+        )
+        if logger is not None:
+            logger.log({**metrics, "block_index": str(list(stages)),
+                        "stage": "eval"})
+
+    return TrainResult(
+        head_params=best,
         encoder_params={"params": best["encoder"], **enc_stats},
         history=history,
         metrics=metrics,
