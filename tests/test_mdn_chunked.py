@@ -165,3 +165,40 @@ def test_train_mdn_resnet_chunked_matches_joint(tmp_path):
     a0 = joint.metrics["image_auroc_score"]
     a1 = chunked.metrics["image_auroc_score"]
     assert abs(a0 - a1) < 0.05, (a0, a1)
+
+
+def test_chunked_update_pallas_interpret_path(monkeypatch):
+    """The TPU dispatch (Pallas custom-VJP kernels inside the chunk scan)
+    traced via interpret mode on CPU: same update as the dense joint step.
+    D must be lane-aligned for the kernel gate."""
+    monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "1")
+    d, k, kc = 128, 4, 2
+    lr, wd = 1e-3, 1e-4
+    mdn, head = _head(d, k, seed=11)
+    x = jax.random.normal(jax.random.key(4), (2, 2, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(6), (2, 2, d), jnp.float32) * 0.1
+
+    ll_fn = MC.make_chunk_ll_fn(d)
+
+    # joint reference on the DENSE path
+    monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "0")
+    def joint_loss(h, x_):
+        ll = mdn.apply({"params": h}, x_, rng=None,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads, gx = jax.grad(joint_loss, argnums=(0, 1))(head, x)
+    tx = torch_adam(lr, wd)
+    upd, _ = tx.update(grads, tx.init(head), head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    opt = MC.init_head_opt(head)
+    new_head, _, _, dx, _ = MC.chunked_head_update(
+        x, None, head, opt["m"], opt["v"], jnp.int32(1), ct, lr, wd, kc, ll_fn
+    )
+    np.testing.assert_allclose(dx, gx, rtol=5e-3, atol=1e-4)
+    for name in head:
+        np.testing.assert_allclose(
+            new_head[name], expected[name], rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )

@@ -1,0 +1,140 @@
+"""Hardware throughput for the SERVING paths (round-4 VERDICT item 8).
+
+bench.py measures the raw scoring graph; this measures what a serving user
+actually runs:
+
+  1. score-CLI wave — `cli.score main()` on a folder of PNGs from a real
+     run dir: decode + batch + jit dispatch + host score tail + CSV write.
+     Two waves (the first pays compiles; the second is the steady wave a
+     long-lived scorer sees).
+  2. loaded AOT bundle — `ServingBundle.payloads` steady state on staged
+     uint8 arrays (per-chunk Exported.call + fetch: the deployment
+     artifact's sustained rate), plus one full `.score()` for the host
+     tail cost.
+
+The run is created through the REAL product CLI (startTraining_NF, 1 epoch
+on synthetic data — throughput does not depend on weight quality).
+
+Run: PYTHONPATH=.:/root/.axon_site timeout 3000 python tools/bench_serving.py
+axon rules (PERF.md): one TPU process, run to completion.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+WAVE_N = 256
+BUNDLE_CHUNKS = 10  # batches of `BATCH` through the bundle per timed pass
+BATCH = 128
+
+
+def main() -> None:
+    import PIL.Image
+
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+
+    out_rows = []
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    root = os.path.join(tmp, "data")
+    make_mvtec_category(root, "cat", img_size=224, n_train=32,
+                        n_test_good=2, n_test_defect=2)
+
+    # 1 real run via the product CLI (1 epoch; compile-dominated)
+    import startTraining_NF
+
+    workdir = os.path.join(tmp, "work")
+    os.makedirs(workdir)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        t0 = time.perf_counter()
+        startTraining_NF.main([
+            "-m", "deit", "-e", "1", "-p", "1", "-b", "8", "-i", "224",
+            "-d", f"{root}/cat", "-t", "train/good", "-v", "test",
+        ])
+        print(json.dumps({"stage": "train_run",
+                          "wall_s": round(time.perf_counter() - t0, 1)}))
+    finally:
+        os.chdir(cwd)
+    runs = glob.glob(os.path.join(workdir, "runs", "*"))
+    assert len(runs) == 1, runs
+    run = runs[0]
+
+    # wave folder: WAVE_N distinct 224px PNGs
+    wave_dir = os.path.join(tmp, "wave")
+    os.makedirs(wave_dir)
+    rng = np.random.default_rng(0)
+    for i in range(WAVE_N):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+        ).save(os.path.join(wave_dir, f"{i:04d}.png"))
+
+    from vit_ad_tpu.cli.score import main as score_main
+
+    for wave in (1, 2):
+        out = os.path.join(tmp, f"scores{wave}")
+        t0 = time.perf_counter()
+        rc = score_main(["-r", run, "-d", wave_dir, "-o", out,
+                         "-b", str(BATCH)])
+        dt = time.perf_counter() - t0
+        assert rc == 0
+        row = {"metric": f"serving score-CLI wave {wave} "
+                         f"({'cold, incl. compile' if wave == 1 else 'warm process'})",
+               "images": WAVE_N, "wall_s": round(dt, 2),
+               "img_s": round(WAVE_N / dt, 1)}
+        out_rows.append(row)
+        print(json.dumps(row))
+
+    # AOT bundle steady state (native: Pallas kernels kept, TPU artifact)
+    from vit_ad_tpu.cli.export_serving import main as export_main
+    from vit_ad_tpu.serving.aot import load_bundle
+
+    bdir = os.path.join(tmp, "bundle")
+    t0 = time.perf_counter()
+    rc = export_main(["-r", run, "-o", bdir, "-b", str(BATCH), "--native"])
+    assert rc == 0
+    print(json.dumps({"stage": "export_bundle",
+                      "wall_s": round(time.perf_counter() - t0, 1)}))
+    bundle = load_bundle(bdir)
+    ims = rng.integers(0, 255, (BUNDLE_CHUNKS * BATCH, 224, 224, 3),
+                       dtype=np.uint8)
+    bundle.payloads(ims[:BATCH])  # warm (compile on load)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bundle.payloads(ims)
+        best = min(best, time.perf_counter() - t0)
+    row = {"metric": "serving AOT bundle steady-state (payloads, B=128, "
+                     "per-chunk call+fetch over the tunnel)",
+           "images": ims.shape[0], "wall_s": round(best, 3),
+           "img_s": round(ims.shape[0] / best, 1),
+           "ms_img": round(1000 * best / ims.shape[0], 3)}
+    out_rows.append(row)
+    print(json.dumps(row))
+
+    t0 = time.perf_counter()
+    scores, maps = bundle.score(ims)
+    dt = time.perf_counter() - t0
+    row = {"metric": "serving AOT bundle score() incl. host tail",
+           "images": int(scores.shape[0]), "wall_s": round(dt, 3),
+           "img_s": round(scores.shape[0] / dt, 1)}
+    out_rows.append(row)
+    print(json.dumps(row))
+
+    with open(os.path.join(ROOT, "tools", "serving_bench.jsonl"), "w") as f:
+        for r in out_rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,32 @@ from vit_ad_tpu.models.outputs import EncoderOutput
 
 Array = jax.Array
 
+
+def _swish(x: Array) -> Array:
+    """SiLU, or its piecewise hard approximation under
+    VITAD_EFFNET_HARDSWISH=1 — a MEASUREMENT A/B gate, not a parity mode:
+    EfficientNet-B4 runs at 26% of its tile bound (PERF.md) and its maps
+    carry SiLU/sigmoid transcendentals over every expansion channel (the
+    same VPU cost class the shared GELU policy removed elsewhere at
+    +32..150%). The gate quantifies that term on hardware; exact SiLU (the
+    reference's torch-hub semantics, CnnEncoder.py:106-126) stays the
+    default."""
+    import os
+
+    if os.environ.get("VITAD_EFFNET_HARDSWISH") == "1":
+        return x * jax.nn.relu6(x + 3.0) * (1.0 / 6.0)
+    return nn.swish(x)
+
+
+def _se_sigmoid(x: Array) -> Array:
+    """Sigmoid for the squeeze-excite gate (hard variant under the same
+    measurement gate as `_swish`)."""
+    import os
+
+    if os.environ.get("VITAD_EFFNET_HARDSWISH") == "1":
+        return jax.nn.relu6(x + 3.0) * (1.0 / 6.0)
+    return jax.nn.sigmoid(x)
+
 # (expand_ratio, channels, repeats, stride, kernel) — EfficientNet-B0 base
 _B0_BLOCKS = (
     (1, 16, 1, 1, 3),
@@ -71,7 +97,7 @@ class ConvBNAct(nn.Module):
             dtypes=self.dtypes,
             name="bn",
         )(x).astype(self.dtypes.compute_dtype)
-        return nn.swish(x) if self.act else x
+        return _swish(x) if self.act else x
 
 
 class MBConv(nn.Module):
@@ -104,10 +130,10 @@ class MBConv(nn.Module):
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
         s = nn.Conv(se_ch, (1, 1), dtype=cd, param_dtype=self.dtypes.param_dtype,
                     name="se_reduce")(s)
-        s = nn.swish(s)
+        s = _swish(s)
         s = nn.Conv(mid, (1, 1), dtype=cd, param_dtype=self.dtypes.param_dtype,
                     name="se_expand")(s)
-        h = h * jax.nn.sigmoid(s)
+        h = h * _se_sigmoid(s)
         h = ConvBNAct(self.out_ch, kernel=1, act=False, dtypes=self.dtypes,
                       name="project")(h, train)
         if self.stride == 1 and self.in_ch == self.out_ch:
