@@ -19,6 +19,7 @@ in tests/test_pallas_window_attention.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -90,6 +91,13 @@ def _choose_wblk(b_, n, c, num_heads, n_w, masked) -> int:
     if masked:
         per_win += n * n * 4 * 2       # mask block f32, double-buffered
     cap = max(1, (budget - fixed) // per_win)
+    forced = os.environ.get("VITAD_SWIN_WBLK")
+    if forced:
+        # measurement override (tools/hw_queue* A/Bs): still honor the
+        # divisibility constraints, ignore the VMEM heuristic cap
+        w = int(forced)
+        if (n_w % w == 0) if masked else (b_ % w == 0):
+            return w
     for w in (16, 8, 4, 2, 1):
         if w > cap:
             continue
