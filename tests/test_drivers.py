@@ -347,9 +347,11 @@ def test_bench_latency_mode(monkeypatch):
         return (lambda im: None), (lambda ims: ims)
 
     def fake_tp(score, device, batch, warmup, iters, scan_score=None,
-                scan_chunk=5, max_chunks=100):
+                scan_chunk=5, max_chunks=100, return_info=False):
         seen.update(batch=batch, scan_chunk=scan_chunk, max_chunks=max_chunks)
-        return 400.0  # img/s at B=1
+        info = {"stall_suspect": False, "n_dispatches": 6,
+                "scan_chunk": scan_chunk}
+        return (400.0, info) if return_info else 400.0  # img/s at B=1
 
     monkeypatch.setattr(bench, "_build", fake_build)
     monkeypatch.setattr(bench, "_throughput", fake_tp)

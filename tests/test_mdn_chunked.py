@@ -202,3 +202,26 @@ def test_chunked_update_pallas_interpret_path(monkeypatch):
             new_head[name], expected[name], rtol=1e-4, atol=1e-6,
             err_msg=name,
         )
+
+
+def test_chunked_trainer_bf16_policy_smoke(tmp_path, monkeypatch):
+    """Default DtypePolicy (bf16 compute): the chunked step's f32 head math
+    must hand the trunk VJP a compute-dtype cotangent — the exact crash the
+    first K=100 hardware run hit (f32 dx vs bf16 stage features)."""
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.train import train_mdn_resnet
+
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "2")
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "cat", img_size=32, n_train=10,
+                        n_test_good=2, n_test_defect=2)
+    hp = HyperParams(
+        model_name="enc_res_net", architecture="mdn", epochs=1, patience=1,
+        learning_rate=1e-3, batch_size=4, img_size=32, num_gaussians=4,
+        seed=24,  # default DtypePolicy: params f32, compute bf16
+    )
+    data = DataPipeline(batch_size=4, base_path=str(root),
+                        data_path="train/good", img_size=32)
+    result = train_mdn_resnet(hp, data, None)
+    assert np.isfinite(result.history["train_loss"][-1])

@@ -45,11 +45,17 @@ STAGES = [
 ]
 
 
-def _time_scan(fn, xs, iters=ITERS):
-    """One dispatch: lax.scan of fn over `iters` COPIES with varying data
-    (defeats hoisting); one fetch. Returns best-of-3 ms/iter."""
+def _time_scan(fn, xs):
+    """Two-length slope protocol: time a scan over n and over 3n iterations
+    (same staged buffers cycled — data still varies per iteration, no
+    hoisting) and return (t_3n - t_n) / 2n. The per-DISPATCH costs (the
+    axon ~24-45 ms turnaround + fetch) appear in both runs identically and
+    cancel; the first probe version divided them into as few as 8
+    iterations, inflating stage-0 numbers ~2x vs the in-model trace."""
     import jax
     import jax.numpy as jnp
+
+    n = xs.shape[0]
 
     @jax.jit
     def run(xs):
@@ -57,13 +63,18 @@ def _time_scan(fn, xs, iters=ITERS):
             return None, jnp.sum(fn(x).astype(jnp.float32))
         return jax.lax.scan(body, None, xs)[1]
 
-    np.asarray(run(xs))  # compile+warm
-    best = float("inf")
+    xs3 = jnp.concatenate([xs, xs, xs], axis=0)
+    np.asarray(run(xs))   # compile+warm length n
+    np.asarray(run(xs3))  # compile+warm length 3n
+    best1 = best3 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(run(xs))
-        best = min(best, (time.perf_counter() - t0) / xs.shape[0])
-    return best * 1e3
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run(xs3))
+        best3 = min(best3, time.perf_counter() - t0)
+    return (best3 - best1) / (2 * n) * 1e3
 
 
 def main():
@@ -81,9 +92,10 @@ def main():
         g = wpi * BATCH  # windows per block invocation
         hd = c // heads
         # distinct per-iteration qkv tensors (hoisting defeat); cap the
-        # staged bytes at ~2 GB bf16 — stage 0 is 231 MB/copy
+        # staged bytes at ~1.2 GB bf16 (the slope protocol stages 4x this:
+        # xs + the concatenated 3x run) — stage 0 is 231 MB/copy
         per_copy = g * n * 3 * c * 2
-        iters = max(6, min(ITERS, int(2e9 // per_copy)))
+        iters = max(5, min(ITERS, int(1.2e9 // per_copy)))
         host = rng.standard_normal((iters, g, n, 3 * c)).astype(np.float16)
         qkv = jax.device_put(host, dev)
         qkv = jax.jit(lambda x: x.astype(jnp.bfloat16))(qkv)

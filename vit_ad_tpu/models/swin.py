@@ -87,7 +87,22 @@ def _attention_core():
 
             return split_core
         # differentiable wrapper: Pallas forward, XLA-recompute backward
-        return swin_attention_windows
+        core = swin_attention_windows
+        max_n = int(os.environ.get("VITAD_SWIN_XLA_MAX_N", "0"))
+        if max_n:
+            # measured routing experiment: tiny windows (stage 3's N=49)
+            # are per-cell-overhead bound in the kernel and run faster as
+            # plain XLA batched dots (tools/bench_esvit_floor.py) — route
+            # by token count at trace time
+            def routed(qkv3, bias_table, num_heads, window, mask):
+                if qkv3.shape[1] <= max_n:
+                    return _xla_attention_windows(
+                        qkv3, bias_table, num_heads, window, mask
+                    )
+                return core(qkv3, bias_table, num_heads, window, mask)
+
+            return routed
+        return core
     return _xla_attention_windows
 
 

@@ -1113,7 +1113,9 @@ def _train_mdn_resnet_chunked(
             new_heads.append(h_n)
             new_m.append(m_n)
             new_v.append(v_n)
-            dxs.append(dx)
+            # head math runs f32; the trunk vjp's cotangent must match the
+            # stage features' compute dtype (bf16 under the default policy)
+            dxs.append(dx.astype(x_s.dtype))
         (enc_grads,) = trunk_vjp(tuple(dxs))
         enc_updates, enc_opt_s = tx_enc.update(enc_grads, enc_opt_s, enc_p)
         enc_p = jax.tree.map(lambda p, u: p + u, enc_p, enc_updates)
