@@ -359,3 +359,64 @@ assert not leaked, f"serving import graph leaked: {{leaked}}"
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr
+
+
+def test_external_weights_bundle_matches_baked(tmp_path):
+    """weights='external' (program + weights.npz, params as inputs) must
+    score identically to the baked bundle — the variant exists for
+    runtimes whose compile RPC rejects large serialized modules (a baked
+    DeiT-base bundle hit the axon tunnel's HTTP 413 limit)."""
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _nf_models()
+    ims = _rand_images(6)
+    baked_dir, ext_dir = tmp_path / "baked", tmp_path / "ext"
+    export_bundle(m, str(baked_dir), batch=4)
+    manifest = export_bundle(m, str(ext_dir), batch=4, weights="external")
+    assert manifest["weights"] == "external"
+    assert (ext_dir / "weights.npz").exists()
+    # the external module stays small: no param constants inside
+    assert (ext_dir / "scorer.bin").stat().st_size < \
+        (baked_dir / "scorer.bin").stat().st_size
+
+    s_b, p_b = load_bundle(str(baked_dir)).score(ims)
+    s_e, p_e = load_bundle(str(ext_dir)).score(ims)
+    np.testing.assert_allclose(s_e, s_b, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(p_e, p_b, rtol=0, atol=1e-6)
+
+
+def test_external_weights_mdn_resnet_tuple(tmp_path):
+    """External weights with the hardest param structure: the two-model
+    multi-stage ResNet-MDN (encoder variables dict + list of head dicts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.config import HyperParams
+    from vit_ad_tpu.models.mdn import GaussianMDN
+    from vit_ad_tpu.models.resnet import STAGE_CHANNELS, ResNetEncoder
+    from vit_ad_tpu.pipeline.loading import RunModels
+    from vit_ad_tpu.pipeline.train import default_encoder_params
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    img = 32
+    hp = HyperParams(model_name="res_net", architecture="mdn", img_size=img,
+                     num_gaussians=2)
+    encoder = ResNetEncoder(img_size=img, dtypes=hp.dtypes)
+    ev = default_encoder_params(encoder, hp)
+    stages = (2, 3)
+    mdns = [GaussianMDN(features=STAGE_CHANNELS[i], num_gaussians=2)
+            for i in stages]
+    heads = [
+        mm.init(jax.random.key(0), jnp.zeros((1, 1, STAGE_CHANNELS[i])))
+        for i, mm in zip(stages, mdns)
+    ]
+    m = RunModels(kind="mdn_resnet", hp=hp, stages=stages,
+                  parts=(encoder, ev, mdns, heads))
+    ims = _rand_images(5)
+    b_dir, e_dir = tmp_path / "b", tmp_path / "e"
+    export_bundle(m, str(b_dir), batch=4)
+    export_bundle(m, str(e_dir), batch=4, weights="external")
+    s_b, p_b = load_bundle(str(b_dir)).score(ims)
+    s_e, p_e = load_bundle(str(e_dir)).score(ims)
+    np.testing.assert_allclose(s_e, s_b, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(p_e, p_b, rtol=0, atol=1e-6)

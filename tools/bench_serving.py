@@ -43,6 +43,14 @@ def main() -> None:
 
     from vit_ad_tpu.data.synthetic import make_mvtec_category
 
+    jsonl = os.path.join(ROOT, "tools", "serving_bench.jsonl")
+
+    def emit(row):
+        out_rows.append(row)
+        print(json.dumps(row), flush=True)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     out_rows = []
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
     root = os.path.join(tmp, "data")
@@ -92,16 +100,18 @@ def main() -> None:
                          f"({'cold, incl. compile' if wave == 1 else 'warm process'})",
                "images": WAVE_N, "wall_s": round(dt, 2),
                "img_s": round(WAVE_N / dt, 1)}
-        out_rows.append(row)
-        print(json.dumps(row))
+        emit(row)
 
-    # AOT bundle steady state (native: Pallas kernels kept, TPU artifact)
+    # AOT bundle steady state (native: Pallas kernels kept, TPU artifact;
+    # EXTERNAL weights — a baked DeiT-base module exceeds the axon
+    # tunnel's remote-compile request limit, HTTP 413)
     from vit_ad_tpu.cli.export_serving import main as export_main
     from vit_ad_tpu.serving.aot import load_bundle
 
     bdir = os.path.join(tmp, "bundle")
     t0 = time.perf_counter()
-    rc = export_main(["-r", run, "-o", bdir, "-b", str(BATCH), "--native"])
+    rc = export_main(["-r", run, "-o", bdir, "-b", str(BATCH), "--native",
+                      "--weights", "external"])
     assert rc == 0
     print(json.dumps({"stage": "export_bundle",
                       "wall_s": round(time.perf_counter() - t0, 1)}))
@@ -119,8 +129,7 @@ def main() -> None:
            "images": ims.shape[0], "wall_s": round(best, 3),
            "img_s": round(ims.shape[0] / best, 1),
            "ms_img": round(1000 * best / ims.shape[0], 3)}
-    out_rows.append(row)
-    print(json.dumps(row))
+    emit(row)
 
     t0 = time.perf_counter()
     scores, maps = bundle.score(ims)
@@ -128,12 +137,8 @@ def main() -> None:
     row = {"metric": "serving AOT bundle score() incl. host tail",
            "images": int(scores.shape[0]), "wall_s": round(dt, 3),
            "img_s": round(scores.shape[0] / dt, 1)}
-    out_rows.append(row)
-    print(json.dumps(row))
+    emit(row)
 
-    with open(os.path.join(ROOT, "tools", "serving_bench.jsonl"), "w") as f:
-        for r in out_rows:
-            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -147,6 +147,14 @@ def main(argv=None) -> int:
                     "harness plumbing")
     args = ap.parse_args(argv)
 
+    if args.rehearse:
+        # the rehearsal is a CPU-sized plumbing check — keep it OFF the
+        # attached TPU (a forgotten override here once ran 12 tiny remote
+        # compiles against the single-client axon chip, contending with a
+        # live measurement queue). VITAD_PLATFORM is applied by
+        # vit_ad_tpu/__init__ at import, which has not happened yet.
+        os.environ.setdefault("VITAD_PLATFORM", "cpu")
+
     hp_overrides = {}
     for k in ("epochs", "patience", "batch_size", "img_size", "num_gaussians"):
         v = getattr(args, k)

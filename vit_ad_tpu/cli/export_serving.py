@@ -61,6 +61,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--native", action="store_true",
                     help="keep Pallas TPU kernels in the graph (TPU-only "
                     "artifact; default exports portable pure-StableHLO)")
+    ap.add_argument("--weights", choices=["baked", "external"],
+                    default="baked",
+                    help="baked = params folded into scorer.bin as "
+                    "constants (self-contained); external = params as "
+                    "program inputs + weights.npz beside it (keeps the "
+                    "serialized module small — required for runtimes that "
+                    "ship the module through a size-limited compile RPC)")
     ap.add_argument("--train-data", default="",
                     help="training image dir — required for --centering "
                     "runs so the baked mean/std match training")
@@ -111,6 +118,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         models, args.out, batch=args.batch, platforms=platforms,
         portable=not args.native, mean=mean, std=std,
         extra_meta={"source": source}, ref_images=ref_images,
+        weights=args.weights,
     )
     print(f"exported {manifest['kind']} bundle → {args.out} "
           f"(batch {manifest['batch']}, platforms {manifest['platforms']})")

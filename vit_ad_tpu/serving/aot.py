@@ -46,6 +46,7 @@ if TYPE_CHECKING:  # heavy (flax model zoo) — only needed by the EXPORT side
 
 MANIFEST_NAME = "manifest.json"
 SCORER_NAME = "scorer.bin"
+WEIGHTS_NAME = "weights.npz"
 
 # EVERY Pallas gate forced off for portable exports: the kernels lower to
 # TPU custom calls, which pin the artifact to one platform + kernel
@@ -74,13 +75,14 @@ def _trace_env(portable: bool):
                 os.environ[k] = v
 
 
-def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
-                     std: Optional[np.ndarray] = None):
-    """`images_u8 [B,H,W,3] → payload` with the run's params closed over
-    (they become baked constants in the exported artifact). The payload is
-    the per-kind device output of the matching evaluator
-    (pipeline/eval.make_*_batch_fn); `vit_ad_tpu.scoring.payload_to_scores`
-    turns concatenated payloads into (image_scores, pixel_scores)."""
+def build_payload_fn_and_params(
+    m: RunModels, mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Tuple[Any, Tuple[Any, ...]]:
+    """`(fn, params)` where `fn(*params, images_u8)` is the per-kind batch
+    payload graph (pipeline/eval.make_*_batch_fn — the evaluators' exact
+    code path). Params stay explicit arguments so callers choose whether to
+    bake them (constants in the export) or keep them external inputs."""
     from vit_ad_tpu.pipeline import eval as E
 
     mean_j = None if mean is None else jnp.asarray(mean)
@@ -88,27 +90,35 @@ def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
     hp = m.hp
     if m.kind == "mdn":
         encoder, ep, mdn, mp = m.parts
-        fn = E.make_mdn_batch_fn(encoder, mdn, hp, mean_j, std_j)
-        return lambda im: fn(ep, mp, im)
+        return E.make_mdn_batch_fn(encoder, mdn, hp, mean_j, std_j), (ep, mp)
     if m.kind == "nf":
         encoder, ep, flow, fp = m.parts
-        fn = E.make_nf_batch_fn(encoder, flow, hp, mean_j, std_j)
-        return lambda im: fn(ep, fp, im)
+        return E.make_nf_batch_fn(encoder, flow, hp, mean_j, std_j), (ep, fp)
     if m.kind == "recon":
         model, variables = m.parts
-        fn = E.make_recon_batch_fn(model, hp, mean_j, std_j)
-        return lambda im: fn(variables, im)
+        return E.make_recon_batch_fn(model, hp, mean_j, std_j), (variables,)
     if m.kind == "mdn_resnet":
         encoder, ev, mdns, heads = m.parts
         fn = E.make_mdn_resnet_batch_fn(encoder, mdns, hp, mean_j, std_j,
                                         m.stages)
-        return lambda im: fn(ev, list(heads), im)
+        return fn, (ev, list(heads))
     if m.kind == "nf_resnet":
         encoder, ev, flows, heads = m.parts
         fn = E.make_nf_resnet_batch_fn(encoder, flows, hp, mean_j, std_j,
                                        m.stages)
-        return lambda im: fn(ev, list(heads), im)
+        return fn, (ev, list(heads))
     raise ValueError(f"unknown RunModels kind {m.kind!r}")
+
+
+def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
+                     std: Optional[np.ndarray] = None):
+    """`images_u8 [B,H,W,3] → payload` with the run's params closed over
+    (they become baked constants in the exported artifact). The payload is
+    the per-kind device output of the matching evaluator
+    (pipeline/eval.make_*_batch_fn); `vit_ad_tpu.scoring.payload_to_scores`
+    turns concatenated payloads into (image_scores, pixel_scores)."""
+    fn, params = build_payload_fn_and_params(m, mean, std)
+    return lambda im: fn(*params, im)
 
 
 def export_bundle(
@@ -121,6 +131,7 @@ def export_bundle(
     std: Optional[np.ndarray] = None,
     extra_meta: Optional[dict] = None,
     ref_images: Optional[np.ndarray] = None,
+    weights: str = "baked",
 ) -> dict:
     """Export a run's scoring graph as a serving bundle directory.
 
@@ -128,6 +139,16 @@ def export_bundle(
     exporting host's default platform. `portable=False` keeps Pallas TPU
     kernels in the graph (TPU-only artifact, needs the custom-call safety
     check disabled).
+
+    `weights`: "baked" (default) folds the run's params into the program as
+    constants — one self-contained scorer.bin. "external" exports the
+    program with the params as INPUTS and writes them to `weights.npz`
+    beside it: the serialized module stays a few MB regardless of model
+    size, which matters for remotely-attached runtimes that ship the module
+    through a size-limited compile RPC (a baked DeiT-base bundle exceeded
+    the axon tunnel's remote-compile request limit with HTTP 413), and the
+    npz is diffable/re-signable without retracing. Scores are identical
+    either way (tests/test_serving_export.py).
 
     `ref_images` (uint8 [N,H,W,3], e.g. the run's training images): for MDN
     kinds, bakes their max log-likelihood into the manifest as the bundle's
@@ -137,7 +158,10 @@ def export_bundle(
     depending on what else arrived in the wave). Returns the manifest dict."""
     if batch < 1:
         raise ValueError("batch must be >= 1")
-    fn = build_payload_fn(m, mean, std)
+    if weights not in ("baked", "external"):
+        raise ValueError(f"weights must be 'baked' or 'external', got {weights!r}")
+    fn_p, params = build_payload_fn_and_params(m, mean, std)
+    fn = lambda im: fn_p(*params, im)  # noqa: E731
     ref_max_ll = None
     if ref_images is not None and m.kind in ("mdn", "mdn_resnet"):
         from vit_ad_tpu.scoring import payload_ref_max_ll
@@ -168,8 +192,21 @@ def export_bundle(
         kwargs["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         ]
+    flat_weights = None
     with _trace_env(portable):
-        exp = jexport.export(jax.jit(fn), **kwargs)(spec)
+        if weights == "external":
+            flat, treedef = jax.tree_util.tree_flatten(params)
+
+            def flat_fn(flat_params, im):
+                p = jax.tree_util.tree_unflatten(treedef, flat_params)
+                return fn_p(*p, im)
+
+            wspecs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+                      for x in flat]
+            exp = jexport.export(jax.jit(flat_fn), **kwargs)(wspecs, spec)
+            flat_weights = [np.asarray(x) for x in flat]
+        else:
+            exp = jexport.export(jax.jit(fn), **kwargs)(spec)
     blob = exp.serialize()
 
     os.makedirs(out_dir, exist_ok=True)
@@ -179,6 +216,7 @@ def export_bundle(
         "img_size": img,
         "platforms": list(exp.platforms),
         "portable": portable,
+        "weights": weights,
         "model_name": m.hp.model_name,
         "architecture": m.hp.architecture,
         "jax_version": jax.__version__,
@@ -190,6 +228,11 @@ def export_bundle(
         manifest.update(extra_meta)
     with open(os.path.join(out_dir, SCORER_NAME), "wb") as f:
         f.write(blob)
+    if flat_weights is not None:
+        np.savez(
+            os.path.join(out_dir, WEIGHTS_NAME),
+            **{f"w{i:05d}": w for i, w in enumerate(flat_weights)},
+        )
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -208,6 +251,12 @@ class ServingBundle:
         self.kind: str = self.manifest["kind"]
         self.batch: int = int(self.manifest["batch"])
         self.img_size: int = int(self.manifest["img_size"])
+        self._weights = None
+        if self.manifest.get("weights") == "external":
+            npz = np.load(os.path.join(bundle_dir, WEIGHTS_NAME))
+            host = [npz[k] for k in sorted(npz.files)]
+            # one transfer at load; per-call args are then device-resident
+            self._weights = [jnp.asarray(w) for w in host]
 
     def payloads(self, images_u8: np.ndarray):
         """Raw concatenated device payloads for [N,H,W,3] uint8 images
@@ -231,7 +280,11 @@ class ServingBundle:
             )
         outs = []
         for s in range(0, n + pad, b):
-            outs.append(self._exp.call(jnp.asarray(images_u8[s:s + b])))
+            chunk = jnp.asarray(images_u8[s:s + b])
+            if self._weights is not None:
+                outs.append(self._exp.call(self._weights, chunk))
+            else:
+                outs.append(self._exp.call(chunk))
         host = [jax.tree.map(np.asarray, o) for o in outs]
         if isinstance(host[0], tuple):
             cat: Any = tuple(
