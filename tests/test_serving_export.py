@@ -420,3 +420,40 @@ def test_external_weights_mdn_resnet_tuple(tmp_path):
     s_e, p_e = load_bundle(str(e_dir)).score(ims)
     np.testing.assert_allclose(s_e, s_b, rtol=0, atol=1e-6)
     np.testing.assert_allclose(p_e, p_b, rtol=0, atol=1e-6)
+
+
+def test_scores_only_bundle_nf(tmp_path):
+    """payload='scores' folds the image-score tail in-graph: [B] floats
+    per chunk instead of full-resolution maps (~100,000x less fetch on
+    bandwidth-limited serving links), identical image scores."""
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _nf_models()
+    ims = _rand_images(6)
+    full_dir, s_dir = tmp_path / "full", tmp_path / "scores"
+    export_bundle(m, str(full_dir), batch=4)
+    manifest = export_bundle(m, str(s_dir), batch=4, payload="scores")
+    assert manifest["payload"] == "scores"
+
+    s_full, maps = load_bundle(str(full_dir)).score(ims)
+    s_only, none_maps = load_bundle(str(s_dir)).score(ims)
+    assert none_maps is None
+    assert s_only.shape == (6,)
+    np.testing.assert_allclose(s_only, s_full, rtol=0, atol=1e-6)
+
+
+def test_scores_only_mdn_needs_and_uses_ref_normalizer(tmp_path):
+    from vit_ad_tpu.serving.aot import export_bundle, load_bundle
+
+    m = _mdn_models()
+    ims = _rand_images(6)
+    with pytest.raises(ValueError, match="ref_images"):
+        export_bundle(m, str(tmp_path / "x"), batch=4, payload="scores")
+
+    full_dir, s_dir = tmp_path / "full", tmp_path / "scores"
+    export_bundle(m, str(full_dir), batch=4, ref_images=ims)
+    export_bundle(m, str(s_dir), batch=4, ref_images=ims, payload="scores")
+    s_full, _ = load_bundle(str(full_dir)).score(ims)  # auto → baked ref
+    s_only, maps = load_bundle(str(s_dir)).score(ims)
+    assert maps is None
+    np.testing.assert_allclose(s_only, s_full, rtol=0, atol=1e-6)

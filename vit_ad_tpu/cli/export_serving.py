@@ -61,6 +61,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--native", action="store_true",
                     help="keep Pallas TPU kernels in the graph (TPU-only "
                     "artifact; default exports portable pure-StableHLO)")
+    ap.add_argument("--payload", choices=["full", "scores"], default="full",
+                    help="full = evaluator device payload (anomaly maps; "
+                    "~200 KB/img fetch); scores = in-graph image-score "
+                    "tail, [B] floats only — for threshold-on-image-score "
+                    "deployments on bandwidth-limited links (MDN kinds "
+                    "need --ref-images)")
     ap.add_argument("--weights", choices=["baked", "external"],
                     default="baked",
                     help="baked = params folded into scorer.bin as "
@@ -118,7 +124,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         models, args.out, batch=args.batch, platforms=platforms,
         portable=not args.native, mean=mean, std=std,
         extra_meta={"source": source}, ref_images=ref_images,
-        weights=args.weights,
+        weights=args.weights, payload=args.payload,
     )
     print(f"exported {manifest['kind']} bundle → {args.out} "
           f"(batch {manifest['batch']}, platforms {manifest['platforms']})")

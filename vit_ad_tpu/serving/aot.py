@@ -121,6 +121,53 @@ def build_payload_fn(m: RunModels, mean: Optional[np.ndarray] = None,
     return lambda im: fn(*params, im)
 
 
+def _scores_tail(kind: str, img_size: int, ref_max_ll):
+    """In-graph payload→[B]-image-score tail for scores-only bundles, with
+    `vit_ad_tpu.scoring.payload_to_scores`'s exact image-score semantics.
+    MDN kinds need the baked reference normalizer (per-call-set
+    normalization cannot be computed inside a fixed per-chunk graph)."""
+    from vit_ad_tpu.ops.resize import interpolate_bilinear
+
+    if kind in ("nf", "nf_resnet", "recon"):
+        def tail(payload):
+            maps = payload.astype(jnp.float32)
+            return jnp.max(maps.reshape(maps.shape[0], -1), axis=1)
+
+        return tail
+    if ref_max_ll is None:
+        raise ValueError(
+            "payload='scores' for MDN kinds needs ref_images (the baked "
+            "max-log-likelihood normalizer) — per-call-set normalization "
+            "cannot live inside a fixed per-chunk graph"
+        )
+    if kind == "mdn":
+        rm = float(ref_max_ll[0])
+
+        def tail(ll):
+            prob = jnp.exp(jnp.minimum(ll.astype(jnp.float32) - rm, 0.0))
+            return (jnp.min(prob, axis=1) * -1.0) + 1.0
+
+        return tail
+    if kind == "mdn_resnet":
+        rms = [float(r) for r in ref_max_ll]
+
+        def tail(payload):
+            anoms = []
+            for p, rm in zip(payload, rms):
+                prob = jnp.exp(jnp.minimum(p.astype(jnp.float32) - rm, 0.0))
+                side = int(round(float(np.sqrt(prob.shape[1]))))
+                up = interpolate_bilinear(
+                    prob.reshape(-1, side, side), img_size, img_size,
+                    align_corners=True,
+                )
+                anoms.append((up * -1.0) + 1.0)
+            pix = jnp.mean(jnp.stack(anoms, -1), axis=-1)
+            return jnp.max(pix.reshape(pix.shape[0], -1), axis=1)
+
+        return tail
+    raise ValueError(f"unknown score kind {kind!r}")
+
+
 def export_bundle(
     m: RunModels,
     out_dir: str,
@@ -132,6 +179,7 @@ def export_bundle(
     extra_meta: Optional[dict] = None,
     ref_images: Optional[np.ndarray] = None,
     weights: str = "baked",
+    payload: str = "full",
 ) -> dict:
     """Export a run's scoring graph as a serving bundle directory.
 
@@ -155,11 +203,22 @@ def export_bundle(
     fixed probability normalizer, making scores comparable ACROSS serving
     calls (per-call-set normalization — the reference semantics and the
     default without it — gives the same image different absolute scores
-    depending on what else arrived in the wave). Returns the manifest dict."""
+    depending on what else arrived in the wave).
+
+    `payload`: "full" (default) exports the evaluators' device payload
+    (e.g. full-resolution anomaly maps — ~200 KB/img to fetch); "scores"
+    folds the image-score tail INTO the graph and returns only [B] floats —
+    ~100,000x less download per chunk, for deployments that threshold on
+    image scores (a full-map flagship bundle measured 58.5 img/s over a
+    45 MB/s link, bandwidth-bound on the payload fetch). MDN kinds require
+    `ref_images` (the in-graph tail needs the baked normalizer).
+    Returns the manifest dict."""
     if batch < 1:
         raise ValueError("batch must be >= 1")
     if weights not in ("baked", "external"):
         raise ValueError(f"weights must be 'baked' or 'external', got {weights!r}")
+    if payload not in ("full", "scores"):
+        raise ValueError(f"payload must be 'full' or 'scores', got {payload!r}")
     fn_p, params = build_payload_fn_and_params(m, mean, std)
     fn = lambda im: fn_p(*params, im)  # noqa: E731
     ref_max_ll = None
@@ -184,6 +243,22 @@ def export_bundle(
             cat = np.concatenate(payloads, axis=0)
         ref_max_ll = payload_ref_max_ll(m.kind, cat)
     img = m.hp.img_size
+    # DISTINCT function objects for the export (never mutate a closure a
+    # jit has already traced: the ref-images block jits `fn` above, and
+    # jax's trace caches key on function identity, not closure contents —
+    # rebinding fn_p silently exported the unwrapped graph once)
+    if payload == "scores":
+        tail = _scores_tail(m.kind, img, ref_max_ll)
+        base_fn_p = fn_p
+
+        def export_fn_p(*args):
+            return tail(base_fn_p(*args))
+    else:
+        export_fn_p = fn_p
+
+    def export_fn(im):
+        return export_fn_p(*params, im)
+
     spec = jax.ShapeDtypeStruct((batch, img, img, 3), jnp.uint8)
     kwargs: dict = {}
     if platforms:
@@ -199,14 +274,14 @@ def export_bundle(
 
             def flat_fn(flat_params, im):
                 p = jax.tree_util.tree_unflatten(treedef, flat_params)
-                return fn_p(*p, im)
+                return export_fn_p(*p, im)
 
             wspecs = [jax.ShapeDtypeStruct(np.shape(x), x.dtype)
                       for x in flat]
             exp = jexport.export(jax.jit(flat_fn), **kwargs)(wspecs, spec)
             flat_weights = [np.asarray(x) for x in flat]
         else:
-            exp = jexport.export(jax.jit(fn), **kwargs)(spec)
+            exp = jexport.export(jax.jit(export_fn), **kwargs)(spec)
     blob = exp.serialize()
 
     os.makedirs(out_dir, exist_ok=True)
@@ -217,6 +292,7 @@ def export_bundle(
         "platforms": list(exp.platforms),
         "portable": portable,
         "weights": weights,
+        "payload": payload,
         "model_name": m.hp.model_name,
         "architecture": m.hp.architecture,
         "jax_version": jax.__version__,
@@ -251,6 +327,7 @@ class ServingBundle:
         self.kind: str = self.manifest["kind"]
         self.batch: int = int(self.manifest["batch"])
         self.img_size: int = int(self.manifest["img_size"])
+        self.payload_kind: str = self.manifest.get("payload", "full")
         self._weights = None
         if self.manifest.get("weights") == "external":
             npz = np.load(os.path.join(bundle_dir, WEIGHTS_NAME))
@@ -306,9 +383,15 @@ class ServingBundle:
         thresholdable across calls; "call" forces the reference's
         per-call-set normalization (bit-identical to the evaluators — the
         same image then scores differently depending on the rest of the
-        wave, pipeline/eval module docstring)."""
+        wave, pipeline/eval module docstring).
+
+        Scores-only bundles (`export_bundle(payload='scores')`) computed
+        the image score in-graph; they return (image_scores, None) — there
+        are no pixel maps to fetch, which is the point."""
         from vit_ad_tpu.scoring import payload_to_scores
 
+        if self.payload_kind == "scores":
+            return np.asarray(self.payloads(images_u8)), None
         ref = None
         if normalizer == "auto":
             ref = self.manifest.get("ref_max_loglik")
