@@ -139,6 +139,26 @@ def main() -> None:
            "img_s": round(scores.shape[0] / dt, 1)}
     emit(row)
 
+    # scores-only bundle: in-graph image-score tail, [B] floats down
+    # instead of ~200 KB/img of maps — the full-map bundle above is
+    # bandwidth-bound on the payload fetch over the tunnel
+    sdir = os.path.join(tmp, "bundle_scores")
+    rc = export_main(["-r", run, "-o", sdir, "-b", str(BATCH), "--native",
+                      "--weights", "external", "--payload", "scores"])
+    assert rc == 0
+    sbundle = load_bundle(sdir)
+    sbundle.score(ims[:BATCH])  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s_only, _ = sbundle.score(ims)
+        best = min(best, time.perf_counter() - t0)
+    emit({"metric": "serving AOT bundle scores-only steady-state "
+                    "(payload='scores', B=128, image scores down only)",
+          "images": int(s_only.shape[0]), "wall_s": round(best, 3),
+          "img_s": round(s_only.shape[0] / best, 1),
+          "ms_img": round(1000 * best / s_only.shape[0], 3)})
+
 
 
 if __name__ == "__main__":
