@@ -88,12 +88,14 @@ def _attention_core():
             return split_core
         # differentiable wrapper: Pallas forward, XLA-recompute backward
         core = swin_attention_windows
-        max_n = int(os.environ.get("VITAD_SWIN_XLA_MAX_N", "0"))
+        # measured routing default: tiny windows (Swin stage 3's N=49)
+        # are per-cell-overhead bound in the kernel and run 3x faster as
+        # plain XLA batched dots (tools/bench_esvit_floor.py slope probe;
+        # e2e +1.6% on top of W_BLK=1, PERF.md round-4 matrix). Route by
+        # token count at trace time; VITAD_SWIN_XLA_MAX_N=0 forces
+        # all-Pallas, higher values widen the XLA band.
+        max_n = int(os.environ.get("VITAD_SWIN_XLA_MAX_N", "49"))
         if max_n:
-            # measured routing experiment: tiny windows (stage 3's N=49)
-            # are per-cell-overhead bound in the kernel and run faster as
-            # plain XLA batched dots (tools/bench_esvit_floor.py) — route
-            # by token count at trace time
             def routed(qkv3, bias_table, num_heads, window, mask):
                 if qkv3.shape[1] <= max_n:
                     return _xla_attention_windows(

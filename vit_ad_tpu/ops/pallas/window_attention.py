@@ -80,31 +80,19 @@ def _kernel(num_heads, accum_dtype, w_blk, has_mask, q_ref, k_ref, v_ref,
 
 
 def _choose_wblk(b_, n, c, num_heads, n_w, masked) -> int:
-    """Largest window-block that fits the VMEM budget and divides the mask
-    period (masked) / batch (unmasked). Budget: double-buffered qkv+out
-    blocks (+ mask blocks) + bias + two phases of per-window probs, under
-    ~10 MB (the ~14 MB empirical v5e ceiling minus slack; see ops/pallas/
-    gmm.py calibration)."""
-    budget = 10 * 1024 * 1024
-    fixed = num_heads * n * n * 4 * 2  # bias + one window's live probs
-    per_win = 4 * n * c * 2 * 2        # q,k,v,out bf16, double-buffered
-    if masked:
-        per_win += n * n * 4 * 2       # mask block f32, double-buffered
-    cap = max(1, (budget - fixed) // per_win)
+    """Windows per grid cell. Default 1 — MEASURED, not a VMEM heuristic:
+    the round-3 heuristic maximized the block under a ~10 MB VMEM budget
+    (16 unmasked / 8 masked), but the per-cell body python-unrolls
+    (windows × heads × 2 phases) dots — up to 96 serial dots per cell —
+    while Mosaic pipelines DMAs/compute across CELLS. One window per cell
+    measured EsViT 3802 → 4967 img/s (+31%) with W_BLK the only change
+    (W_BLK 8: flat; 4: +5%; 2: +15%; full matrix in PERF.md round-4 EsViT
+    section); NesT is flat at any value. VITAD_SWIN_WBLK overrides (must
+    divide the mask period when masked / the window count otherwise)."""
     forced = os.environ.get("VITAD_SWIN_WBLK")
     if forced:
-        # measurement override (tools/hw_queue* A/Bs): still honor the
-        # divisibility constraints, ignore the VMEM heuristic cap
         w = int(forced)
         if (n_w % w == 0) if masked else (b_ % w == 0):
-            return w
-    for w in (16, 8, 4, 2, 1):
-        if w > cap:
-            continue
-        if masked:
-            if n_w % w == 0:
-                return w
-        elif b_ % w == 0:
             return w
     return 1
 
