@@ -457,3 +457,41 @@ def test_scores_only_mdn_needs_and_uses_ref_normalizer(tmp_path):
     s_only, maps = load_bundle(str(s_dir)).score(ims)
     assert maps is None
     np.testing.assert_allclose(s_only, s_full, rtol=0, atol=1e-6)
+
+
+def test_scores_tail_matches_host_tail_all_kinds():
+    """_scores_tail (the in-graph scores-only tail) must reproduce
+    scoring.payload_to_scores's image scores for every kind on synthetic
+    payloads — incl. the multi-stage mdn_resnet upsample+mean+max path."""
+    import jax.numpy as jnp
+
+    from vit_ad_tpu.scoring import payload_ref_max_ll, payload_to_scores
+    from vit_ad_tpu.serving.aot import _scores_tail
+
+    rng = np.random.default_rng(3)
+    img = 16
+    # nf/recon/nf_resnet: [N,H,W] maps
+    maps = rng.standard_normal((5, img, img)).astype(np.float32)
+    for kind in ("nf", "recon", "nf_resnet"):
+        want, _ = payload_to_scores(kind, maps, img)
+        got = np.asarray(_scores_tail(kind, img, None)(jnp.asarray(maps)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # mdn: [N,P] log-liks with baked normalizer
+    ll = -np.abs(rng.standard_normal((5, 9))).astype(np.float32) - 1.0
+    rm = payload_ref_max_ll("mdn", ll)
+    want, _ = payload_to_scores("mdn", ll, img, ref_max_ll=rm)
+    got = np.asarray(_scores_tail("mdn", img, rm)(jnp.asarray(ll)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # mdn_resnet: tuple of per-stage log-liks (different P per stage)
+    payload = (
+        -np.abs(rng.standard_normal((5, 16))).astype(np.float32) - 1.0,
+        -np.abs(rng.standard_normal((5, 4))).astype(np.float32) - 1.0,
+    )
+    rms = payload_ref_max_ll("mdn_resnet", payload)
+    want, _ = payload_to_scores("mdn_resnet", payload, img, ref_max_ll=rms)
+    got = np.asarray(
+        _scores_tail("mdn_resnet", img, rms)(tuple(map(jnp.asarray, payload)))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
