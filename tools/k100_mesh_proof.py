@@ -51,6 +51,10 @@ def child() -> None:
 
     assert len(jax.devices()) == 2, jax.devices()
     os.environ["VITAD_MDN_KCHUNK"] = "0"  # the JOINT sharded step is on trial
+    # keep the best-weight snapshot as LIVE device arrays (the >1.5 GB tree
+    # would otherwise take early_stopping's host path and hand back numpy,
+    # losing the sharding this proof inspects)
+    os.environ["VITAD_SNAPSHOT_DEVICE_MAX_MB"] = "1000000"
 
     img = 64
     hp = HyperParams(
