@@ -225,3 +225,116 @@ def test_chunked_trainer_bf16_policy_smoke(tmp_path, monkeypatch):
                         data_path="train/good", img_size=32)
     result = train_mdn_resnet(hp, data, None)
     assert np.isfinite(result.history["train_loss"][-1])
+
+
+def test_padded_plan_and_ll_bit_identity():
+    """Sublane padding (K→multiple of 8, inert components): the padded
+    head's log-likelihood matches to float rounding — pad contributions
+    are ~e^-30 of a real component's (below f32 epsilon); the residual
+    1-ulp difference is the softmax denominator summing 8 vs 6 terms."""
+    d, k = 6, 6
+    mdn, head = _head(d, k, seed=2)
+    k_pad, kc, mask = MC.padded_plan(k)
+    assert (k_pad, kc) == (8, 8)
+    assert mask is not None and mask.sum() == k
+    padded = MC.pad_head_k(head, k_pad)
+    mdn_pad = GaussianMDN(features=d, num_gaussians=k_pad,
+                          dtypes=DtypePolicy.f32())
+    x = jax.random.normal(jax.random.key(9), (2, 3, d), jnp.float32)
+    ll = mdn.apply({"params": head}, x, rng=None,
+                   method=GaussianMDN.log_likelihood)
+    ll_pad = mdn_pad.apply({"params": padded}, x, rng=None,
+                           method=GaussianMDN.log_likelihood)
+    np.testing.assert_allclose(np.asarray(ll_pad), np.asarray(ll),
+                               rtol=3e-7, atol=3e-7)
+    # aligned K: no padding
+    assert MC.padded_plan(16) == (16, 16, None)
+    assert MC.padded_plan(100)[:2] == (104, 8)
+
+
+def test_chunked_update_with_padding_matches_joint():
+    """pad → masked chunked update → unpad must equal the joint optax step
+    on the real-K head, and pad components must stay exactly at init."""
+    d, k = 6, 6
+    lr, wd = 1e-3, 1e-4
+    mdn, head = _head(d, k, seed=5)
+    x = jax.random.normal(jax.random.key(2), (2, 3, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(3), (2, 3, d), jnp.float32) * 0.1
+
+    def joint_loss(h):
+        ll = mdn.apply({"params": h}, x, rng=None,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads = jax.grad(joint_loss)(head)
+    tx = torch_adam(lr, wd)
+    upd, _ = tx.update(grads, tx.init(head), head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    k_pad, kc, mask = MC.padded_plan(k)
+    padded = MC.pad_head_k(head, k_pad)
+    opt = MC.init_head_opt(padded)
+    ll_fn = MC.make_chunk_ll_fn(d)
+    new_pad, m_pad, v_pad, _, _ = MC.chunked_head_update(
+        x, None, padded, opt["m"], opt["v"], jnp.int32(1), ct, lr, wd, kc,
+        ll_fn, mask=mask,
+    )
+    got = MC.unpad_head_k(new_pad, k)
+    for name in head:
+        np.testing.assert_allclose(got[name], expected[name], rtol=1e-5,
+                                   atol=1e-7, err_msg=name)
+    # pad components exactly untouched (the mask must be exact: Adam
+    # amplifies any drift gradient to full-lr steps)
+    for name, axis in MC._K_AXES.items():
+        pad_vals = np.take(np.asarray(new_pad[name]),
+                           range(k, k_pad), axis=axis)
+        init_vals = np.take(np.asarray(padded[name]),
+                            range(k, k_pad), axis=axis)
+        np.testing.assert_array_equal(pad_vals, init_vals, err_msg=name)
+
+
+@pytest.mark.slow
+def test_train_mdn_resnet_chunked_padded_matches_joint(tmp_path):
+    """The REAL trainer through the padded chunked path (K=6 → pad 8 via
+    VITAD_MDN_KCHUNK=force) vs the joint step; snapshots/eval must carry
+    the real K only."""
+    from vit_ad_tpu.data.loader import DataPipeline
+    from vit_ad_tpu.data.synthetic import make_mvtec_category
+    from vit_ad_tpu.pipeline.train import train_mdn_resnet
+
+    root = tmp_path / "data"
+    make_mvtec_category(str(root), "cat", img_size=32, n_train=12,
+                        n_test_good=3, n_test_defect=3)
+
+    def run(kchunk_env):
+        os.environ["VITAD_MDN_KCHUNK"] = kchunk_env
+        try:
+            hp = HyperParams(
+                model_name="enc_res_net", architecture="mdn", epochs=2,
+                patience=2, learning_rate=1e-3, weight_decay=1e-5,
+                batch_size=6, img_size=32, num_gaussians=6, seed=24,
+                dtypes=DtypePolicy.f32(),
+            )
+            data = DataPipeline(batch_size=6, base_path=str(root),
+                                data_path="train/good", img_size=32)
+            test = DataPipeline(batch_size=6, base_path=f"{root}/cat",
+                                data_path="test", img_size=32,
+                                validation_mode=True)
+            return train_mdn_resnet(hp, data, test)
+        finally:
+            os.environ.pop("VITAD_MDN_KCHUNK", None)
+
+    joint = run("0")
+    padded = run("force")
+    for h in padded.head_params["heads"]:
+        assert h["params"]["w_mu"].shape[-1] == 6  # real K in snapshots
+    np.testing.assert_allclose(
+        padded.history["train_loss"], joint.history["train_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        padded.history["valid_loss"], joint.history["valid_loss"],
+        rtol=2e-3, atol=1e-4,
+    )
+    assert abs(padded.metrics["image_auroc_score"]
+               - joint.metrics["image_auroc_score"]) < 0.05

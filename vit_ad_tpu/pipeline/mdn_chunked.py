@@ -113,6 +113,61 @@ def pick_k_chunk(k: int, cap: int = 16) -> int:
     return 1
 
 
+_K_AXES = {"w_pi": 1, "b_pi": 0, "w_sigma": 2, "b_sigma": 1,
+           "w_mu": 2, "b_mu": 1}
+_NEG_BIG = -1e30  # matches ops/gmm's finite -inf sentinel
+
+
+def padded_plan(k: int):
+    """(k_pad, k_chunk, mask) for the sublane-aligned chunking plan.
+
+    The Pallas GMM kernels pad their K dimension to a sublane multiple (8)
+    per call, so kc=10 chunks run 16 components' worth of K-work — ~37%
+    waste. Padding the HEAD PARAMS once to a multiple of 8 and chunking at
+    8 removes it. mask is a [k_pad] f32 (1 real / 0 pad) the update
+    multiplies into every head gradient: Adam normalizes update magnitude
+    by |g|, so even ~1e-15 drift gradients on pad components would random-
+    walk at full learning-rate scale and could eventually push a pad
+    sigma toward 0 (dens → +34, un-suppressing the component) — masking
+    must be exact, not approximate. Returns mask=None when k is already
+    aligned."""
+    k_pad = -(-k // 8) * 8
+    if k_pad == k:
+        return k, pick_k_chunk(k), None
+    mask = np.zeros((k_pad,), np.float32)
+    mask[:k] = 1.0
+    return k_pad, 8, jnp.asarray(mask)
+
+
+def pad_head_k(head, k_pad: int):
+    """Pad every K-axis leaf of a GaussianMDN param dict to k_pad.
+
+    w/b pads are zeros; b_pi pads are -1e30, so pad components get mixture
+    logits ~-1e30 → softmax weight exactly 0 → log_pi = log(0+1e-15). With
+    sigma frozen at elu(0)+1=1 (mask!) their density term is bounded and
+    each contributes ~e^-30 of a real component's likelihood — below f32
+    epsilon, so the log-likelihood matches to float rounding (1 ulp from
+    the softmax denominator's extra zero terms; tests/test_mdn_chunked.py)."""
+    out = {}
+    for name, v in head.items():
+        axis = _K_AXES[name]
+        extra = k_pad - v.shape[axis]
+        pw = [(0, 0)] * v.ndim
+        pw[axis] = (0, extra)
+        cv = _NEG_BIG if name == "b_pi" else 0.0
+        out[name] = jnp.pad(v, pw, constant_values=cv)
+    return out
+
+
+def unpad_head_k(head, k: int):
+    """Slice a padded head back to its real K (snapshot/checkpoint form)."""
+    out = {}
+    for name, v in head.items():
+        axis = _K_AXES[name]
+        out[name] = lax.slice_in_dim(v, 0, k, axis=axis)
+    return out
+
+
 def _accel_hbm_budget() -> Optional[float]:
     """Usable accelerator HBM bytes, or None on CPU backends (no budget)."""
     try:
@@ -145,6 +200,8 @@ def chunked_heads_mode(hp, stages, mc) -> Optional[int]:
     env = os.environ.get("VITAD_MDN_KCHUNK", "auto").strip()
     if env == "0":
         return None
+    if env == "force":  # tests/CI: engage regardless of backend budget
+        return pick_k_chunk(hp.num_gaussians)
     if env and env != "auto":
         kc = int(env)
         return kc if hp.num_gaussians % kc == 0 else pick_k_chunk(hp.num_gaussians, kc)
@@ -181,6 +238,8 @@ def chunked_head_update(
     k_chunk: int,
     ll_fn,
     tau: float = 1.0,
+    mask: Optional[Array] = None,
+    k_real: Optional[int] = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array], Dict[str, Array], Array, Array]:
     """One fused backward+Adam pass over one GaussianMDN head, K-chunked.
 
@@ -188,6 +247,15 @@ def chunked_head_update(
          trainable stage norms)
     ct:  [B,P,D] cotangent of the total log-likelihood (the loss's d/d ll)
     t:   post-increment Adam step count
+    `mask` ([K] f32, 1 real / 0 pad): zeroes every head gradient of
+    sublane-padding components so they stay exactly at their inert init
+    (see `padded_plan` — Adam would otherwise amplify ~1e-15 drift
+    gradients to full-lr random walks). `k_real` (with mask): the mixture
+    softmax/gumbel runs on the REAL logits slice — the identical random
+    stream and rounding as the unpadded path — and pad components take the
+    log(1e-15) floor `mixture_log_weights` already applies to underflowed
+    real components.
+
     Returns (new_head, new_m, new_v, dx, ll_total). Gradients are evaluated
     at the pre-step parameters (each chunk's slices are untouched until its
     own loop iteration), so the result is exactly one optimizer step."""
@@ -198,6 +266,13 @@ def chunked_head_update(
 
     def pi_head(w_pi, b_pi, xf_):
         logits = jnp.einsum("bpd,dk->bpk", xf_, w_pi.astype(jnp.float32)) + b_pi
+        if k_real is not None and k_real != logits.shape[-1]:
+            lp_real = gmm.mixture_log_weights(logits[..., :k_real], rng, tau)
+            pad = jnp.full(
+                logits.shape[:-1] + (logits.shape[-1] - k_real,),
+                jnp.float32(np.log(1e-15)), lp_real.dtype,
+            )
+            return jnp.concatenate([lp_real, pad], axis=-1)
         return gmm.mixture_log_weights(logits, rng, tau)
 
     log_pi, pi_vjp = jax.vjp(pi_head, head["w_pi"], head["b_pi"], xf)
@@ -239,6 +314,9 @@ def chunked_head_update(
         dx = dx + dxc
         dlp = lax.dynamic_update_slice_in_dim(dlp, dlp_c, start, 2)
         grads = {"w_sigma": dws, "b_sigma": dbs, "w_mu": dwm, "b_mu": dbm}
+        if mask is not None:
+            ms = lax.dynamic_slice_in_dim(mask, start, k_chunk, 0)
+            grads = {n: g * ms for n, g in grads.items()}  # K is the last axis
         head_c, m_c, v_c = dict(head_c), dict(m_c), dict(v_c)
         for name, axis in _CHUNKED:
             p_s = lax.dynamic_slice_in_dim(head_c[name], start, k_chunk, axis)
@@ -256,6 +334,9 @@ def chunked_head_update(
 
     # pi head: gradients flow through the (coupled-across-K) softmax once
     dwpi, dbpi, dx_pi = pi_vjp(dlp)
+    if mask is not None:
+        dwpi = dwpi * mask
+        dbpi = dbpi * mask
     head, m, v = dict(head), dict(m), dict(v)
     for name, g in (("w_pi", dwpi), ("b_pi", dbpi)):
         head[name], m[name], v[name] = torch_adam_leaf(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -1059,10 +1060,30 @@ def _train_mdn_resnet_chunked(
     enc_params = enc_variables["params"]
     enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
     heads = [dict(h["params"]) for h in head_params]
+    # sublane-aligned plan (auto modes only): pad K once to a multiple of 8
+    # and chunk at 8 — the GMM kernels pad each chunk's K to a sublane
+    # multiple anyway, so kc=10 ran 16 components' worth of K-work (~37%
+    # waste). Pad components are exactly inert (mask in the update;
+    # mdn_chunked.padded_plan) and the log-likelihood is bit-identical;
+    # snapshots/checkpoints/eval see the real-K slices. An explicit numeric
+    # VITAD_MDN_KCHUNK opts out of padding.
+    k_real = hp.num_gaussians
+    _env = os.environ.get("VITAD_MDN_KCHUNK", "auto").strip()
+    if _env in ("auto", "", "force"):
+        k_pad, k_chunk, k_mask = MC.padded_plan(k_real)
+        if k_mask is not None:
+            heads = [MC.pad_head_k(h, k_pad) for h in heads]
+    else:
+        k_pad, k_mask = k_real, None
     _opts = [MC.init_head_opt(h) for h in heads]
     opt_m = [o["m"] for o in _opts]
     opt_v = [o["v"] for o in _opts]
     ll_fns = [MC.make_chunk_ll_fn(mdn.features) for mdn in mdns]
+    mdns_eval = mdns if k_mask is None else [
+        GaussianMDN(features=mdn.features, num_gaussians=k_pad,
+                    dtypes=mdn.dtypes, k_chunk=mdn.k_chunk)
+        for mdn in mdns
+    ]
 
     tx_enc = optax.multi_transform(
         {"train": torch_adam(hp.learning_rate, hp.weight_decay),
@@ -1107,6 +1128,7 @@ def _train_mdn_resnet_chunked(
             h_n, m_n, v_n, dx, ll_tot = MC.chunked_head_update(
                 x_s, rngs[i], heads[i], opt_m[i], opt_v[i], t, ct,
                 hp.learning_rate, hp.weight_decay, k_chunk, ll_fn,
+                mask=k_mask, k_real=k_real if k_mask is not None else None,
             )
             per_example = -jnp.mean(ll_tot, axis=(1, 2))
             loss = loss + jnp.sum(per_example * valid) / denom
@@ -1125,7 +1147,7 @@ def _train_mdn_resnet_chunked(
         inputs = stage_inputs(enc_p, images_u8)
         denom = jnp.maximum(jnp.sum(valid), 1.0)
         total = 0.0
-        for x_s, h, mdn in zip(inputs, heads, mdns):
+        for x_s, h, mdn in zip(inputs, heads, mdns_eval):
             ll = mdn.apply(
                 {"params": h}, x_s, rng=None,
                 method=GaussianMDN.log_likelihood,
@@ -1173,8 +1195,11 @@ def _train_mdn_resnet_chunked(
         return _weighted_mean(vlosses, vweights)
 
     def _snapshot():
+        live = hstate[0]
+        if k_mask is not None:  # checkpoints/eval carry the REAL K only
+            live = [MC.unpad_head_k(h, k_real) for h in live]
         return {
-            "heads": [{"params": h} for h in hstate[0]],
+            "heads": [{"params": h} for h in live],
             "encoder": enc_state[0],
             "enc_batch_stats": enc_stats["batch_stats"],
         }
