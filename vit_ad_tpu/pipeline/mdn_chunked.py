@@ -287,16 +287,23 @@ def chunked_head_update(
         out["log_pi"] = lax.dynamic_slice_in_dim(log_pi, start, k_chunk, 2)
         return out
 
-    # Phase A: total log-likelihood (forward only; [n_chunks,B,P,D] stack
-    # is small — the full ll is what phase B's chunk weights need)
-    def fwd_body(_, i):
+    # Phase A: total log-likelihood (forward only) as an ONLINE logsumexp
+    # over chunk lls — a stacked [n_chunks,B,P,D] intermediate cost 1.3 GB
+    # at the K=100 stage-2 shapes and OOM'd the padded plan; the carry is
+    # two [B,P,D] buffers regardless of chunk count
+    def fwd_body(carry, i):
+        m_run, s_run = carry
         s = chunk_slices(head, i)
         ll_c = ll_fn(sg(xf), sg(s["log_pi"]), sg(s["w_sigma"]),
                      sg(s["b_sigma"]), sg(s["w_mu"]), sg(s["b_mu"]))
-        return None, ll_c
+        new_m = jnp.maximum(m_run, ll_c)
+        s_run = s_run * jnp.exp(m_run - new_m) + jnp.exp(ll_c - new_m)
+        return (new_m, s_run), None
 
-    _, ll_stack = lax.scan(fwd_body, None, jnp.arange(n_chunks))
-    ll_total = jax.nn.logsumexp(ll_stack, axis=0)
+    init_a = (jnp.full(xf.shape, _NEG_BIG, jnp.float32),
+              jnp.zeros(xf.shape, jnp.float32))
+    (m_run, s_run), _ = lax.scan(fwd_body, init_a, jnp.arange(n_chunks))
+    ll_total = m_run + jnp.log(s_run)
 
     # Phase B: per chunk — gradients via VJP (Pallas backward on TPU),
     # Adam update of the chunk's parameter/moment slices in place
