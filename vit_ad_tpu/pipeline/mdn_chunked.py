@@ -160,11 +160,16 @@ def pad_head_k(head, k_pad: int):
 
 
 def unpad_head_k(head, k: int):
-    """Slice a padded head back to its real K (snapshot/checkpoint form)."""
+    """Slice a padded head back to its real K (snapshot/checkpoint form).
+    Works on device arrays AND the host-numpy trees the early-stopping
+    host path returns — and must only be applied POST-training: an eager
+    device-side unpad inside the per-epoch snapshot materialized a 4.2 GB
+    transient copy next to the standing state and OOM'd K=100 on chip."""
     out = {}
     for name, v in head.items():
         axis = _K_AXES[name]
-        out[name] = lax.slice_in_dim(v, 0, k, axis=axis)
+        idx = (slice(None),) * axis + (slice(0, k),)
+        out[name] = v[idx]
     return out
 
 

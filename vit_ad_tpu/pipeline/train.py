@@ -1195,11 +1195,11 @@ def _train_mdn_resnet_chunked(
         return _weighted_mean(vlosses, vweights)
 
     def _snapshot():
-        live = hstate[0]
-        if k_mask is not None:  # checkpoints/eval carry the REAL K only
-            live = [MC.unpad_head_k(h, k_real) for h in live]
+        # zero-copy: LIVE (possibly padded) arrays — retention copies them;
+        # the real-K unpad happens ONCE post-training (an eager per-epoch
+        # device unpad transiently doubled the head params and OOM'd K=100)
         return {
-            "heads": [{"params": h} for h in live],
+            "heads": [{"params": h} for h in hstate[0]],
             "encoder": enc_state[0],
             "enc_batch_stats": enc_stats["batch_stats"],
         }
@@ -1210,6 +1210,12 @@ def _train_mdn_resnet_chunked(
     best = (
         stopper.best_params if stopper.best_params is not None else _snapshot()
     )
+    if k_mask is not None:  # checkpoints/eval carry the REAL K only
+        best = dict(best)
+        best["heads"] = [
+            {"params": MC.unpad_head_k(h["params"], k_real)}
+            for h in best["heads"]
+        ]
 
     metrics: Dict[str, float] = {}
     if test_data is not None:
