@@ -207,7 +207,7 @@ def chunked_heads_mode(hp, stages, mc) -> Optional[int]:
         return None
     if env == "force":  # tests/CI: engage regardless of backend budget
         return pick_k_chunk(hp.num_gaussians)
-    if env and env != "auto":
+    if env and env not in ("auto", "pad"):  # "pad" = auto engage + padding
         kc = int(env)
         return kc if hp.num_gaussians % kc == 0 else pick_k_chunk(hp.num_gaussians, kc)
     if mc is not None:

@@ -1060,16 +1060,20 @@ def _train_mdn_resnet_chunked(
     enc_params = enc_variables["params"]
     enc_stats = {"batch_stats": enc_variables.get("batch_stats", {})}
     heads = [dict(h["params"]) for h in head_params]
-    # sublane-aligned plan (auto modes only): pad K once to a multiple of 8
-    # and chunk at 8 — the GMM kernels pad each chunk's K to a sublane
-    # multiple anyway, so kc=10 ran 16 components' worth of K-work (~37%
-    # waste). Pad components are exactly inert (mask in the update;
-    # mdn_chunked.padded_plan) and the log-likelihood is bit-identical;
-    # snapshots/checkpoints/eval see the real-K slices. An explicit numeric
-    # VITAD_MDN_KCHUNK opts out of padding.
+    # sublane-aligned plan (OPT-IN: VITAD_MDN_KCHUNK=pad, or =force in
+    # tests): pad K once to a multiple of 8 and chunk at 8 — the GMM
+    # kernels pad each chunk's K to a sublane multiple anyway, so kc=10
+    # runs 16 components' worth of K-work (~37% waste). MEASURED at K=100
+    # B=32 on the v5e: the +4% padded standing state (params+m+v
+    # 12.6→13.1 GB) costs more than the chunk savings and the step OOMs
+    # even after the online-LSE and zero-copy-snapshot fixes — so auto
+    # mode does NOT pad; the lever stands for chips with more HBM
+    # headroom. Pad components are exactly inert (masked update, real-K
+    # gumbel stream; mdn_chunked.padded_plan) and snapshots/checkpoints/
+    # eval see the real-K slices.
     k_real = hp.num_gaussians
     _env = os.environ.get("VITAD_MDN_KCHUNK", "auto").strip()
-    if _env in ("auto", "", "force"):
+    if _env in ("pad", "force"):
         k_pad, k_chunk, k_mask = MC.padded_plan(k_real)
         if k_mask is not None:
             heads = [MC.pad_head_k(h, k_pad) for h in heads]
