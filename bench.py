@@ -218,14 +218,29 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
             return ips, {"stall_suspect": stalled, "n_dispatches": n_chunks,
                          "scan_chunk": scan_chunk}
         return ips
-    # pipelined dispatch, device-side score accumulation, ONE final fetch
-    t0 = time.perf_counter()
-    outs = [score(images) for _ in range(iters)]
-    np.asarray(stack(outs))
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    # pipelined dispatch, device-side score accumulation, ONE final fetch.
+    # Same stall guard as the scan protocol (advisor r4: this branch used
+    # to run once unguarded yet report stall_suspect=False — the exact
+    # failure mode the guard exists for). The warm probe's single
+    # dispatch+fetch over-estimates the pipelined per-dispatch cost, so
+    # the guard is conservative here, but a BENCH_r03-class 5x stall
+    # still trips it.
+    est = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(score(images))
+        est = min(est, time.perf_counter() - t0)
+
+    def run_once():
+        t0 = time.perf_counter()
+        outs = [score(images) for _ in range(iters)]
+        np.asarray(stack(outs))
+        return time.perf_counter() - t0
+
+    best_dt, stalled = _measure_with_stall_guard(run_once, iters, est)
+    ips = batch * iters / best_dt
     if return_info:
-        return ips, {"stall_suspect": False, "n_dispatches": iters,
+        return ips, {"stall_suspect": stalled, "n_dispatches": iters,
                      "scan_chunk": None}
     return ips
 

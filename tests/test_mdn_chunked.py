@@ -338,3 +338,157 @@ def test_train_mdn_resnet_chunked_padded_matches_joint(tmp_path):
     )
     assert abs(padded.metrics["image_auroc_score"]
                - joint.metrics["image_auroc_score"]) < 0.05
+
+
+@pytest.mark.parametrize("wd", [0.0, 1e-3])
+@pytest.mark.parametrize("use_rng", [False, True])
+def test_chunked_update_direct_bwd_matches_joint(wd, use_rng):
+    """Direct chunk backward (bwd_fn: phase B consumes phase A's ll_total,
+    no forward recompute) must match the joint Adam step exactly like the
+    vjp fallback does — the r5 perf lever is gradient-identical."""
+    d, k, kc = 6, 4, 2
+    lr = 1e-3
+    mdn, head = _head(d, k)
+    rng = jax.random.key(7) if use_rng else None
+    x = jax.random.normal(jax.random.key(1), (2, 3, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(2), (2, 3, d), jnp.float32)
+
+    def joint_loss(h, x_):
+        ll = mdn.apply({"params": h}, x_, rng=rng,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads, gx = jax.grad(joint_loss, argnums=(0, 1))(head, x)
+    tx = torch_adam(lr, wd)
+    upd, _ = tx.update(grads, tx.init(head), head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    opt = MC.init_head_opt(head)
+    new_head, m, v, dx, ll_tot = MC.chunked_head_update(
+        x, rng, head, opt["m"], opt["v"], jnp.int32(1), ct, lr, wd, kc,
+        MC.make_chunk_ll_fn(d), bwd_fn=MC.make_chunk_bwd_fn(d),
+    )
+    ll_ref = mdn.apply({"params": head}, x, rng=rng,
+                       method=GaussianMDN.log_likelihood)
+    np.testing.assert_allclose(ll_tot, ll_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dx, gx, rtol=1e-4, atol=1e-5)
+    for name in head:
+        np.testing.assert_allclose(
+            new_head[name], expected[name], rtol=1e-5, atol=1e-7,
+            err_msg=name,
+        )
+
+
+def test_chunked_update_direct_bwd_pallas_interpret(monkeypatch):
+    """Direct backward through the Pallas kernels (interpret mode on CPU):
+    the kernels take ll_total as their normalizer residual — same update
+    as the dense joint step."""
+    monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "1")
+    d, k, kc = 128, 4, 2
+    lr, wd = 1e-3, 1e-4
+    mdn, head = _head(d, k, seed=11)
+    x = jax.random.normal(jax.random.key(4), (2, 2, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(6), (2, 2, d), jnp.float32) * 0.1
+
+    ll_fn = MC.make_chunk_ll_fn(d)
+    bwd_fn = MC.make_chunk_bwd_fn(d)
+
+    monkeypatch.setenv("VITAD_PALLAS_GMM_TRAIN", "0")
+
+    def joint_loss(h, x_):
+        ll = mdn.apply({"params": h}, x_, rng=None,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads, gx = jax.grad(joint_loss, argnums=(0, 1))(head, x)
+    tx = torch_adam(lr, wd)
+    upd, _ = tx.update(grads, tx.init(head), head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    opt = MC.init_head_opt(head)
+    new_head, _, _, dx, _ = MC.chunked_head_update(
+        x, None, head, opt["m"], opt["v"], jnp.int32(1), ct, lr, wd, kc,
+        ll_fn, bwd_fn=bwd_fn,
+    )
+    np.testing.assert_allclose(dx, gx, rtol=5e-3, atol=1e-4)
+    for name in head:
+        np.testing.assert_allclose(
+            new_head[name], expected[name], rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_chunked_update_direct_bwd_with_padding_matches_joint():
+    """Direct backward + sublane padding: pad inertness is now structural
+    (torch_adam_leaf masks the DECAYED gradient), so pads stay exactly at
+    init and real components match the joint step."""
+    d, k = 6, 6
+    lr, wd = 1e-3, 1e-4
+    mdn, head = _head(d, k, seed=5)
+    x = jax.random.normal(jax.random.key(2), (2, 3, d), jnp.float32)
+    ct = jax.random.normal(jax.random.key(3), (2, 3, d), jnp.float32) * 0.1
+
+    def joint_loss(h):
+        ll = mdn.apply({"params": h}, x, rng=None,
+                       method=GaussianMDN.log_likelihood)
+        return jnp.sum(ct * ll)
+
+    grads = jax.grad(joint_loss)(head)
+    tx = torch_adam(lr, wd)
+    upd, _ = tx.update(grads, tx.init(head), head)
+    expected = jax.tree.map(lambda p, u: p + u, head, upd)
+
+    k_pad, kc, mask = MC.padded_plan(k)
+    padded = MC.pad_head_k(head, k_pad)
+    opt = MC.init_head_opt(padded)
+    # under JIT: XLA's algebraic simplifier once squared the decayed pad
+    # gradient (wd*(-1e30))^2 -> inf BEFORE the mask multiply, NaN'ing the
+    # pad slices — eager runs never showed it (torch_adam_leaf where-fix)
+    step = jax.jit(
+        lambda h, m, v: MC.chunked_head_update(
+            x, None, h, m, v, jnp.int32(1), ct, lr, wd, kc,
+            MC.make_chunk_ll_fn(d), mask=mask, k_real=k,
+            bwd_fn=MC.make_chunk_bwd_fn(d),
+        )
+    )
+    new_pad, m_pad, v_pad, _, _ = step(padded, opt["m"], opt["v"])
+    got = MC.unpad_head_k(new_pad, k)
+    for name in head:
+        np.testing.assert_allclose(got[name], expected[name], rtol=1e-5,
+                                   atol=1e-7, err_msg=name)
+    # structural inertness: pad params AND pad moments exactly zero-change
+    for name, axis in MC._K_AXES.items():
+        for tree, ref in ((new_pad, padded),
+                          (m_pad, None), (v_pad, None)):
+            pad_vals = np.take(np.asarray(tree[name]), range(k, k_pad),
+                               axis=axis)
+            if ref is None:
+                np.testing.assert_array_equal(
+                    pad_vals, np.zeros_like(pad_vals), err_msg=name)
+            else:
+                init_vals = np.take(np.asarray(ref[name]), range(k, k_pad),
+                                    axis=axis)
+                np.testing.assert_array_equal(pad_vals, init_vals,
+                                              err_msg=name)
+
+
+def test_chunk_mode_capacity_guard(monkeypatch):
+    """Auto mode must fail fast (pointing at --mesh) when even the chunked
+    floor (3x head state + one chunk) exceeds the budget, instead of
+    engaging and OOMing mid-epoch; the budget env override makes this
+    testable on the CPU backend."""
+    monkeypatch.setenv("VITAD_MDN_KCHUNK", "auto")
+    # K=100 stages (2,3): joint ~16.8 GB, chunked floor ~13.2 GB
+    hp = HyperParams(num_gaussians=100)
+    monkeypatch.setenv("VITAD_MDN_KCHUNK_BUDGET_GB", "15")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) == 10  # engages
+    monkeypatch.setenv("VITAD_MDN_KCHUNK_BUDGET_GB", "20")
+    assert MC.chunked_heads_mode(hp, (2, 3), None) is None  # joint fits
+    monkeypatch.setenv("VITAD_MDN_KCHUNK_BUDGET_GB", "10")
+    with pytest.raises(ValueError, match="--mesh"):
+        MC.chunked_heads_mode(hp, (2, 3), None)
+    # K=120 on the v5e budget: the measured-calibrated floor says no
+    hp120 = HyperParams(num_gaussians=120)
+    monkeypatch.setenv("VITAD_MDN_KCHUNK_BUDGET_GB", "15")
+    with pytest.raises(ValueError, match="--mesh"):
+        MC.chunked_heads_mode(hp120, (2, 3), None)

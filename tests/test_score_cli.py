@@ -355,3 +355,37 @@ def test_score_watch_mesh_composes(category, run_dir, tmp_path):
     o = np.array([float(r["image_score"]) for r in o_rows])
     np.testing.assert_allclose(w, o, rtol=1e-6, atol=1e-7)
     assert one_shot["images"] == 4
+
+
+def test_score_weights_dtype_bf16(category, run_dir, tmp_path):
+    """--weights-dtype bf16 (the one-shot cold-path upload compression,
+    r4 VERDICT item 3): scores must track the f32 path within bf16
+    rounding, and ranking (what the anomaly decision consumes) must be
+    preserved on this clearly-separated set. Default 'auto' must stay f32
+    on the CPU backend (bit-comparable to training eval)."""
+    from vit_ad_tpu.cli.score import _resolve_weights_dtype
+    from vit_ad_tpu.cli.score import main as score_main
+
+    assert _resolve_weights_dtype("auto") == "f32"  # CPU backend
+
+    run, _ = run_dir
+    out32 = tmp_path / "s32"
+    out16 = tmp_path / "s16"
+    assert score_main(["-r", run, "-d", f"{category}/test",
+                       "-o", str(out32)]) == 0
+    assert score_main(["-r", run, "-d", f"{category}/test",
+                       "-o", str(out16), "--weights-dtype", "bf16"]) == 0
+
+    def read(p):
+        with open(p / "scores.csv") as f:
+            rows = list(csv.DictReader(f))
+        return (np.array([float(r["image_score"]) for r in rows]),
+                [r["path"] for r in rows])
+
+    s32, p32 = read(out32)
+    s16, p16 = read(out16)
+    assert p32 == p16
+    assert np.all(np.isfinite(s16))
+    np.testing.assert_allclose(s16, s32, rtol=0.05, atol=0.02)
+    # anomaly ranking preserved (defect scores > good scores either way)
+    assert (np.argsort(s16) == np.argsort(s32)).all()

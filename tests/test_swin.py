@@ -265,3 +265,40 @@ def test_shift_mask_static():
     assert m.shape == (4, 16, 16)
     assert set(np.unique(m)) <= {-100.0, 0.0}
     assert wa.shift_attention_mask(8, 8, 4, 0) is None
+
+
+def test_partition_perm_matches_roll_partition(rng):
+    """The gather formulation (one static token permutation, roll folded
+    in) must reproduce roll(-s) + window_partition exactly, and its inverse
+    must reproduce window_reverse + roll(+s)."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+    for shift in (0, 2):
+        perm, inv = wa.partition_perm(8, 8, 4, shift)
+        got = jnp.take(x.reshape(2, 64, 5), jnp.asarray(perm), axis=1)
+        got = got.reshape(-1, 16, 5)
+        ref = wa.window_partition(
+            jnp.roll(x, shift=(-shift, -shift), axis=(1, 2)), 4
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        back = jnp.take(got.reshape(2, 64, 5), jnp.asarray(inv), axis=1)
+        np.testing.assert_array_equal(
+            np.asarray(back.reshape(2, 8, 8, 5)), np.asarray(x)
+        )
+
+
+def test_swin_gather_partition_mode_equivalence(rng, monkeypatch):
+    """VITAD_SWIN_PARTITION=gather (the transpose-kill A/B lever) must be
+    bit-equal to the default transpose path through a full multi-stage
+    Swin forward (includes shifted blocks)."""
+    model = SwinTransformer(
+        img_size=32, patch_size=2, embed_dim=8, depths=(2, 2),
+        num_heads=(2, 4), window=4, dtypes=F32,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("VITAD_SWIN_PARTITION", "gather")
+    got = model.apply(variables, x)
+    np.testing.assert_array_equal(
+        np.asarray(got.patch_embedding), np.asarray(ref.patch_embedding)
+    )

@@ -81,6 +81,25 @@ def _norm_stats_for(hp, train_data: str):
     return default_norm_stats()
 
 
+def _resolve_weights_dtype(choice: str) -> str:
+    """'auto' = bf16-at-rest on accelerator targets (halves the one-shot
+    upload over bandwidth-limited links), f32 on CPU (tests and local runs
+    stay bit-comparable to training-time eval)."""
+    if choice != "auto":
+        return choice
+    from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+    return "bf16" if _target_platform() != "cpu" else "f32"
+
+
+def _maybe_compress(models, weights_dtype: str):
+    if _resolve_weights_dtype(weights_dtype) == "bf16":
+        from vit_ad_tpu.pipeline.loading import compress_params_bf16
+
+        return compress_params_bf16(models)
+    return models
+
+
 def score_folder(
     run_dir: str,
     images_dir: str,
@@ -89,11 +108,13 @@ def score_folder(
     batch: int = 0,
     train_data: str = "",
     mesh: str = "",
+    weights_dtype: str = "auto",
 ) -> dict:
     """Score every image under images_dir with a run directory's models."""
     from vit_ad_tpu.pipeline.loading import load_run
 
     models, cfg = load_run(run_dir)
+    models = _maybe_compress(models, weights_dtype)
     return _score_with_models(
         models, run_dir, cfg, images_dir,
         out_dir or os.path.join(run_dir, "scores"),
@@ -115,6 +136,7 @@ def score_pth(
     batch: int = 0,
     train_data: str = "",
     mesh: str = "",
+    weights_dtype: str = "auto",
 ) -> dict:
     """Score a folder with reference-format legacy `.pth` weights — a
     reference user serves fresh images with their EXISTING trained
@@ -126,6 +148,7 @@ def score_pth(
         pths, arch, model_name, img_size, hidden_ratio, flow_steps,
         encoder_ckpt,
     )
+    models = _maybe_compress(models, weights_dtype)
     return _score_with_models(
         models, pths[0], {"architecture": arch}, images_dir,
         out_dir or os.path.splitext(pths[0])[0] + "_scores",
@@ -422,6 +445,13 @@ def main(argv=None) -> int:
     ap.add_argument("-i", "--img-size", type=int, default=224)
     ap.add_argument("-f", "--flow-steps", type=int, default=20)
     ap.add_argument("--hidden-ratio", type=float, default=0.16)
+    ap.add_argument("--weights-dtype", default="auto",
+                    choices=("auto", "f32", "bf16"),
+                    help="upload dtype for the restored weights: bf16 "
+                         "halves the one-shot cold-path upload (auto = "
+                         "bf16 on accelerators, f32 on CPU; scores drift "
+                         "within bf16 rounding — see "
+                         "pipeline.loading.compress_params_bf16)")
     args = ap.parse_args(argv)
     # multi-host serving: connect before the backend initializes so --mesh
     # spans hosts (no-op unless the VITAD_* cluster env is set)
@@ -464,12 +494,14 @@ def main(argv=None) -> int:
             hidden_ratio=args.hidden_ratio, flow_steps=args.flow_steps,
             encoder_ckpt=args.encoder_ckpt, heatmaps=args.heatmaps,
             batch=args.batch, train_data=args.train_data, mesh=mesh,
+            weights_dtype=args.weights_dtype,
         )
     else:
         summary = score_folder(
             args.run, args.images, out_dir=args.out or None,
             heatmaps=args.heatmaps, batch=args.batch,
             train_data=args.train_data, mesh=mesh,
+            weights_dtype=args.weights_dtype,
         )
     print(json.dumps(summary))
     return 0

@@ -44,6 +44,20 @@ Array = jax.Array
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
+    # VITAD_PALLAS_LN=1 routes the per-block norms through the fused Pallas
+    # LN (ops/pallas/layer_norm.py) on TPU targets. Block LNs are EsViT's
+    # largest non-dot trace bucket (3.99 ms / 15.9% at r4 defaults) and the
+    # round-3 losing A/B never reached them — it only gated the module-level
+    # LayerNorm (patch/merge/final norms), not this functional scan-body
+    # path. Output dtype differs (kernel returns x.dtype, XLA path f32);
+    # every caller casts to compute dtype immediately, so both are safe.
+    if os.environ.get("VITAD_PALLAS_LN") == "1":
+        from vit_ad_tpu.ops.pallas.layer_norm import layer_norm
+        from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+        rows = int(np.prod(x.shape[:-1]))
+        if _target_platform() == "tpu" and rows % 8 == 0:
+            return layer_norm(x, scale, bias, eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -140,10 +154,22 @@ def _block_apply(
         y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
     hp_, wp_ = h + pad_b, w + pad_r
 
-    if shift > 0:
-        y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-
-    windows = wa.window_partition(y, window)  # [B_, N, C]
+    # VITAD_SWIN_PARTITION=gather: one static token-permutation gather per
+    # direction replaces the 6-D partition/reverse transposes AND the two
+    # rolls of shifted blocks (the shift folds into the indices —
+    # ops/window_attention.partition_perm). A/B lever for the 3.44 ms
+    # (13.7%) copy/transpose bucket of the EsViT r4 trace.
+    gather_mode = os.environ.get("VITAD_SWIN_PARTITION") == "gather"
+    if gather_mode:
+        perm, inv = wa.partition_perm(hp_, wp_, window, shift)
+        n_tok = hp_ * wp_
+        windows = jnp.take(
+            y.reshape(b, n_tok, c), jnp.asarray(perm), axis=1
+        ).reshape(-1, window * window, c)
+    else:
+        if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+        windows = wa.window_partition(y, window)  # [B_, N, C]
     qkv = (
         jnp.einsum("bnc,cd->bnd", windows, p["qkv_kernel"].astype(compute_dtype))
         + p["qkv_bias"].astype(compute_dtype)
@@ -151,10 +177,14 @@ def _block_apply(
     attn_out = core(
         qkv, p["bias_table"].astype(jnp.float32), num_heads, window, mask
     )  # [B_, N, C]
-    y = wa.window_reverse(attn_out, window, hp_, wp_)
-
-    if shift > 0:
-        y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+    if gather_mode:
+        y = jnp.take(
+            attn_out.reshape(b, hp_ * wp_, c), jnp.asarray(inv), axis=1
+        ).reshape(b, hp_, wp_, c)
+    else:
+        y = wa.window_reverse(attn_out, window, hp_, wp_)
+        if shift > 0:
+            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
     if pad_b or pad_r:
         y = y[:, :h, :w, :]
     y = (

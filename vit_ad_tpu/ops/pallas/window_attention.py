@@ -94,6 +94,20 @@ def _choose_wblk(b_, n, c, num_heads, n_w, masked) -> int:
         w = int(forced)
         if (n_w % w == 0) if masked else (b_ % w == 0):
             return w
+        # an A/B that silently fell back to 1 would measure the default
+        # while claiming the forced block — surface the violation loudly.
+        # (Not an exception: a whole-model run traces several geometries
+        # and a block that fits stage 0 legitimately can't fit stage 2's
+        # mask period of 1 — per-call fallback with a warning keeps the
+        # model runnable while making the fallback visible.)
+        import warnings
+
+        warnings.warn(
+            f"VITAD_SWIN_WBLK={w} does not divide "
+            f"{('mask period ' + str(n_w)) if masked else ('window batch ' + str(b_))}"
+            f" for this geometry — falling back to W_BLK=1 for this call",
+            stacklevel=3,
+        )
     return 1
 
 

@@ -48,6 +48,38 @@ def window_reverse(windows: Array, window: int, h: int, w: int) -> Array:
 
 
 @lru_cache(maxsize=None)
+def partition_perm(
+    hp: int, wp: int, window: int, shift: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, inv): static token permutations implementing the cyclic shift
+    + window partition (and its inverse) as ONE gather each.
+
+    The reshape/transpose pair in `window_partition` materializes a 6-D
+    transpose copy ([B, H/w, w, W/w, w, C] — the %copy ops that cost 3.44 ms
+    (13.7%) of the EsViT r4 trace), and the shifted blocks pay a separate
+    `jnp.roll` on top (reference torch.roll, SwinTransformerModule.py:
+    367-369). Flattening tokens to [B, H*W, C] and indexing with `perm`
+    yields the identical windows layout with the roll FOLDED IN:
+    windows-slot j of the (rolled, partitioned) map reads map token
+    perm[j] = flat((h_j + shift) % H, (w_j + shift) % W). `inv` restores
+    map layout from windows layout (window_reverse + un-roll). Requires
+    hp/wp divisible by window (at 224px no Swin stage ever pads, so the
+    gather path covers every production geometry)."""
+    assert hp % window == 0 and wp % window == 0, (hp, wp, window)
+    n_h, n_w = hp // window, wp // window
+    # windows-slot coordinates in plain-partition order
+    wi, wj, r, c = np.meshgrid(
+        np.arange(n_h), np.arange(n_w), np.arange(window), np.arange(window),
+        indexing="ij",
+    )
+    h = (wi * window + r + shift) % hp
+    w = (wj * window + c + shift) % wp
+    perm = (h * wp + w).reshape(-1)
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+@lru_cache(maxsize=None)
 def relative_position_index(window_h: int, window_w: int) -> np.ndarray:
     """[N, N] indices into the (2Wh-1)(2Ww-1) bias table (reference :118-137)."""
     coords = np.stack(

@@ -434,6 +434,34 @@ def _dispatch(m: RunModels, prefix: str):
     return table[m.kind]
 
 
+def compress_params_bf16(m: RunModels) -> RunModels:
+    """bf16-at-rest weights for one-shot serving (r4 VERDICT item 3).
+
+    The one-shot score CLI's cold path is LOAD-dominated: every invocation
+    uploads the restored f32 param trees to the device before the first
+    batch runs — ~350 MB for DeiT-base over a bandwidth-limited link
+    (tools/serving_bench.jsonl: 3.4-8.6 img/s on a 256-PNG wave). Casting
+    every f32 leaf to bf16 ON HOST halves that upload. Numerics: matmul
+    weights are rounded to bf16 by the MXU anyway (JAX default matmul
+    precision), so only the f32-path consumers (LayerNorm scale/bias, BN
+    running stats, flow global affines) see real rounding — score drift is
+    bounded by bf16 epsilon (~0.4%) and measured/documented in
+    tools/serving_bench.jsonl; the default stays f32 wherever scores must
+    be bit-comparable to training-time eval."""
+    import dataclasses
+
+    def cast_leaf(a):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32:
+            return a.astype(jnp.bfloat16)
+        return a
+
+    parts = tuple(
+        jax.tree.map(cast_leaf, p) if isinstance(p, (dict, list)) else p
+        for p in m.parts
+    )
+    return dataclasses.replace(m, parts=parts)
+
+
 def score_models(m: RunModels, test_data, mean=None, std=None,
                  keep_origs: int = 0):
     """Label-free scoring dispatch: RunModels → pipeline.eval.ScoreOutput."""

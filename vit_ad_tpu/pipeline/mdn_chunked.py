@@ -55,14 +55,28 @@ _CHUNKED = (("w_sigma", 2), ("b_sigma", 1), ("w_mu", 2), ("b_mu", 1))
 
 
 def torch_adam_leaf(p: Array, m: Array, v: Array, g: Array, t: Array,
-                    lr: float, wd: float) -> Tuple[Array, Array, Array]:
+                    lr: float, wd: float,
+                    mask: Optional[Array] = None) -> Tuple[Array, Array, Array]:
     """One torch-Adam update on one leaf — exactly optax
     `add_decayed_weights(wd) >> scale_by_adam(b1,b2,eps) >> scale(-lr)`
     (pipeline/optimizers.torch_adam), applied to an arbitrary slice so the
     chunk loop can update parameter windows in place. `t` is the
-    POST-increment step count (optax's count_inc)."""
+    POST-increment step count (optax's count_inc).
+
+    `mask` (broadcastable over the leaf's trailing K axis, 1 real / 0 pad)
+    zeroes the DECAYED gradient, making sublane-pad inertness structural:
+    masked components keep g = m = v = 0 and the update is exactly 0.
+    Masking before the wd-coupling would leave g = wd*p on pad slices —
+    with b_pi's -1e30 sentinel that stayed inert only via f32 saturation
+    (wd²·p² overflowing v to inf), which is fragile across dtype/eps
+    changes. The kill must be a `where`, NOT a multiply: under jit XLA's
+    algebraic simplifier reassociates square((g + wd·p)·mask) so the pad
+    lane's wd·p = -1e25 squares to inf BEFORE the mask and inf·0 = NaN
+    (reproduced on the CPU backend; eager mode was fine)."""
     if wd:
         g = g + wd * p
+    if mask is not None:
+        g = jnp.where(mask > 0, g, 0.0)
     m = _B1 * m + (1.0 - _B1) * g
     v = _B2 * v + (1.0 - _B2) * jnp.square(g)
     c1 = 1.0 - jnp.power(jnp.float32(_B1), t)
@@ -102,6 +116,68 @@ def make_chunk_ll_fn(d: int):
         return jax.nn.logsumexp(lp[:, :, None, :] + dens, axis=-1)
 
     return ll_fn
+
+
+def make_chunk_bwd_fn(d: int):
+    """bwd_fn(xf, log_pi_c, w_sigma_c, b_sigma_c, w_mu_c, b_mu_c, ll_total,
+    ct) -> (dx, dlp, dws, dbs, dwm, dbm): the ct-weighted gradient of the
+    TOTAL log-likelihood restricted to one chunk's parameters, WITHOUT
+    re-running the chunk forward.
+
+    Exactness: for ll = logsumexp_k(a_k), d ll/dθ_c = Σ_{k∈c}
+    exp(a_k - ll)·da_k/dθ_c. The two-step phase B this replaces computed
+    it as exp(ll_c - ll)·[exp(a_k - ll_c)·da_k] — the ll_c factors cancel,
+    so feeding the Pallas backward kernels ll_total directly as their `ll`
+    residual (their softmax weights become exp(a_k + lp - ll_total) ≤ 1,
+    still stable) yields the identical gradient with NO forward recompute:
+    the kernels rebuild mu/sigma/density in VMEM from the inputs and only
+    consume ll as the normalizer (ops/pallas/gmm_train._component_terms).
+    Phase A's online logsumexp already produced ll_total, so the chunk
+    forward that `jax.vjp` would re-run is pure waste — the VERDICT-r4
+    "2.8x chunk overhead" item. Dispatch mirrors make_chunk_ll_fn."""
+    from vit_ad_tpu.ops.pallas.gmm_train import use_pallas_gmm_train
+
+    if use_pallas_gmm_train(d):
+        from vit_ad_tpu.ops.pallas import gmm_train as GT
+        from vit_ad_tpu.ops.pallas.window_attention import _target_platform
+
+        on_tpu = _target_platform() == "tpu"
+        md = jnp.bfloat16 if on_tpu else jnp.float32
+
+        def bwd_fn(xf, lp, ws, bs, wm, bm, ll_total, ct):
+            ws_k = jnp.moveaxis(ws, -1, 0)
+            bs_k = jnp.moveaxis(bs, -1, 0)
+            wm_k = jnp.moveaxis(wm, -1, 0)
+            bm_k = jnp.moveaxis(bm, -1, 0)
+            dlp, dws, dbs, dwm, dbm = GT._gmm_bwd_params(
+                xf, lp, ws_k, bs_k, wm_k, bm_k, ll_total, ct,
+                interpret=not on_tpu, matmul_dtype=md,
+            )
+            dx = GT._gmm_bwd_x(
+                xf, lp, ws_k, bs_k, wm_k, bm_k, ll_total, ct,
+                interpret=not on_tpu, matmul_dtype=md,
+            )
+            return (dx, dlp, jnp.moveaxis(dws, 0, -1), dbs.T,
+                    jnp.moveaxis(dwm, 0, -1), dbm.T)
+
+        return bwd_fn
+
+    def bwd_fn(xf, lp, ws, bs, wm, bm, ll_total, ct):
+        # dense form: Σ_{k∈c} exp(a_k - ll_total) has the chunk gradient of
+        # the total ll by the identity above; ll_total is a constant here
+        def h(xf_, lp_, ws_, bs_, wm_, bm_):
+            sigma = (jax.nn.elu(jnp.einsum("bpd,dek->bpek", xf_, ws_) + bs_)
+                     + 1.0 + 1e-15)
+            mu = jnp.einsum("bpd,dek->bpek", xf_, wm_) + bm_
+            dens = gmm.log_gaussian_density(sigma, mu, xf_[..., None])
+            p = jnp.exp(lp_[:, :, None, :] + dens - ll_total[..., None])
+            return jnp.sum(ct * jnp.sum(p, axis=-1))
+
+        return jax.grad(h, argnums=(0, 1, 2, 3, 4, 5))(
+            xf, lp, ws, bs, wm, bm
+        )
+
+    return bwd_fn
 
 
 def pick_k_chunk(k: int, cap: int = 16) -> int:
@@ -174,16 +250,23 @@ def unpad_head_k(head, k: int):
 
 
 def _accel_hbm_budget() -> Optional[float]:
-    """Usable accelerator HBM bytes, or None on CPU backends (no budget)."""
+    """Usable accelerator HBM bytes, or None on CPU backends (no budget).
+
+    VITAD_MDN_KCHUNK_BUDGET_GB overrides everything (including the CPU
+    no-budget rule, so the routing/guard logic is unit-testable on the CPU
+    backend). Without it: the device's reported bytes_limit, else a
+    hardcoded v5e default — logged by chunked_heads_mode so an unknown
+    accelerator's silent mis-route (engaging the slower chunked path on a
+    big-HBM chip, or OOMing a small one) is visible and overridable."""
+    env = os.environ.get("VITAD_MDN_KCHUNK_BUDGET_GB")
+    if env:
+        return float(env) * 1e9
     try:
         dev = jax.devices()[0]
     except Exception:
         return None
     if dev.platform == "cpu":
         return None
-    env = os.environ.get("VITAD_MDN_KCHUNK_BUDGET_GB")
-    if env:
-        return float(env) * 1e9
     try:
         stats = dev.memory_stats()
         if stats and "bytes_limit" in stats:
@@ -201,7 +284,14 @@ def chunked_heads_mode(hp, stages, mc) -> Optional[int]:
     parallel/sharding.py) and only when the joint step's estimated state
     (params + m + v + grads of the [D,D,K] stage heads, x4 the param
     bytes — matches the measured 16.83 GB at K=100) exceeds the
-    accelerator budget."""
+    accelerator budget.
+
+    Fail-fast: when auto engages the chunked path but even ITS floor
+    (3x standing state + one chunk's slice set — measured ~13 GB at the
+    K=100/kc=10 reference config) exceeds the budget, raise instead of
+    OOMing mid-epoch: past K≈115 single-chip is out of capacity and the
+    mixture-sharded mesh path (`--mesh`, tools/k100_mesh_proof.py) is the
+    supported route."""
     env = os.environ.get("VITAD_MDN_KCHUNK", "auto").strip()
     if env == "0":
         return None
@@ -219,9 +309,35 @@ def chunked_heads_mode(hp, stages, mc) -> Optional[int]:
 
     k = hp.num_gaussians
     param_bytes = sum(2 * STAGE_CHANNELS[i] ** 2 * k * 4 for i in stages)
-    if 4 * param_bytes > budget:
-        return pick_k_chunk(k)
-    return None
+    if 4 * param_bytes <= budget:
+        return None
+    kc = pick_k_chunk(k)
+    # chunked floor: params+m+v standing (3x) + the chunk loop's live slice
+    # set. The slice factor 1.5 is calibrated to the MEASURED 13 GB peak at
+    # the K=100/kc=10 reference config (PERF.md; donation keeps the in-place
+    # chunk updates from doubling the slices) — the guard then raises at
+    # K>=115 on the 15 GB v5e budget, exactly where the runtime OOM starts.
+    chunked_floor = param_bytes * (3.0 + 1.5 * kc / k)
+    import logging
+
+    log = logging.getLogger(__name__)
+    if chunked_floor > budget:
+        raise ValueError(
+            f"MDN-ResNet K={k} exceeds single-chip capacity even K-chunked: "
+            f"estimated floor {chunked_floor / 1e9:.1f} GB (3x head state + "
+            f"one kc={kc} chunk) vs accelerator budget {budget / 1e9:.1f} GB. "
+            f"Use --mesh to shard the mixture axis across devices "
+            f"(parallel/sharding.py; proof: tools/k100_mesh_proof.py), "
+            f"reduce -n, or override VITAD_MDN_KCHUNK / "
+            f"VITAD_MDN_KCHUNK_BUDGET_GB if this budget estimate is wrong."
+        )
+    log.info(
+        "MDN K-chunked capacity path engaged: K=%d kc=%d — joint state "
+        "%.1f GB > budget %.1f GB; chunked floor %.1f GB "
+        "(VITAD_MDN_KCHUNK/VITAD_MDN_KCHUNK_BUDGET_GB override)",
+        k, kc, 4 * param_bytes / 1e9, budget / 1e9, chunked_floor / 1e9,
+    )
+    return kc
 
 
 def init_head_opt(head_params: Any) -> Dict[str, Any]:
@@ -245,6 +361,7 @@ def chunked_head_update(
     tau: float = 1.0,
     mask: Optional[Array] = None,
     k_real: Optional[int] = None,
+    bwd_fn=None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array], Dict[str, Array], Array, Array]:
     """One fused backward+Adam pass over one GaussianMDN head, K-chunked.
 
@@ -260,6 +377,11 @@ def chunked_head_update(
     stream and rounding as the unpadded path — and pad components take the
     log(1e-15) floor `mixture_log_weights` already applies to underflowed
     real components.
+
+    `bwd_fn` (from `make_chunk_bwd_fn`): direct chunk backward consuming
+    phase A's ll_total — phase B then runs NO forward at all (the
+    `jax.vjp` fallback re-runs each chunk's forward just to rebuild the
+    ll_c normalizer the total already subsumes). None = vjp fallback.
 
     Returns (new_head, new_m, new_v, dx, ll_total). Gradients are evaluated
     at the pre-step parameters (each chunk's slices are untouched until its
@@ -316,25 +438,33 @@ def chunked_head_update(
         head_c, m_c, v_c, dx, dlp = carry
         start = i * k_chunk
         s = chunk_slices(head_c, i)
-        ll_c, vjp = jax.vjp(
-            ll_fn, xf, s["log_pi"], s["w_sigma"], s["b_sigma"],
-            s["w_mu"], s["b_mu"],
-        )
-        # d ll/dθ_c = exp(ll_c - ll) * d ll_c/dθ_c
-        ct_c = ct * jnp.exp(ll_c - ll_total)
-        dxc, dlp_c, dws, dbs, dwm, dbm = vjp(ct_c)
+        if bwd_fn is not None:
+            # direct backward: ll_total IS the normalizer the kernels need —
+            # no chunk forward runs in phase B (see make_chunk_bwd_fn)
+            dxc, dlp_c, dws, dbs, dwm, dbm = bwd_fn(
+                xf, s["log_pi"], s["w_sigma"], s["b_sigma"],
+                s["w_mu"], s["b_mu"], ll_total, ct,
+            )
+        else:
+            ll_c, vjp = jax.vjp(
+                ll_fn, xf, s["log_pi"], s["w_sigma"], s["b_sigma"],
+                s["w_mu"], s["b_mu"],
+            )
+            # d ll/dθ_c = exp(ll_c - ll) * d ll_c/dθ_c
+            ct_c = ct * jnp.exp(ll_c - ll_total)
+            dxc, dlp_c, dws, dbs, dwm, dbm = vjp(ct_c)
         dx = dx + dxc
         dlp = lax.dynamic_update_slice_in_dim(dlp, dlp_c, start, 2)
         grads = {"w_sigma": dws, "b_sigma": dbs, "w_mu": dwm, "b_mu": dbm}
-        if mask is not None:
-            ms = lax.dynamic_slice_in_dim(mask, start, k_chunk, 0)
-            grads = {n: g * ms for n, g in grads.items()}  # K is the last axis
+        ms = (lax.dynamic_slice_in_dim(mask, start, k_chunk, 0)
+              if mask is not None else None)  # K is the last leaf axis
         head_c, m_c, v_c = dict(head_c), dict(m_c), dict(v_c)
         for name, axis in _CHUNKED:
             p_s = lax.dynamic_slice_in_dim(head_c[name], start, k_chunk, axis)
             m_s = lax.dynamic_slice_in_dim(m_c[name], start, k_chunk, axis)
             v_s = lax.dynamic_slice_in_dim(v_c[name], start, k_chunk, axis)
-            p_n, m_n, v_n = torch_adam_leaf(p_s, m_s, v_s, grads[name], t, lr, wd)
+            p_n, m_n, v_n = torch_adam_leaf(p_s, m_s, v_s, grads[name], t, lr,
+                                            wd, mask=ms)
             head_c[name] = lax.dynamic_update_slice_in_dim(head_c[name], p_n, start, axis)
             m_c[name] = lax.dynamic_update_slice_in_dim(m_c[name], m_n, start, axis)
             v_c[name] = lax.dynamic_update_slice_in_dim(v_c[name], v_n, start, axis)
@@ -346,12 +476,9 @@ def chunked_head_update(
 
     # pi head: gradients flow through the (coupled-across-K) softmax once
     dwpi, dbpi, dx_pi = pi_vjp(dlp)
-    if mask is not None:
-        dwpi = dwpi * mask
-        dbpi = dbpi * mask
     head, m, v = dict(head), dict(m), dict(v)
     for name, g in (("w_pi", dwpi), ("b_pi", dbpi)):
         head[name], m[name], v[name] = torch_adam_leaf(
-            head[name], m[name], v[name], g, t, lr, wd
+            head[name], m[name], v[name], g, t, lr, wd, mask=mask
         )
     return head, m, v, dx + dx_pi, ll_total

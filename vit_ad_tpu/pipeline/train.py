@@ -1083,6 +1083,14 @@ def _train_mdn_resnet_chunked(
     opt_m = [o["m"] for o in _opts]
     opt_v = [o["v"] for o in _opts]
     ll_fns = [MC.make_chunk_ll_fn(mdn.features) for mdn in mdns]
+    # direct chunk backward (default): phase B consumes phase A's ll_total
+    # instead of re-running every chunk's forward inside jax.vjp —
+    # gradient-identical (mdn_chunked.make_chunk_bwd_fn), one forward
+    # sweep saved per step. VITAD_MDN_CHUNK_BWD=vjp reverts (A/B lever).
+    if os.environ.get("VITAD_MDN_CHUNK_BWD", "direct") == "vjp":
+        bwd_fns = [None for _ in mdns]
+    else:
+        bwd_fns = [MC.make_chunk_bwd_fn(mdn.features) for mdn in mdns]
     mdns_eval = mdns if k_mask is None else [
         GaussianMDN(features=mdn.features, num_gaussians=k_pad,
                     dtypes=mdn.dtypes, k_chunk=mdn.k_chunk)
@@ -1133,6 +1141,7 @@ def _train_mdn_resnet_chunked(
                 x_s, rngs[i], heads[i], opt_m[i], opt_v[i], t, ct,
                 hp.learning_rate, hp.weight_decay, k_chunk, ll_fn,
                 mask=k_mask, k_real=k_real if k_mask is not None else None,
+                bwd_fn=bwd_fns[i],
             )
             per_example = -jnp.mean(ll_tot, axis=(1, 2))
             loss = loss + jnp.sum(per_example * valid) / denom
