@@ -302,3 +302,41 @@ def test_swin_gather_partition_mode_equivalence(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(got.patch_embedding), np.asarray(ref.patch_embedding)
     )
+
+
+def test_swin_ln_fold_equivalence(rng, monkeypatch):
+    """VITAD_SWIN_LN_FOLD=1 (LN folded into the qkv/fc1 GEMMs via the
+    commuting per-token rsqrt scalar) must match the default path to
+    float reassociation tolerance through a full multi-stage forward."""
+    model = SwinTransformer(
+        img_size=32, patch_size=2, embed_dim=8, depths=(2, 2),
+        num_heads=(2, 4), window=4, dtypes=F32,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("VITAD_SWIN_LN_FOLD", "1")
+    got = model.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got.patch_embedding), np.asarray(ref.patch_embedding),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_vit_ln_fold_equivalence(rng, monkeypatch):
+    """VITAD_VIT_LN_FOLD=1 on the ViT/DeiT blocks (same folded-GEMM math,
+    models/vit._block_apply) must match the default forward to
+    reassociation tolerance."""
+    from vit_ad_tpu.models.vit import ViTEncoder
+
+    enc = ViTEncoder(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                     num_heads=4, num_prefix_tokens=2, dtypes=F32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = enc.init(jax.random.key(0), x)
+    ref = enc.apply(variables, x)
+    monkeypatch.setenv("VITAD_VIT_LN_FOLD", "1")
+    got = enc.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got.patch_embedding), np.asarray(ref.patch_embedding),
+        rtol=2e-4, atol=2e-4,
+    )

@@ -102,6 +102,40 @@ def main() -> None:
                "img_s": round(WAVE_N / dt, 1)}
         emit(row)
 
+    # one-shot upload-dtype A/B (r4 VERDICT item 3): warm-process waves with
+    # the restored weights uploaded f32 vs bf16-at-rest (the cold path's
+    # dominant term is the ~350 MB f32 weight upload;
+    # pipeline.loading.compress_params_bf16 halves it). Scores must agree
+    # within bf16 rounding — compared below.
+    import csv as _csv
+
+    def read_scores(out):
+        with open(os.path.join(out, "scores.csv")) as f:
+            return np.array([float(r["image_score"])
+                             for r in _csv.DictReader(f)])
+
+    dtype_outs = {}
+    for wdt in ("f32", "bf16"):
+        out = os.path.join(tmp, f"scores_{wdt}")
+        dtype_outs[wdt] = out
+        t0 = time.perf_counter()
+        rc = score_main(["-r", run, "-d", wave_dir, "-o", out,
+                         "-b", str(BATCH), "--weights-dtype", wdt])
+        dt = time.perf_counter() - t0
+        assert rc == 0
+        emit({"metric": f"serving score-CLI one-shot wave, --weights-dtype "
+                        f"{wdt} (warm process)",
+              "images": WAVE_N, "wall_s": round(dt, 2),
+              "img_s": round(WAVE_N / dt, 1)})
+    s32 = read_scores(dtype_outs["f32"])
+    s16 = read_scores(dtype_outs["bf16"])
+    emit({"metric": "bf16-vs-f32 one-shot score drift",
+          "max_abs": float(np.max(np.abs(s16 - s32))),
+          "max_rel": float(np.max(np.abs(s16 - s32)
+                                  / np.maximum(np.abs(s32), 1e-9))),
+          "rank_agreement": float(np.mean(
+              np.argsort(s16) == np.argsort(s32)))})
+
     # AOT bundle steady state (native: Pallas kernels kept, TPU artifact;
     # EXTERNAL weights — a baked DeiT-base module exceeds the axon
     # tunnel's remote-compile request limit, HTTP 413)

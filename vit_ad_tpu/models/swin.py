@@ -122,6 +122,40 @@ def _attention_core():
     return _xla_attention_windows
 
 
+def _token_moments(x: Array, eps: float = 1e-5):
+    """Per-token (mu, rsqrt(var+eps)) over the channel dim, f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _ln_fold_gemm(x: Array, scale, bias, w, b, compute_dtype, eps=1e-5):
+    """LayerNorm folded into the following GEMM (VITAD_SWIN_LN_FOLD lever).
+
+    The per-token rsqrt scalar commutes with the channel contraction:
+        LN(x) @ W + b
+      = r·(x @ W' - mu·colsum(W')) + (beta @ W + b),   W' = gamma ⊙ W
+    so the GEMM reads RAW x and the normalized activation tensor — EsViT's
+    largest non-dot trace bucket is LN at 3.99 ms/iter (15.9%), mostly the
+    normalize pass + its HBM write/read — never materializes. mu/r are two
+    cheap per-token reduces of the same x the GEMM loads; the correction +
+    scaling is an epilogue XLA fuses into the dot's consumer. W'/colsum/b'
+    are weight-sized precomputes XLA hoists or folds per scan slice.
+
+    Only valid when no zero-padding is appended between the LN and the
+    GEMM (padding the LN *output* with zeros gives pad-qkv = bias, folding
+    gives beta@W + bias) — callers gate on pad==0; at 224px no Swin stage
+    pads."""
+    mu, r = _token_moments(x, eps)
+    wp = (scale[:, None] * w).astype(compute_dtype)  # gamma-scaled weights
+    cs = jnp.sum(wp.astype(jnp.float32), axis=0)  # colsum(W'), [out]
+    bp = bias.astype(jnp.float32) @ w.astype(jnp.float32) + b
+    raw = jnp.einsum("...c,cd->...d", x.astype(compute_dtype), wp)
+    out = r * (raw.astype(jnp.float32) - mu * cs) + bp
+    return out.astype(compute_dtype)
+
+
 def _block_apply(
     x: Array,
     p: Dict[str, Array],
@@ -146,12 +180,22 @@ def _block_apply(
     ran at ~30 GB/s and cost 23 ms (40%) of the EsViT batch-128 forward."""
     b, h, w, c = x.shape
     shortcut = x
-    y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
-
     pad_b = (window - h % window) % window
     pad_r = (window - w % window) % window
-    if pad_b or pad_r:
-        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    # VITAD_SWIN_LN_FOLD=1: skip materializing the LN outputs — partition
+    # RAW x and fold norm1 into the qkv GEMM (and norm2 into fc1) via
+    # _ln_fold_gemm. Gated off when the stage pads (fold changes pad-token
+    # values; see _ln_fold_gemm docstring) — never the case at 224px.
+    ln_fold = (os.environ.get("VITAD_SWIN_LN_FOLD") == "1"
+               and not (pad_b or pad_r))
+    if ln_fold:
+        y = x.astype(compute_dtype)
+    else:
+        y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(
+            compute_dtype
+        )
+        if pad_b or pad_r:
+            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
     hp_, wp_ = h + pad_b, w + pad_r
 
     # VITAD_SWIN_PARTITION=gather: one static token-permutation gather per
@@ -170,10 +214,20 @@ def _block_apply(
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
         windows = wa.window_partition(y, window)  # [B_, N, C]
-    qkv = (
-        jnp.einsum("bnc,cd->bnd", windows, p["qkv_kernel"].astype(compute_dtype))
-        + p["qkv_bias"].astype(compute_dtype)
-    )  # [B_, N, 3C], packed [3][H][hd]
+    if ln_fold:
+        # windows hold RAW tokens (partition is a permutation — per-token
+        # LN stats are layout-invariant); norm1 rides the qkv GEMM
+        qkv = _ln_fold_gemm(
+            windows, p["norm1_scale"], p["norm1_bias"],
+            p["qkv_kernel"], p["qkv_bias"], compute_dtype,
+        )
+    else:
+        qkv = (
+            jnp.einsum(
+                "bnc,cd->bnd", windows, p["qkv_kernel"].astype(compute_dtype)
+            )
+            + p["qkv_bias"].astype(compute_dtype)
+        )  # [B_, N, 3C], packed [3][H][hd]
     attn_out = core(
         qkv, p["bias_table"].astype(jnp.float32), num_heads, window, mask
     )  # [B_, N, C]
@@ -194,12 +248,23 @@ def _block_apply(
     )
     x = shortcut + y
 
-    y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
-    hdn = jnp.einsum("bhwc,cd->bhwd", y, p["fc1_kernel"].astype(compute_dtype))
-    # policy GELU (layers.resolve_gelu_approx): tanh under bf16, erf in f32
-    hdn = nn.gelu(
-        hdn + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx
-    )
+    if ln_fold:
+        hdn = _ln_fold_gemm(
+            x, p["norm2_scale"], p["norm2_bias"],
+            p["fc1_kernel"], p["fc1_bias"], compute_dtype,
+        )
+        hdn = nn.gelu(hdn, approximate=gelu_approx)
+    else:
+        y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(
+            compute_dtype
+        )
+        hdn = jnp.einsum(
+            "bhwc,cd->bhwd", y, p["fc1_kernel"].astype(compute_dtype)
+        )
+        # policy GELU (layers.resolve_gelu_approx): tanh bf16, erf f32
+        hdn = nn.gelu(
+            hdn + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx
+        )
     hdn = (
         jnp.einsum("bhwd,dc->bhwc", hdn, p["fc2_kernel"].astype(compute_dtype))
         + p["fc2_bias"].astype(compute_dtype)

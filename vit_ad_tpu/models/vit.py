@@ -57,6 +57,16 @@ def _use_pallas_attention() -> bool:
     return _target_platform() == "tpu"
 
 
+def _ln_fold() -> bool:
+    """VITAD_VIT_LN_FOLD=1: fold the block LNs into the qkv/fc1 GEMMs (the
+    per-token rsqrt scalar commutes with the channel contraction — see
+    models/swin._ln_fold_gemm, the shared implementation). A/B lever for
+    the flagship's LN traffic."""
+    import os
+
+    return os.environ.get("VITAD_VIT_LN_FOLD") == "1"
+
+
 def _block_apply(
     x: Array, p: Dict[str, Array], num_heads: int, compute_dtype, accum_dtype,
     gelu_approx: bool = False,
@@ -65,9 +75,21 @@ def _block_apply(
     b, n, d = x.shape
     hd = d // num_heads
 
-    y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(compute_dtype)
-    qkv = jnp.einsum("bnd,de->bne", y, p["qkv_kernel"].astype(compute_dtype))
-    qkv = qkv + p["qkv_bias"].astype(compute_dtype)  # [B, N, 3*D] packed
+    if _ln_fold():
+        from vit_ad_tpu.models.swin import _ln_fold_gemm
+
+        qkv = _ln_fold_gemm(
+            x, p["norm1_scale"], p["norm1_bias"],
+            p["qkv_kernel"], p["qkv_bias"], compute_dtype, eps=1e-6,
+        )  # [B, N, 3*D] packed, norm1 riding the GEMM
+    else:
+        y = _layer_norm(x, p["norm1_scale"], p["norm1_bias"]).astype(
+            compute_dtype
+        )
+        qkv = jnp.einsum(
+            "bnd,de->bne", y, p["qkv_kernel"].astype(compute_dtype)
+        )
+        qkv = qkv + p["qkv_bias"].astype(compute_dtype)  # [B, N, 3*D] packed
     if _use_pallas_attention():
         from vit_ad_tpu.ops.pallas.window_attention import vit_attention_qkv
 
@@ -104,9 +126,22 @@ def _block_apply(
             p["fc2_kernel"].astype(compute_dtype),
             p["fc2_bias"],
         )
-    y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(compute_dtype)
-    h = jnp.einsum("bnd,de->bne", y, p["fc1_kernel"].astype(compute_dtype))
-    h = nn.gelu(h + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx)
+    if _ln_fold():
+        from vit_ad_tpu.models.swin import _ln_fold_gemm
+
+        h = _ln_fold_gemm(
+            x, p["norm2_scale"], p["norm2_bias"],
+            p["fc1_kernel"], p["fc1_bias"], compute_dtype, eps=1e-6,
+        )
+        h = nn.gelu(h, approximate=gelu_approx)
+    else:
+        y = _layer_norm(x, p["norm2_scale"], p["norm2_bias"]).astype(
+            compute_dtype
+        )
+        h = jnp.einsum("bnd,de->bne", y, p["fc1_kernel"].astype(compute_dtype))
+        h = nn.gelu(
+            h + p["fc1_bias"].astype(compute_dtype), approximate=gelu_approx
+        )
     h = (
         jnp.einsum("bnh,hd->bnd", h, p["fc2_kernel"].astype(compute_dtype))
         + p["fc2_bias"].astype(compute_dtype)
