@@ -1083,14 +1083,18 @@ def _train_mdn_resnet_chunked(
     opt_m = [o["m"] for o in _opts]
     opt_v = [o["v"] for o in _opts]
     ll_fns = [MC.make_chunk_ll_fn(mdn.features) for mdn in mdns]
-    # direct chunk backward (default): phase B consumes phase A's ll_total
-    # instead of re-running every chunk's forward inside jax.vjp —
-    # gradient-identical (mdn_chunked.make_chunk_bwd_fn), one forward
-    # sweep saved per step. VITAD_MDN_CHUNK_BWD=vjp reverts (A/B lever).
-    if os.environ.get("VITAD_MDN_CHUNK_BWD", "direct") == "vjp":
-        bwd_fns = [None for _ in mdns]
-    else:
+    # direct chunk backward (OPT-IN, VITAD_MDN_CHUNK_BWD=direct): phase B
+    # consumes phase A's ll_total instead of re-running every chunk's
+    # forward inside jax.vjp — gradient-identical
+    # (mdn_chunked.make_chunk_bwd_fn). MEASURED at K=100 (hw_queue29):
+    # B=32 1.577 s/epoch vs 1.604 vjp (−1.7% — the duplicated forward is
+    # a minor term next to per-chunk dispatch + Adam slicing) but B=64
+    # RESOURCE_EXHAUSTED where the vjp path runs 2.40 s/epoch — a capacity
+    # regression on the path that exists for capacity. Default stays vjp.
+    if os.environ.get("VITAD_MDN_CHUNK_BWD", "vjp") == "direct":
         bwd_fns = [MC.make_chunk_bwd_fn(mdn.features) for mdn in mdns]
+    else:
+        bwd_fns = [None for _ in mdns]
     mdns_eval = mdns if k_mask is None else [
         GaussianMDN(features=mdn.features, num_gaussians=k_pad,
                     dtypes=mdn.dtypes, k_chunk=mdn.k_chunk)
