@@ -130,3 +130,24 @@ def test_vit_attention_gradients(rng):
     g2 = jax.grad(lambda q_: jnp.sum(_xla_plain_attention(q_, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_forced_wblk_indivisible_warns(monkeypatch):
+    """A forced VITAD_SWIN_WBLK that cannot divide the geometry must warn
+    (advisor r4: the old silent fallback made A/Bs measure the default
+    while claiming the forced block), and still return the safe W_BLK=1."""
+    import warnings
+
+    from vit_ad_tpu.ops.pallas.window_attention import _choose_wblk
+
+    monkeypatch.setenv("VITAD_SWIN_WBLK", "8")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        # masked: mask period 4 is not divisible by 8
+        assert _choose_wblk(2048, 196, 96, 3, 4, True) == 1
+    assert any("VITAD_SWIN_WBLK=8" in str(w.message) for w in caught)
+    # divisible: honored, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _choose_wblk(2048, 196, 96, 3, 16, True) == 8
+    assert not caught

@@ -361,12 +361,15 @@ def test_score_weights_dtype_bf16(category, run_dir, tmp_path):
     """--weights-dtype bf16 (the one-shot cold-path upload compression,
     r4 VERDICT item 3): scores must track the f32 path within bf16
     rounding, and ranking (what the anomaly decision consumes) must be
-    preserved on this clearly-separated set. Default 'auto' must stay f32
-    on the CPU backend (bit-comparable to training eval)."""
+    preserved on this clearly-separated set. Default 'auto' must resolve
+    f32 everywhere (bf16 is strictly opt-in — the r5 hardware A/B measured
+    the bf16 one-shot wave slower AND drifting; cli.score
+    _resolve_weights_dtype)."""
     from vit_ad_tpu.cli.score import _resolve_weights_dtype
     from vit_ad_tpu.cli.score import main as score_main
 
-    assert _resolve_weights_dtype("auto") == "f32"  # CPU backend
+    assert _resolve_weights_dtype("auto") == "f32"  # always: bf16 opt-in
+    assert _resolve_weights_dtype("bf16") == "bf16"
 
     run, _ = run_dir
     out32 = tmp_path / "s32"

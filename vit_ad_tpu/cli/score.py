@@ -82,14 +82,17 @@ def _norm_stats_for(hp, train_data: str):
 
 
 def _resolve_weights_dtype(choice: str) -> str:
-    """'auto' = bf16-at-rest on accelerator targets (halves the one-shot
-    upload over bandwidth-limited links), f32 on CPU (tests and local runs
-    stay bit-comparable to training-time eval)."""
+    """'auto' = f32. bf16-at-rest is STRICTLY opt-in: the hardware A/B
+    (tools/serving_bench.jsonl, r5) measured the bf16 one-shot wave
+    SLOWER (40.4 s vs 32.2 s for 256 PNGs — the halved upload is beaten
+    by the host-side cast plus a fresh remote compile for the bf16-input
+    HLO) and NF scores drifted up to 7.4% rel. The cold path's real
+    mitigation is the AOT bundle (156.7 img/s scores-only vs 5.8-7.9 for
+    the one-shot CLI, same session) or --watch; scoring stays
+    bit-comparable to training-time eval by default."""
     if choice != "auto":
         return choice
-    from vit_ad_tpu.ops.pallas.window_attention import _target_platform
-
-    return "bf16" if _target_platform() != "cpu" else "f32"
+    return "f32"
 
 
 def _maybe_compress(models, weights_dtype: str):
@@ -447,11 +450,12 @@ def main(argv=None) -> int:
     ap.add_argument("--hidden-ratio", type=float, default=0.16)
     ap.add_argument("--weights-dtype", default="auto",
                     choices=("auto", "f32", "bf16"),
-                    help="upload dtype for the restored weights: bf16 "
-                         "halves the one-shot cold-path upload (auto = "
-                         "bf16 on accelerators, f32 on CPU; scores drift "
-                         "within bf16 rounding — see "
-                         "pipeline.loading.compress_params_bf16)")
+                    help="upload dtype for the restored weights (auto = "
+                         "f32). bf16 halves the upload bytes but measured "
+                         "SLOWER end-to-end on the one-shot wave and "
+                         "drifts scores (tools/serving_bench.jsonl r5) — "
+                         "strictly opt-in; prefer AOT bundles or --watch "
+                         "for serving throughput")
     args = ap.parse_args(argv)
     # multi-host serving: connect before the backend initializes so --mesh
     # spans hosts (no-op unless the VITAD_* cluster env is set)

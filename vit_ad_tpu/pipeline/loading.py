@@ -435,19 +435,18 @@ def _dispatch(m: RunModels, prefix: str):
 
 
 def compress_params_bf16(m: RunModels) -> RunModels:
-    """bf16-at-rest weights for one-shot serving (r4 VERDICT item 3).
+    """bf16-at-rest weights for one-shot serving — OPT-IN, measured loser.
 
-    The one-shot score CLI's cold path is LOAD-dominated: every invocation
-    uploads the restored f32 param trees to the device before the first
-    batch runs — ~350 MB for DeiT-base over a bandwidth-limited link
-    (tools/serving_bench.jsonl: 3.4-8.6 img/s on a 256-PNG wave). Casting
-    every f32 leaf to bf16 ON HOST halves that upload. Numerics: matmul
-    weights are rounded to bf16 by the MXU anyway (JAX default matmul
-    precision), so only the f32-path consumers (LayerNorm scale/bias, BN
-    running stats, flow global affines) see real rounding — score drift is
-    bounded by bf16 epsilon (~0.4%) and measured/documented in
-    tools/serving_bench.jsonl; the default stays f32 wherever scores must
-    be bit-comparable to training-time eval."""
+    Hypothesis (r4 VERDICT item 3): the one-shot score CLI's cold path is
+    LOAD-dominated (~350 MB f32 weight upload; tools/serving_bench.jsonl
+    3.4-8.6 img/s on a 256-PNG wave), so halving the upload with a host
+    cast should speed it up. MEASURED (r5, same session, warm process,
+    256 PNGs): f32 32.2 s vs bf16 40.4 s — the saved upload is beaten by
+    the host-side cast and the fresh remote compile the bf16-input HLO
+    forces — and NF score drift reached 7.4% rel (the flow's f32-path
+    consumers see real bf16 rounding). Kept as the measured decision
+    record behind `--weights-dtype bf16`; the real one-shot mitigation is
+    the AOT bundle (20-27x, serving/aot.py) or `--watch`."""
     import dataclasses
 
     def cast_leaf(a):
