@@ -219,17 +219,32 @@ def _throughput(score, device, batch, warmup, iters, scan_score=None,
                          "scan_chunk": scan_chunk}
         return ips
     # pipelined dispatch, device-side score accumulation, ONE final fetch.
-    # Same stall guard as the scan protocol (advisor r4: this branch used
-    # to run once unguarded yet report stall_suspect=False — the exact
-    # failure mode the guard exists for). The warm probe's single
-    # dispatch+fetch over-estimates the pipelined per-dispatch cost, so
-    # the guard is conservative here, but a BENCH_r03-class 5x stall
-    # still trips it.
+    if device.platform == "cpu":
+        # no tunnel → no stalls: plain single timed run (the stall
+        # protocol would ~2.3x the already-slow 1-core CPU baseline for
+        # nothing; stall_suspect=False is honest here)
+        t0 = time.perf_counter()
+        outs = [score(images) for _ in range(iters)]
+        np.asarray(stack(outs))
+        dt = time.perf_counter() - t0
+        ips = batch * iters / dt
+        if return_info:
+            return ips, {"stall_suspect": False, "n_dispatches": iters,
+                         "scan_chunk": None}
+        return ips
+    # Accelerator: same stall protocol as the scan branch (advisor r4:
+    # this branch used to run once unguarded yet report
+    # stall_suspect=False) INCLUDING the >=6-dispatch / >=4 s timed floor
+    # (review r5: the CLAUDE.md driver contract promises the floor in
+    # every mode). The warm probe's single dispatch+fetch over-estimates
+    # the pipelined per-dispatch cost, so the guard is conservative, but
+    # a BENCH_r03-class 5x stall still trips it.
     est = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
         np.asarray(score(images))
         est = min(est, time.perf_counter() - t0)
+    iters = _plan_dispatches(est, iters, 1)
 
     def run_once():
         t0 = time.perf_counter()

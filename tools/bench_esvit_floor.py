@@ -46,7 +46,7 @@ STAGES = [
 
 
 def _time_scan(fn, xs):
-    """Two-length slope protocol: time a scan over n and over 3n iterations
+    """Two-length slope protocol (canonical shared copy: tools/slope.py): time a scan over n and over 3n iterations
     (same staged buffers cycled — data still varies per iteration, no
     hoisting) and return (t_3n - t_n) / 2n. The per-DISPATCH costs (the
     axon ~24-45 ms turnaround + fetch) appear in both runs identically and

@@ -52,30 +52,9 @@ POOLS = [
 
 
 def _time_scan(fn, xs):
-    """Two-length slope protocol (see tools/bench_esvit_floor.py)."""
-    import jax
-    import jax.numpy as jnp
+    from tools.slope import time_scan_ms  # shared protocol (tools/slope.py)
 
-    n = xs.shape[0]
-
-    @jax.jit
-    def run(xs):
-        def body(_, x):
-            return None, jnp.sum(fn(x).astype(jnp.float32))
-        return jax.lax.scan(body, None, xs)[1]
-
-    xs3 = jnp.concatenate([xs, xs, xs], axis=0)
-    np.asarray(run(xs))
-    np.asarray(run(xs3))
-    best1 = best3 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(xs))
-        best1 = min(best1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(run(xs3))
-        best3 = min(best3, time.perf_counter() - t0)
-    return (best3 - best1) / (2 * n) * 1e3
+    return time_scan_ms(fn, xs)
 
 
 def main():

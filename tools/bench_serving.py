@@ -129,12 +129,18 @@ def main() -> None:
               "img_s": round(WAVE_N / dt, 1)})
     s32 = read_scores(dtype_outs["f32"])
     s16 = read_scores(dtype_outs["bf16"])
+    # pairwise concordance (Kendall-style), NOT positional argsort equality
+    # (review r5: one score moving k ranks flips k argsort positions and
+    # ties order arbitrarily — the positional statistic collapsed to 0.105
+    # on a near-tied random wave while pairwise ordering was mostly intact)
+    d32 = np.sign(s32[:, None] - s32[None, :])
+    d16 = np.sign(s16[:, None] - s16[None, :])
+    iu = np.triu_indices(len(s32), k=1)
     emit({"metric": "bf16-vs-f32 one-shot score drift",
           "max_abs": float(np.max(np.abs(s16 - s32))),
           "max_rel": float(np.max(np.abs(s16 - s32)
                                   / np.maximum(np.abs(s32), 1e-9))),
-          "rank_agreement": float(np.mean(
-              np.argsort(s16) == np.argsort(s32)))})
+          "pairwise_concordance": float(np.mean(d32[iu] == d16[iu]))})
 
     # AOT bundle steady state (native: Pallas kernels kept, TPU artifact;
     # EXTERNAL weights — a baked DeiT-base module exceeds the axon

@@ -482,6 +482,10 @@ def main(argv=None) -> int:
             models, _ = load_run(args.run)
             source = args.run
             out = args.out or os.path.join(args.run, "scores")
+        # honor an explicit --weights-dtype here too (review r5: the watch
+        # branch silently dropped it — the same silent-fallback class the
+        # W_BLK fix addresses); auto resolves f32, so defaults are unchanged
+        models = _maybe_compress(models, args.weights_dtype)
         summary = watch_folder(
             models, source, args.images, out, interval=args.watch,
             batch=args.batch, train_data=args.train_data, mesh=mesh,

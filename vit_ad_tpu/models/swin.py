@@ -36,7 +36,11 @@ import numpy as np
 from flax import linen as nn
 
 from vit_ad_tpu.config import DtypePolicy
-from vit_ad_tpu.models.layers import LayerNorm, resolve_gelu_approx
+from vit_ad_tpu.models.layers import (
+    LayerNorm,
+    _ln_fold_gemm,
+    resolve_gelu_approx,
+)
 from vit_ad_tpu.models.outputs import EncoderOutput
 from vit_ad_tpu.ops import window_attention as wa
 
@@ -121,39 +125,6 @@ def _attention_core():
         return core
     return _xla_attention_windows
 
-
-def _token_moments(x: Array, eps: float = 1e-5):
-    """Per-token (mu, rsqrt(var+eps)) over the channel dim, f32."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return mean, jax.lax.rsqrt(var + eps)
-
-
-def _ln_fold_gemm(x: Array, scale, bias, w, b, compute_dtype, eps=1e-5):
-    """LayerNorm folded into the following GEMM (VITAD_SWIN_LN_FOLD lever).
-
-    The per-token rsqrt scalar commutes with the channel contraction:
-        LN(x) @ W + b
-      = r·(x @ W' - mu·colsum(W')) + (beta @ W + b),   W' = gamma ⊙ W
-    so the GEMM reads RAW x and the normalized activation tensor — EsViT's
-    largest non-dot trace bucket is LN at 3.99 ms/iter (15.9%), mostly the
-    normalize pass + its HBM write/read — never materializes. mu/r are two
-    cheap per-token reduces of the same x the GEMM loads; the correction +
-    scaling is an epilogue XLA fuses into the dot's consumer. W'/colsum/b'
-    are weight-sized precomputes XLA hoists or folds per scan slice.
-
-    Only valid when no zero-padding is appended between the LN and the
-    GEMM (padding the LN *output* with zeros gives pad-qkv = bias, folding
-    gives beta@W + bias) — callers gate on pad==0; at 224px no Swin stage
-    pads."""
-    mu, r = _token_moments(x, eps)
-    wp = (scale[:, None] * w).astype(compute_dtype)  # gamma-scaled weights
-    cs = jnp.sum(wp.astype(jnp.float32), axis=0)  # colsum(W'), [out]
-    bp = bias.astype(jnp.float32) @ w.astype(jnp.float32) + b
-    raw = jnp.einsum("...c,cd->...d", x.astype(compute_dtype), wp)
-    out = r * (raw.astype(jnp.float32) - mu * cs) + bp
-    return out.astype(compute_dtype)
 
 
 def _block_apply(

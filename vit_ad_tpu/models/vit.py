@@ -76,7 +76,7 @@ def _block_apply(
     hd = d // num_heads
 
     if _ln_fold():
-        from vit_ad_tpu.models.swin import _ln_fold_gemm
+        from vit_ad_tpu.models.layers import _ln_fold_gemm
 
         qkv = _ln_fold_gemm(
             x, p["norm1_scale"], p["norm1_bias"],
@@ -127,7 +127,7 @@ def _block_apply(
             p["fc2_bias"],
         )
     if _ln_fold():
-        from vit_ad_tpu.models.swin import _ln_fold_gemm
+        from vit_ad_tpu.models.layers import _ln_fold_gemm
 
         h = _ln_fold_gemm(
             x, p["norm2_scale"], p["norm2_bias"],
